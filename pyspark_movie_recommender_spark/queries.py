@@ -99,3 +99,482 @@ def flagship_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "n_name", "o_orderkey", "o_totalprice", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# relational core — aggregates, filters, joins (SURVEY §2.A parity + §2.B)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                     AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)             AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                     AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                AS avg_price,
+           ROUND(AVG(l_discount), 4)                                     AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped groupBy (A1/A2/M1 generalized).
+
+    Scale shape: map-side partial aggregation over 6 groups means the
+    shuffle carries ~6 rows per partition no matter the input size; the
+    shipdate filter pushes down to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate IS NOT NULL
+      AND NOT (l_discount > 0.05 AND l_tax > 0.05)
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate algebra: BETWEEN, IN, IS NOT NULL, NOT/AND/OR.
+
+    All four predicates are scan-pushable (``PushedFilters`` in explain);
+    the reference's only predicate was a closure NOT-IN
+    (``recommender.py:146``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_shipdate").isNotNull()
+        & ~((F.col("l_discount") > 0.05) & (F.col("l_tax") > 0.05))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "revenue_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+    bench=True,
+)
+def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query (TPC-H Q5-shaped): fact → dims → agg.
+
+    Scale shape: lineitem⋈orders is the only big shuffle (both sides
+    keyed on orderkey); customer joins via AQE-chosen strategy; nation
+    and region are broadcast (fixed 25/5 rows at any scale factor).
+    Aggregation over 25 groups is map-side partial.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (generalizes reference F1 NOT-IN to a relation).
+
+    The reference shipped a 10-element Python list in a closure
+    (``recommender.py:144-146``); the relational form scales to an
+    arbitrarily large excluded set and broadcasts when small.
+    """
+    from pyspark_movie_recommender_spark.operators.relational import anti_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(customer, orders, "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — left columns only, no row multiplication."""
+    from pyspark_movie_recommender_spark.operators.relational import semi_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(customer, urgent, "c_custkey").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "setop_both_statuses",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): customers with both F and O orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@query(
+    "setop_never_pending",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def setop_never_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): order-placing customers with no pending order."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_c = orders.select("o_custkey")
+    pend = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return all_c.subtract(pend)
+
+
+@query(
+    "top_lineitems_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 15
+    """,
+)
+def top_lineitems_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (reference K1, ``takeOrdered`` at ``recommender.py:176``).
+
+    Catalyst lowers ORDER BY + LIMIT to ``TakeOrderedAndProject`` —
+    per-partition k-heaps merged on the driver, never a full sort.
+    """
+    from pyspark_movie_recommender_spark.operators.relational import global_top_k
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return global_top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        order_by=[F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=15,
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions, rollup/cube/grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_order_history",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT)                   AS rn,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderstatus) AS BIGINT)  AS status_rank,
+           LAG(o_totalprice) OVER w                              AS prev_price,
+           LEAD(o_totalprice) OVER w                             AS next_price,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)     AS mov_avg_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    bench=True,
+)
+def window_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite: row_number/rank/lag/lead/running/moving agg.
+
+    One shuffle on o_custkey serves every window (same partitioning);
+    deterministic total order within partitions via (o_orderdate,
+    o_orderkey).
+    """
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrank = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wrank).cast("long").alias("status_rank"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("run_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("mov_avg_3"),
+    )
+
+
+@query(
+    "rollup_customer_geo",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT)        AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2)      AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)  AS sum_qty,
+           CAST(COUNT(*) AS BIGINT)   AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem flags — all 2^2 grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)      AS n_orders,
+           ROUND(SUM(o_totalprice), 2)   AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (spark.sql)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT)    AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "count_distinct_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(COUNT(*) AS BIGINT)                    AS n_customers,
+           ROUND(AVG(c_acctbal), 4)                    AS avg_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def count_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT + plain aggregates in one pass (Expand-based plan)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+    )
+
+
+@query("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate count-distinct (rows-only: sketch values are
+    engine-specific; the scale path for COUNT(DISTINCT) at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function library: string / date / math / JSON
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_math_part",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_type)                              AS type_upper,
+           SUBSTRING(p_name, 1, 5)                    AS name_prefix,
+           p_brand || '/' || p_type                   AS brand_type,
+           CAST(LENGTH(p_name) AS BIGINT)             AS name_len,
+           REPLACE(p_name, ' ', '_')                  AS name_snake,
+           REGEXP_EXTRACT(p_name, '^(\\w+)', 1)       AS first_word,
+           ROUND(SQRT(p_retailprice), 4)              AS price_sqrt,
+           ROUND(LN(p_retailprice + 1), 4)            AS price_ln,
+           CAST(ABS(p_size - 25) AS INT)              AS size_dev,
+           CAST(p_size % 7 AS INT)                    AS size_mod,
+           CASE WHEN p_retailprice > 1500 THEN 'premium'
+                WHEN p_retailprice > 800  THEN 'standard'
+                ELSE 'budget' END                     AS price_band
+    FROM part
+    """,
+)
+def scalar_string_math_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function battery: string/regex/math/CASE — all codegen'd."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 4).alias("price_ln"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dev"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        F.when(F.col("p_retailprice") > 1500, "premium")
+        .when(F.col("p_retailprice") > 800, "standard")
+        .otherwise("budget")
+        .alias("price_band"),
+    )
+
+
+@query(
+    "date_functions_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)        AS order_year,
+           CAST(MONTH(o_orderdate) AS INT)       AS order_month,
+           CAST(DAY(o_orderdate) AS INT)         AS order_day,
+           CAST(QUARTER(o_orderdate) AS INT)     AS order_quarter,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY         AS due_ts,
+           LAST_DAY(CAST(o_orderdate AS DATE))   AS month_end,
+           CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+                                                 AS days_since_epoch95
+    FROM orders
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over the orders timeline.
+
+    Recovers the kind of temporal attribute the reference silently
+    discarded (ratings timestamp, ``recommender.py:44``).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch95"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id",
+        "event_type",
+        k.alias("k_val"),
+        (k % 10).alias("k_bucket"),
+    )

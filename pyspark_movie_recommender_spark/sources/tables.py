@@ -38,10 +38,27 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one parquet table from a scale-factor directory."""
+    """Load one parquet table from a scale-factor directory.
+
+    The events table is written with nanosecond parquet timestamps,
+    which Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]).
+    We read nanos as INT64 (legacy conf) and convert to a proper
+    TIMESTAMP with exact integer division (``div 1000`` — a double
+    divide would lose precision at 1.7e18 nanos, ulp ≈ 256 ns), which
+    matches DuckDB's truncate-to-micros behaviour bit-for-bit.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -62,14 +62,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
 
-    # align columns by sorted name, normalize, compare as sorted multiset
+    # align columns by sorted name, normalize, compare as multiset
+    from collections import Counter
+
     s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
     d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
-    s_set = sorted(
-        tuple(_norm(r[i]) for i in s_idx) for r in spark_rows
-    )
-    d_set = sorted(
-        tuple(_norm(r[i]) for i in d_idx) for r in duck_rows
-    )
-    mismatches = [(a, b) for a, b in zip(s_set, d_set) if a != b][:5]
-    assert s_set == d_set, f"{name}: value mismatch, first diffs: {mismatches}"
+    s_set = Counter(tuple(_norm(r[i]) for i in s_idx) for r in spark_rows)
+    d_set = Counter(tuple(_norm(r[i]) for i in d_idx) for r in duck_rows)
+    if s_set != d_set:
+        only_s = list((s_set - d_set).keys())[:3]
+        only_d = list((d_set - s_set).keys())[:3]
+        raise AssertionError(
+            f"{name}: value mismatch; spark-only={only_s} duck-only={only_d}"
+        )
