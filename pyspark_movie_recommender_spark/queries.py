@@ -578,3 +578,286 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_val"),
         (k % 10).alias("k_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series over events: tumbling/sliding windows, sessionization, as-of,
+# range join — the batch-mode equivalents of the streaming surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tumbling_window_events",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation via ``F.window`` (batch mode).
+
+    Identical code runs under Structured Streaming (see
+    ``streaming/jobs.py``); in batch the window struct is just a
+    derived grouping column — partial-aggregated map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '30 minutes', ts)
+                - k.k * INTERVAL '30 minutes' AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 6)     AS avg_value
+    FROM events, (SELECT UNNEST([0, 1]) AS k) k
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): each event lands in 2 windows.
+
+    ``F.window(ts, '1 hour', '30 minutes')`` expands rows engine-side;
+    the oracle reproduces the same assignment with an UNNEST offset join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + running sum.
+
+    The classic batch pattern (streaming uses ``session_window``, see
+    streaming module). One shuffle on user_id; both windows and the
+    final groupBy reuse the same partitioning.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (us - F.lag(us).over(w) > 1800 * 1_000_000) | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "asof_join_purchases",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.value AS last_click_value, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    bench=True,
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user.
+
+    Spark has no native batch as-of join; the scale-correct form is a
+    union + single window pass (one shuffle on user_id, no range
+    explosion): tag clicks 0 / purchases 1, order by (ts, tag), carry
+    ``last(value ignoring nulls)`` forward, keep purchase rows. The
+    oracle is DuckDB's native ASOF JOIN. A pandas ``merge_asof`` via
+    applyInPandas would be the fallback for semantics Spark can't
+    express (see operators/asof.py).
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("tag"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tag",
+        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return merged.filter(
+        (F.col("tag") == 1) & F.col("last_click_value").isNotNull()
+    ).select("event_id", "user_id", "ts", "last_click_value", "last_click_ts")
+
+
+@query(
+    "range_join_value_tiers",
+    oracle="""
+    SELECT e.event_id, e.value, t.tier
+    FROM events e
+    JOIN (VALUES (0.0, 50.0, 'low'),
+                 (50.0, 150.0, 'mid'),
+                 (150.0, 1e12, 'high')) AS t(lo, hi, tier)
+      ON e.value >= t.lo AND e.value < t.hi
+    """,
+)
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a literal tier dimension (S2 source).
+
+    The tiny side is broadcast → BroadcastNestedLoopJoin, which is the
+    right physical plan for a 3-row non-equi dimension at any scale.
+    ``spark.createDataFrame`` here is the engine's literal-relation
+    source (reference ``sc.parallelize``, ``recommender.py:121``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e12, "high")],
+        schema="lo double, hi double, tier string",
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .select("event_id", "value", "tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference-identity math: RMSE + min-max rescale, both in pure SQL
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rmse_price_model",
+    oracle="""
+    SELECT ROUND(SQRT(AVG(POW(l.l_extendedprice / l.l_quantity - p.p_retailprice, 2))), 4)
+           AS rmse
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def rmse_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE as one aggregate (reference A1+M1, ``recommender.py:73,97``).
+
+    Treats p_retailprice as the 'prediction' for the realized unit
+    price — the same actual-vs-predicted join shape as the reference's
+    validation step (J1 at ``recommender.py:68``), minus the driver-side
+    ``math.sqrt``: the whole metric stays in the plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.sqrt(
+                F.avg(
+                    F.pow(
+                        F.col("l_extendedprice") / F.col("l_quantity") - F.col("p_retailprice"),
+                        F.lit(2),
+                    )
+                )
+            ),
+            4,
+        ).alias("rmse")
+    )
+
+
+@query(
+    "minmax_rescale_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROUND(1 + 4 * (o_totalprice - mn) / (mx - mn), 6) AS scaled
+    FROM orders,
+         (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+    """,
+)
+def minmax_rescale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max rescale to [1,5] in pure SQL (reference ML5 without UDFs).
+
+    The reference wrapped doubles in 1-d vectors through a Python UDF to
+    feed MinMaxScaler (``recommender.py:199-204``); here the global
+    min/max is a 1-row aggregate broadcast back via cross join — no
+    Python boundary, no VectorUDT, same [1,5] bounds.
+    """
+    from pyspark_movie_recommender_spark.operators.relational import minmax_rescale
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return minmax_rescale(orders, "o_totalprice", out_col="scaled").withColumn(
+        "scaled", F.round("scaled", 6)
+    )
