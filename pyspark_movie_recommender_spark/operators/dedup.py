@@ -1,0 +1,246 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five tiers, each with a different cost/recall point at 100 TB:
+
+1. exact row/subset dedup — ``dropDuplicates`` (hash shuffle on the key);
+2. content-hash dedup — md5/sha2 of normalized text, keep canonical row
+   per hash via min-aggregation (one shuffle, no window sort needed);
+3. n-gram Jaccard — exact set similarity via shingle explode + equi-join
+   on shared shingles (candidate pairs bounded by shared-shingle count);
+4. MinHash + LSH banding — the sub-quadratic scale path: constant-size
+   signature per doc, band-bucket equi-join, verify candidates only;
+5. SimHash — 64-bit fingerprint; near-dups differ in few bits, bucketed
+   by rotated prefixes.
+
+The exact forms (1-3) are DuckDB-oracle-checkable; the probabilistic
+forms (4-5) are deterministic given fixed hash seeds but engine-specific,
+so they get rows-only checks plus unit tests on planted duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_movie_recommender_spark.functions import char_ngrams, fingerprint, ws_tokens
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal — hash shuffle on the subset columns."""
+    return df.dropDuplicates(subset)
+
+
+def content_hash_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Keep the lowest-id row per normalized-content fingerprint.
+
+    groupBy(min) instead of window+row_number: no per-group sort, and
+    map-side partial aggregation collapses duplicates before the shuffle
+    — at 100 TB with high dup rates that is most of the win.
+    """
+    fp = fingerprint(text_col).alias("__fp")
+    keep = df.select(fp, F.col(id_col)).groupBy("__fp").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over character n-gram shingle sets.
+
+    Distributed shape: explode distinct shingles → self-equi-join on
+    shingle → count shared shingles per pair → Jaccard from
+    |A∩B| / (|A|+|B|-|A∩B|). Candidate generation is driven by shared
+    shingles, so disjoint documents never meet. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    At 100 TB this exact form is for verification/sampling; LSH
+    (``minhash_lsh_pairs``) is the candidate generator.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = base.select("id", F.size("shingles").alias("n_shingles"))
+    exploded = base.select("id", F.explode("shingles").alias("shingle"))
+
+    a = exploded.select(F.col("id").alias("id_a"), "shingle")
+    b = exploded.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(shingle, seed+i). Pure higher-order SQL — no UDF, no ml.Vector.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i)))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Sub-quadratic near-dup candidate pairs: shingle → MinHash → band →
+    bucket-join → (optionally) verify with the estimated Jaccard.
+
+    Scale shape: each doc contributes ``bands`` (band_id, band_hash) keys;
+    candidates come from an equi-join on those keys — never a cross join.
+    The MinHash estimate of Jaccard = fraction of matching signature
+    positions; ``verify_threshold`` filters on it (set None to return raw
+    candidates for a downstream exact verify).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
+    across bands.
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
+        .select("id", "sig")
+    )
+    # band keys: hash of each signature slice
+    banded = base.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(
+            # signature length
+            float(num_hashes)
+        ),
+    ).select("id_a", "id_b", "est_jaccard")
+    if verify_threshold is not None:
+        est = est.filter(F.col("est_jaccard") >= verify_threshold)
+    return est
+
+
+def simhash64(text_col: Column | str, seed: int = 42) -> Column:
+    """64-bit SimHash over whitespace tokens, pure SQL.
+
+    For each bit position b, sum over tokens of ±1 according to bit b of
+    xxhash64(token); bit set iff the sum is positive. Near-duplicate
+    documents land within small Hamming distance.
+    """
+    tokens = ws_tokens(text_col)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    bits = []
+    for b in range(64):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit = F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bits.append(F.shiftleft(bit, b))
+    out = bits[0]
+    for bc in bits[1:]:
+        out = out.bitwiseOR(bc)
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SimHash near-dup pairs bucketed by 16-bit chunks (pigeonhole: two
+    signatures within Hamming distance 3 share at least one of 4 chunks).
+
+    Returns (id_a, id_b, hamming) pairs with hamming <= max_hamming.
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col, seed).alias("sim")
+    )
+    chunks = sig.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+
+    a = chunks.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "chunk", "key")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "chunk", "key")
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, on=["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``BinaryType`` columns
+with a typed metadata struct alongside (modality, mime, width/height,
+duration, ...). The Spark-side machinery — schemas, partition-friendly
+batch iteration, Arrow-batched UDF signatures — is real and tested; the
+actual codec work (decode/resize/frame-sample) is stubbed behind
+deterministic fakes because no image/audio library ships in this
+container. Swapping a real decoder in changes ONE function body, not
+the pipeline.
+
+Scale notes: binary payloads dominate row size, so the operators below
+(a) never shuffle payload bytes unless the transform needs them,
+(b) use ``mapInPandas`` so payloads stream through Arrow record batches
+without per-row pickling, and (c) keep metadata operations payload-free
+projections.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_fake_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Manufacture a deterministic binary payload + metadata from text.
+
+    Stands in for 'read image bytes from object storage': payload =
+    UTF-8 bytes, metadata derived deterministically. Gives every
+    downstream operator a real BinaryType column to chew on.
+    """
+    return df.select(
+        id_col,
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("application/octet-stream").alias("mime"),
+            (F.length(text_col) % 1024 + 16).cast("int").alias("width"),
+            (F.length(text_col) % 768 + 16).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+
+
+def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Payload-level stats without leaving the JVM: byte length + hashes."""
+    return df.withColumn("n_bytes", F.length(payload_col).cast("long")).withColumn(
+        "payload_sha256", F.sha2(F.col(payload_col), 256)
+    )
+
+
+def decode_and_featurize(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """'Decode' each payload and emit a fixed-width feature vector.
+
+    Real pipeline: decode image → resize → CNN/CLIP features. Here the
+    decode step is a deterministic fake (byte histogram folded to 8
+    dims) so the Arrow plumbing — batch iterator in, batch iterator
+    out, bounded memory per batch — is exercised for real. Replace
+    ``_fake_decode`` with a real codec to productionize.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _fake_decode(payload: bytes) -> "np.ndarray":
+        # REAL implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
+        # deterministic stand-in: 8-bin byte histogram, L1-normalized.
+        if payload is None or len(payload) == 0:
+            return np.zeros(8, dtype=np.float32)
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr >> 5, minlength=8).astype(np.float32)
+        return hist / max(hist.sum(), 1.0)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int64"),
+                    "content_hash": pdf["payload"].map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling — STUB: requires a video codec not present in
+    this container. The Spark-side contract (explode frames to rows with
+    (doc_id, frame_idx, frame_payload)) is defined; the codec call raises.
+    """
+    raise NotImplementedError(
+        "frame_sample needs a video codec (e.g. PyAV) not available in this "
+        "environment; the operator contract is (doc_id, frame_idx BIGINT, "
+        "frame_payload BINARY) exploded from each video payload"
+    )

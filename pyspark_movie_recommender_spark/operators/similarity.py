@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Three tiers:
+
+- ``cosine_topk_bruteforce`` — exact top-k for a (small) probe set:
+  broadcast the probes, scan the corpus once, per-partition top-k heap
+  via ORDER BY + LIMIT-per-group. The correctness baseline; also the
+  right plan when |probes| is small (probe-broadcast beats any index
+  until probe count ~ corpus/1e3).
+- ``lsh_neardup_pairs`` — random-hyperplane LSH (cosine): sign-bit
+  sketches bucketed by bands; sub-quadratic all-pairs candidates.
+- ``ivf_topk`` — IVF-style two-stage search: k-means-lite centroids
+  (deterministic seeded sample), assign corpus to nearest centroid
+  (one pass), probe only the ``nprobe`` nearest cells. The 100 TB path
+  for large probe sets.
+
+All vector math is higher-order-function SQL (zip_with/aggregate) —
+JVM-side, no Python serde per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pyspark_movie_recommender_spark.functions import cosine_sim, vec_dot, vec_norm
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbours for each probe (excluding self-matches).
+
+    Plan shape: probes broadcast → BroadcastNestedLoopJoin (corpus
+    scanned once, no shuffle of the corpus) → per-probe top-k via
+    row_number window over (probe_id), which shuffles only
+    |probes| * |corpus-partition top-k| rows.
+
+    ``sim_decimals`` rounds the similarity BEFORE ranking so that rank
+    order is reproducible across engines/summation orders (ties break
+    by neighbour id).
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("__pv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    )
+    sim = cosine_sim(F.col("__pv"), F.col("__cv"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side constants).
+
+    Tiny (bits x dim doubles) — shipped in the plan as literals, the
+    moral equivalent of a broadcast variable.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def signbit_sketch(vec_col, planes: list[list[float]]) -> list:
+    """One sign bit per hyperplane: 1 if dot(v, plane) >= 0."""
+    cols = []
+    for p in planes:
+        lit = F.array(*[F.lit(x) for x in p])
+        cols.append(
+            F.when(vec_dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, lit) >= 0, 1).otherwise(0)
+        )
+    return cols
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    bits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    cos_threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs near-duplicate candidates via random-hyperplane LSH,
+    verified with exact cosine on the candidates only.
+
+    Sub-quadratic: pairs meet only when a whole band of sign bits
+    matches. Returns (id_a, id_b, cos_sim) with id_a < id_b and
+    cos_sim >= threshold.
+    """
+    rows_per_band = bits // bands
+    planes = _hyperplanes(dim, bits, seed)
+    v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    sk = v.withColumn("bits", F.array(*signbit_sketch(F.col("v"), planes)))
+    banded = sk.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("bits", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= cos_threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi
+    cells around sampled centroids, search only the ``nprobe`` cells
+    nearest each probe.
+
+    Centroids = deterministic sample of corpus vectors (cheap k-means
+    substitute that needs no iteration — good enough for cell routing).
+    Corpus assignment is one scan; the probe search joins on cell id, so
+    the per-probe work drops by ~n_cells/nprobe versus brute force.
+    """
+    # deterministic centroid sample, small enough to broadcast
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        .withColumn("h", F.xxhash64(F.col("cid"), F.lit(seed)))
+        .orderBy("h")
+        .limit(n_cells)
+        .select(F.row_number().over(W.orderBy("cid")).alias("cell"), "cv")
+    )
+
+    def nearest_cells(side: DataFrame, vid: str, vcol: str, topn: int, out_id: str):
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            F.col(vid).alias(out_id),
+            F.col(vcol).alias(f"__{out_id}_v"),
+            "cell",
+            cosine_sim(F.col(vcol), F.col("cv")).alias("csim"),
+        )
+        w = W.partitionBy(out_id).orderBy(F.desc("csim"), F.asc("cell"))
+        return (
+            scored.withColumn("crnk", F.row_number().over(w))
+            .filter(F.col("crnk") <= topn)
+            .drop("csim", "crnk")
+        )
+
+    c = corpus.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("nv"))
+    assigned = nearest_cells(c, "nid", "nv", 1, "neighbor_id").withColumnRenamed(
+        "__neighbor_id_v", "nv"
+    )
+    p = probes.select(F.col(id_col).alias("pid"), _as_double(vec_col).alias("pv"))
+    probed = nearest_cells(p, "pid", "pv", nprobe, "probe_id").withColumnRenamed(
+        "__probe_id_v", "pv"
+    )
+
+    scored = (
+        probed.join(assigned, on="cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("pv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rnk")
+    )

@@ -1,0 +1,123 @@
+"""Text analysis over the documents table — LLM-data quality operators.
+
+All hot-path expressions are built-in SQL functions (codegen'd); nothing
+here crosses into Python per row. Each operator is factored as a Column
+expression so queries can compose them in one projection pass — at
+100 TB a documents scan should compute every per-doc statistic in a
+single pipeline stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_movie_recommender_spark.functions import token_count, ws_tokens
+
+# small embedded stopword sets per language — enough for a ratio-based
+# heuristic; swap for real lexicons in production
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "de", "et", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+}
+
+
+def n_tokens(text: Column | str) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return token_count(text)
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length; NULL for empty documents."""
+    toks = ws_tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / total tokens; NULL if empty."""
+    toks = ws_tokens(text)
+    return F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are (language-specific) stopwords."""
+    toks = ws_tokens(text)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + diversity + structure.
+
+    Deliberately simple and fully SQL-expressible: docs score higher for
+    having 20-500 tokens, diverse vocabulary, and sane mean token length.
+    """
+    nt = n_tokens(text)
+    ttr = F.coalesce(type_token_ratio(text), F.lit(0.0))
+    atl = F.coalesce(avg_token_len(text), F.lit(0.0))
+    len_score = F.when((nt >= 20) & (nt <= 500), 1.0).when(nt > 0, 0.5).otherwise(0.0)
+    atl_score = F.when((atl >= 3) & (atl <= 8), 1.0).when(atl > 0, 0.5).otherwise(0.0)
+    return (len_score + ttr + atl_score) / 3
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks.
+
+    A regex approximation of BPE tokenizer output volume (the metric
+    pipelines budget by), without needing a tokenizer library.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    # count word chunks of <=4 chars as 1 token, longer words as ceil(len/4)
+    toks = ws_tokens(c)
+    per_word = F.transform(
+        toks, lambda t: F.ceil(F.length(t) / F.lit(4.0)).cast("long")
+    )
+    return F.coalesce(
+        F.aggregate(per_word, F.lit(0).cast("long"), lambda a, x: a + x), F.lit(0).cast("long")
+    )
+
+
+def lang_marker_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (the n-gram-heuristic family)."""
+    toks = ws_tokens(text)
+    out = {}
+    for lang, words in _STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def predict_lang(text: Column | str, default: str = "und") -> Column:
+    """Argmax language over marker scores, deterministic tie-break by
+    language code; 'und' (undetermined) when no marker hits at all."""
+    scores = lang_marker_scores(text)
+    best_lang = F.lit(default)
+    best_score = F.lit(-1).cast("int")
+    # iterate in sorted order so ties resolve to the alphabetically first
+    for lang in sorted(scores, reverse=True):
+        s = scores[lang].cast("int")
+        cond = s >= best_score  # later (alphabetically earlier) wins ties
+        best_lang = F.when((s > 0) & cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+def doc_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document profile: every statistic in one projection."""
+    return df.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tokens(text_col).alias("n_tokens"),
+        F.round(avg_token_len(text_col), 4).alias("avg_token_len"),
+        F.round(type_token_ratio(text_col), 4).alias("ttr"),
+        F.round(stopword_ratio(text_col, "en"), 4).alias("en_stopword_ratio"),
+        bpe_ish_token_count(text_col).alias("bpe_tokens"),
+        F.round(quality_score(text_col), 4).alias("quality"),
+        predict_lang(text_col).alias("pred_lang"),
+    )

@@ -861,3 +861,418 @@ def minmax_rescale_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minmax_rescale(orders, "o_totalprice", out_col="scaled").withColumn(
         "scaled", F.round("scaled", 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: deduplication over documents
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_content_hash",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id IN (
+        SELECT MIN(doc_id)
+        FROM documents
+        GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+    """,
+)
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5 of normalized text, keep lowest doc_id.
+
+    groupBy(min) not window+row_number — partial aggregation collapses
+    duplicate groups map-side before the shuffle, the dominant saving
+    when dup rates are high at 100 TB.
+    """
+    from pyspark_movie_recommender_spark.operators.dedup import content_hash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return content_hash_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@query(
+    "dedup_subset_distinct",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+)
+def dedup_subset_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-subset dedup (``dropDuplicates([cols])``)."""
+    from pyspark_movie_recommender_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs.select("lang", "source"), ["lang", "source"])
+
+
+@query(
+    "ngram_jaccard_neardup",
+    oracle="""
+    WITH sub AS (
+        SELECT doc_id, trim(text) AS tx FROM documents WHERE doc_id % 25 = 0
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   list_transform(range(1, greatest(length(tx) - 2, 1) + 1),
+                                  i -> substring(tx, CAST(i AS INT), 3)),
+                   g -> length(g) > 0)) AS shingles
+        FROM sub
+    ), nonempty AS (
+        SELECT * FROM sh WHERE len(shingles) > 0
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM nonempty
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN (SELECT doc_id, len(shingles) AS sz FROM nonempty) sa ON sa.doc_id = id_a
+    JOIN (SELECT doc_id, len(shingles) AS sz FROM nonempty) sb ON sb.doc_id = id_b
+    WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.5
+    """,
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard near-dup pairs (sampled subset).
+
+    Candidate pairs come from an equi-join on shared shingles — never a
+    cross join. The sampled subset keeps the exact form cheap; the
+    full-corpus scale path is ``dedup_minhash_lsh`` below.
+    """
+    from pyspark_movie_recommender_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates — the sub-quadratic scale path
+    (rows-only: signature values are engine-specific; planted-duplicate
+    recall is unit-tested in tests/test_dedup.py)."""
+    from pyspark_movie_recommender_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, verify_threshold=0.5
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit chunk bucketing (rows-only)."""
+    from pyspark_movie_recommender_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)  AS n_chars_calc,
+           CAST(len(t) AS BIGINT)        AS n_tokens,
+           ROUND(CASE WHEN len(t) > 0 THEN
+               list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / len(t)
+               END, 4)                   AS avg_token_len,
+           ROUND(CASE WHEN len(t) > 0 THEN
+               len(list_distinct(t)) * 1.0 / len(t) END, 4) AS ttr,
+           ROUND(CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x))) * 1.0 / len(t)
+               END, 4)                   AS en_stopword_ratio,
+           CAST(COALESCE(list_aggregate(
+               list_transform(t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)), 'sum'), 0)
+               AS BIGINT)                AS bpe_tokens
+    FROM toks
+    """,
+    bench=True,
+)
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics in ONE projection pass.
+
+    Token counting, mean token length, type-token ratio, stopword
+    ratio, BPE-ish subword count — all higher-order-function SQL over
+    the whitespace token array, zero Python. At 100 TB this runs as a
+    single scan stage with no shuffle at all.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+    from pyspark_movie_recommender_spark.operators.text import (
+        avg_token_len,
+        bpe_ish_token_count,
+        n_tokens,
+        stopword_ratio,
+        type_token_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_tokens("text").alias("n_tokens"),
+        F.round(avg_token_len("text"), 4).alias("avg_token_len"),
+        F.round(type_token_ratio("text"), 4).alias("ttr"),
+        F.round(stopword_ratio("text", "en"), 4).alias("en_stopword_ratio"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "language_id_heuristic",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents
+    ), scores AS (
+        SELECT doc_id, lang,
+           CAST(len(list_filter(t, x -> list_contains(['der','die','das','und','zu'], x))) AS BIGINT) AS de_hits,
+           CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x))) AS BIGINT)    AS en_hits,
+           CAST(len(list_filter(t, x -> list_contains(['el','la','de','y','que'], x))) AS BIGINT)     AS es_hits,
+           CAST(len(list_filter(t, x -> list_contains(['le','la','de','et','que'], x))) AS BIGINT)    AS fr_hits
+        FROM toks
+    )
+    SELECT doc_id, lang, de_hits, en_hits, es_hits, fr_hits,
+           CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+                WHEN de_hits >= greatest(en_hits, es_hits, fr_hits) THEN 'de'
+                WHEN en_hits >= greatest(es_hits, fr_hits) THEN 'en'
+                WHEN es_hits >= fr_hits THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: argmax of per-language stopword hits,
+    alphabetical tie-break, 'und' when nothing matches."""
+    from pyspark_movie_recommender_spark.operators.text import (
+        lang_marker_scores,
+        predict_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_marker_scores("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].cast("long").alias(f"{lang}_hits") for lang in ("de", "en", "es", "fr")],
+        predict_lang("text").alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    probes AS (SELECT * FROM s WHERE vec_id < 10),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(p.e, c.e), 6) AS sim
+        FROM probes p JOIN s c ON c.vec_id <> p.vec_id
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT probe_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    bench=True,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbours for 10 probe vectors.
+
+    Brute force done right at scale: probes broadcast, corpus scanned
+    once (no corpus shuffle), per-probe heap via rank-limited window.
+    Similarity is rounded BEFORE ranking so order is engine-stable.
+    """
+    from pyspark_movie_recommender_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle="""
+    WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs on a deterministic subsample.
+
+    The exact all-pairs form is the oracle baseline; the sub-quadratic
+    path over the full corpus is ``ann_lsh_pairs`` (rows-only).
+    """
+    from pyspark_movie_recommender_spark.functions import cosine_sim
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    sim = cosine_sim(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.3)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregate: mean L2 norm per label, all in SQL
+    higher-order functions (multimodal ARRAY<FLOAT> as a first-class type)."""
+    from pyspark_movie_recommender_spark.functions import vec_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.avg(vec_norm(F.col("embedding").cast("array<double>"))), 4
+        ).alias("avg_norm"),
+    )
+
+
+@query("ann_lsh_pairs")
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup candidates over the FULL corpus,
+    verified with exact cosine on candidates only (rows-only; recall
+    vs the exact subset is unit-tested)."""
+    from pyspark_movie_recommender_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, bits=32, bands=8, cos_threshold=0.3)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k (cell-routed search, rows-only)."""
+    from pyspark_movie_recommender_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text)                               AS payload_sha256,
+           CAST(length(text) % 1024 + 16 AS INT)      AS width,
+           CAST(length(text) % 768 + 16 AS INT)       AS height
+    FROM documents
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata struct, JVM-side stats.
+
+    Exercises the BinaryType plumbing end-to-end (payload bytes, sha256
+    content hash, metadata struct fields) with zero Python in the path.
+    """
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        attach_fake_payload,
+        payload_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = payload_stats(attach_fake_payload(docs))
+    return media.select(
+        "doc_id",
+        "n_bytes",
+        "payload_sha256",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+@query("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode→featurize over binary payloads via
+    mapInPandas (rows-only: the decode is a deterministic stand-in, the
+    batch plumbing is real — see operators/multimodal.py)."""
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        attach_fake_payload,
+        decode_and_featurize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_and_featurize(attach_fake_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# streaming (rows-only: checked for stream/batch equivalence in tests)
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_tumbling_window")
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg driven to completion with
+    AvailableNow over the static events parquet; must equal the batch
+    ``tumbling_window_events`` result (asserted in tests/test_streaming.py)."""
+    from pyspark_movie_recommender_spark.streaming.jobs import tumbling_window_stream
+
+    return tumbling_window_stream(spark, sf_dir, query_name="q_stream_tumbling")
+
+
+# ---------------------------------------------------------------------------
+# ALS recommendation (the reference's identity — rows-only, ml-vs-mllib
+# initialization differs; metric bands tested in tests/test_recommend.py)
+# ---------------------------------------------------------------------------
+
+
+@query("als_recommend_parts")
+def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS over order history: top-5 part
+    recommendations per customer (reference ML1/ML2 on the driver's
+    star schema: quantity-weighted purchases as ratings).
+    """
+    from pyspark_movie_recommender_spark.recommend import recommend_parts_for_customers
+
+    return recommend_parts_for_customers(spark, sf_dir, k=5)

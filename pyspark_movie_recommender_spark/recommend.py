@@ -1,0 +1,181 @@
+"""ALS recommendation pipeline — the reference's identity, DataFrame-native.
+
+Re-expresses ``/root/reference/recommender.py`` (RDD-era
+``pyspark.mllib.recommendation.ALS``) on ``pyspark.ml``:
+
+- 60/20/20 randomSplit with seed 0 (reference R1, ``recommender.py:51``);
+- grid search over rank {4,8,12}, iterations=10, lambda=0.1, seed=5
+  picking min validation RMSE (ML3, ``recommender.py:24-27,58-86``);
+- ``coldStartStrategy='drop'`` scoring — the exact semantic match for
+  ``predictAll`` silently dropping factorless pairs (ML2,
+  ``recommender.py:64,151,155-156``);
+- union-retrain fold-in for a new user (ML4, ``recommender.py:122-125``);
+- candidate generation as a left-anti join over the new user's rated
+  items (F1 generalized, ``recommender.py:144-146``);
+- min-max rescale of predictions to [1,5] in pure SQL (ML5,
+  ``recommender.py:199-204`` — no VectorUDT, no Python UDF).
+
+Exact RMSE values are NOT bit-reproducible across mllib→ml ALS
+(different factor initialization); tests assert the ≈0.94 band on a
+MovieLens-profile fixture instead (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_movie_recommender_spark.operators.relational import (
+    anti_join,
+    global_top_k,
+    minmax_rescale,
+    rmse,
+    union_all,
+)
+
+# reference hyperparameters (recommender.py:24-27)
+SEED = 5
+ITERATIONS = 10
+LAMBDA = 0.1
+RANKS = (4, 8, 12)
+SPLIT_SEED = 0
+
+
+def _als(rank: int, *, implicit: bool = False, max_iter: int = ITERATIONS):
+    from pyspark.ml.recommendation import ALS
+
+    return ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=LAMBDA,
+        seed=SEED,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        implicitPrefs=implicit,
+        coldStartStrategy="drop",  # == predictAll's silent cold-start drop
+    )
+
+
+def score(model, pairs: DataFrame) -> DataFrame:
+    """Batch scoring (reference ML2): (user_id, item_id) → + prediction,
+    cold-start pairs dropped like ``predictAll`` (recommender.py:64,151)."""
+    return model.transform(pairs)
+
+
+def evaluate_rmse(model, holdout: DataFrame) -> float:
+    """RMSE of model predictions against held-out ratings — the
+    join-and-aggregate of recommender.py:64-73, entirely in the plan."""
+    scored = score(model, holdout)
+    return rmse(scored, "rating", "prediction").collect()[0]["rmse"]
+
+
+@dataclass
+class GridSearchResult:
+    best_rank: int
+    best_model: object
+    validation_rmse: dict[int, float] = field(default_factory=dict)
+    test_rmse: float | None = None
+
+
+def train_with_grid_search(
+    ratings: DataFrame,
+    ranks: tuple[int, ...] = RANKS,
+    weights: tuple[float, float, float] = (0.6, 0.2, 0.2),
+    split_seed: int = SPLIT_SEED,
+) -> GridSearchResult:
+    """Reference entry point 1 (recommender.py:39-100): split, grid
+    search rank by validation RMSE, report test RMSE at the best rank.
+
+    ``randomSplit([3,1,1], 0)`` normalized to 0.6/0.2/0.2 with seed 0 —
+    protocol reproduced, not row membership (partition-dependent).
+    """
+    train, validation, test = ratings.randomSplit(list(weights), seed=split_seed)
+    train = train.cache()
+    validation = validation.cache()
+
+    result = GridSearchResult(best_rank=-1, best_model=None)
+    best = float("inf")
+    for rank in ranks:
+        model = _als(rank).fit(train)
+        err = evaluate_rmse(model, validation)
+        result.validation_rmse[rank] = err
+        if err < best:
+            best, result.best_rank, result.best_model = err, rank, model
+
+    result.test_rmse = evaluate_rmse(result.best_model, test)
+    return result
+
+
+def fold_in_user(
+    ratings: DataFrame, new_user_ratings: DataFrame, rank: int
+) -> object:
+    """Model refresh by union-retrain (reference ML4, recommender.py:122-125)."""
+    return _als(rank).fit(union_all(ratings, new_user_ratings))
+
+
+def recommend_for_user(
+    model,
+    items: DataFrame,
+    user_ratings: DataFrame,
+    user_id: int,
+    k: int = 10,
+    rescale: bool = True,
+) -> DataFrame:
+    """Reference entry point 2 (recommender.py:107-178): score every item
+    the user has NOT rated, top-k by prediction, optional [1,5] rescale.
+
+    Candidate generation is a left-anti join (not a closure-captured id
+    list); items is expected to carry (item_id, title).
+    """
+    candidates = anti_join(
+        items.select("item_id"),
+        user_ratings.filter(F.col("user_id") == user_id).select("item_id"),
+        "item_id",
+    ).select(F.lit(user_id).alias("user_id"), "item_id")
+
+    preds = score(model, candidates).join(items, "item_id")
+    if rescale:
+        preds = minmax_rescale(preds, "prediction", out_col="scaled_rating")
+        order = [F.desc("scaled_rating"), F.asc("item_id")]
+    else:
+        order = [F.desc("prediction"), F.asc("item_id")]
+    return global_top_k(preds, order, k)
+
+
+def recommend_parts_for_customers(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """ALS on the driver's star schema: implicit ratings from order
+    history (log1p of total quantity per customer×part), top-k part
+    recommendations per customer.
+
+    Scale shape: ratings build is one orders⋈lineitem shuffle + one
+    groupBy on the composite key; ALS itself is MLlib's block-partitioned
+    factorization. ``recommendForAllUsers`` does blocked cross products
+    JVM-side — never a driver loop.
+    """
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user_id"),
+            F.col("l_partkey").cast("int").alias("item_id"),
+        )
+        .agg(F.log1p(F.sum("l_quantity")).alias("rating"))
+    )
+    model = _als(rank=8, implicit=True, max_iter=5).fit(ratings)
+    recs = model.recommendForAllUsers(k)
+    return recs.select(
+        F.col("user_id").cast("long").alias("c_custkey"),
+        F.explode("recommendations").alias("rec"),
+    ).select(
+        "c_custkey",
+        F.col("rec.item_id").cast("long").alias("p_partkey"),
+        F.round(F.col("rec.rating"), 4).alias("score"),
+    )

@@ -1,0 +1,124 @@
+"""Structured Streaming jobs over the events table.
+
+Batch/stream parity by construction: the transformations here are the
+SAME expressions used by the batch queries (``tumbling_window_events``,
+``sessionize_events``); only source (``readStream``) and sink
+(``writeStream``) differ — which is the point of Structured Streaming.
+
+Local testing drives each job to completion with
+``trigger(availableNow=True)`` over the static parquet, a deterministic
+replay (SURVEY.md §7 hard-part 5: streaming state has no oracle, so we
+check stream-vs-batch equivalence instead). In production the source
+would be Kafka/files-in-arrival; watermarks bound state for late data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet (nanos ts handled as in
+    the batch loader — see sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # file stream sources want a directory; glob-filter to the one table
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def _run_to_table(df: DataFrame, query_name: str, output_mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def tumbling_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    query_name: str = "stream_tumbling",
+) -> DataFrame:
+    """Windowed streaming aggregation with a watermark for late data.
+
+    In append mode a window only emits once the watermark passes its
+    end — state is bounded by (watermark + window) regardless of
+    stream length, the property that matters at 100 TB/day ingest.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    _run_to_table(agg, query_name, "append")
+    return spark.table(query_name)
+
+
+def session_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of the
+    batch ``sessionize_events`` lag+cumsum query."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    _run_to_table(agg, query_name, "append")
+    return spark.table(query_name)
+
+
+def dedup_within_watermark_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Stateful streaming dedup on event_id with bounded state
+    (``dropDuplicatesWithinWatermark``): duplicates arriving within the
+    watermark horizon are dropped; state older than it is evicted."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    _run_to_table(deduped, query_name, "append")
+    return spark.table(query_name)
