@@ -54,12 +54,15 @@ def tumbling_window_stream(
     window: str = "1 hour",
     watermark: str = "1 hour",
     query_name: str = "stream_tumbling",
+    output_mode: str = "append",
 ) -> DataFrame:
     """Windowed streaming aggregation with a watermark for late data.
 
     In append mode a window only emits once the watermark passes its
     end — state is bounded by (watermark + window) regardless of
     stream length, the property that matters at 100 TB/day ingest.
+    (That also means windows still inside the horizon when a bounded
+    replay ends never emit; equivalence tests use complete mode.)
     """
     ev = _events_stream(spark, sf_dir)
     agg = (
@@ -76,7 +79,7 @@ def tumbling_window_stream(
             "total_value",
         )
     )
-    _run_to_table(agg, query_name, "append")
+    _run_to_table(agg, query_name, output_mode)
     return spark.table(query_name)
 
 
@@ -86,6 +89,7 @@ def session_window_stream(
     gap: str = "30 minutes",
     watermark: str = "1 hour",
     query_name: str = "stream_sessions",
+    output_mode: str = "append",
 ) -> DataFrame:
     """Native session windows (gap-based), the streaming twin of the
     batch ``sessionize_events`` lag+cumsum query."""
@@ -101,7 +105,7 @@ def session_window_stream(
             "n_events",
         )
     )
-    _run_to_table(agg, query_name, "append")
+    _run_to_table(agg, query_name, output_mode)
     return spark.table(query_name)
 
 

@@ -1,0 +1,222 @@
+"""Unit tests for the operator library on small controlled frames.
+
+These cover behaviour the DuckDB oracle can't: planted-duplicate recall
+for probabilistic dedup, as-of direction semantics, LSH candidate
+recall vs exact, relational helper invariants.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_movie_recommender_spark.operators import relational as R
+from pyspark_movie_recommender_spark.operators.asof import asof_join, merge_asof_pandas
+from pyspark_movie_recommender_spark.operators.dedup import (
+    content_hash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from pyspark_movie_recommender_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_neardup_pairs,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# relational invariants
+# ---------------------------------------------------------------------------
+
+
+def test_top_k_per_group_equals_sort_limit(spark):
+    df = spark.createDataFrame(
+        [(g, i, float((i * 37) % 11)) for g in range(4) for i in range(20)],
+        "g int, i int, v double",
+    )
+    got = R.top_k_per_group(df, ["g"], [F.desc("v"), F.asc("i")], k=3)
+    for g in range(4):
+        expect = [
+            (r.i, r.v)
+            for r in df.filter(F.col("g") == g)
+            .orderBy(F.desc("v"), F.asc("i"))
+            .limit(3)
+            .collect()
+        ]
+        gots = [
+            (r.i, r.v)
+            for r in got.filter(F.col("g") == g).orderBy("rnk").collect()
+        ]
+        assert gots == expect
+
+
+def test_minmax_rescale_bounds_and_constant(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id int, v double")
+    out = R.minmax_rescale(df, "v").select("scaled").collect()
+    vals = sorted(r.scaled for r in out)
+    assert vals[0] == 1.0 and vals[-1] == 5.0
+    # constant column → everything maps to lo, no division by zero
+    const = spark.createDataFrame([(1, 2.0), (2, 2.0)], "id int, v double")
+    cv = [r.scaled for r in R.minmax_rescale(const, "v").collect()]
+    assert cv == [1.0, 1.0]
+
+
+def test_rmse_exact(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 5.0)], "a double, p double")
+    got = R.rmse(df, "a", "p").collect()[0]["rmse"]
+    assert abs(got - ((1 + 4) / 2) ** 0.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# dedup: planted duplicates must be found
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{base} variant {i} " + "filler word soup " * (i % 5 + 1)))
+    # planted exact dup (whitespace/case variant) and near dup
+    rows.append((100, rows[0][1].upper() + "  "))
+    rows.append((101, rows[1][1] + " tail"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_content_hash_dedup_collapses_case_space(spark, docs_with_dups):
+    out = content_hash_dedup(docs_with_dups, "text", "doc_id")
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 100 not in ids  # case/space variant of doc 0 removed
+    assert 0 in ids and 101 in ids  # near-dup with extra tail survives exact dedup
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, "text", "doc_id", n=3, threshold=0.8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 101) in got
+
+
+def test_minhash_lsh_recalls_planted_pair(spark, docs_with_dups):
+    pairs = minhash_lsh_pairs(
+        docs_with_dups, "text", "doc_id", n=3, num_hashes=32, bands=16,
+        verify_threshold=0.5,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 101) in got
+
+
+def test_simhash_finds_planted_pair(spark, docs_with_dups):
+    pairs = simhash_neardup_pairs(docs_with_dups, "text", "doc_id", max_hamming=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 101) in got
+
+
+# ---------------------------------------------------------------------------
+# similarity: LSH recall vs exact brute force
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings_clustered(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(3)]
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c], i % 3))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_cosine_topk_neighbors_share_cluster(spark, embeddings_clustered):
+    probes = embeddings_clustered.filter(F.col("vec_id") < 3)
+    out = cosine_topk_bruteforce(embeddings_clustered, probes, k=5).collect()
+    assert len(out) == 15
+    for r in out:
+        # same cluster iff same id mod 3
+        assert r.probe_id % 3 == r.neighbor_id % 3
+
+
+def test_lsh_pairs_high_recall_on_clusters(spark, embeddings_clustered):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embeddings_clustered.alias("a")
+        .crossJoin(embeddings_clustered.alias("b"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(F.col("a.label") == F.col("b.label"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(
+            embeddings_clustered, dim=16, bits=16, bands=8, cos_threshold=0.9
+        ).collect()
+    }
+    # tight clusters at cos>=0.9 → recall should be essentially total
+    recall = len(got & exact) / len(exact)
+    assert recall > 0.95
+    assert not (got - exact)  # verify step kills false positives
+
+
+# ---------------------------------------------------------------------------
+# as-of join semantics
+# ---------------------------------------------------------------------------
+
+
+def test_asof_backward_and_forward(spark):
+    quotes = spark.createDataFrame(
+        [("k", ts("2024-01-01T00:00:00"), 1.0), ("k", ts("2024-01-01T00:10:00"), 2.0)],
+        "key string, t timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("k", ts("2024-01-01T00:05:00"), 10),
+            ("k", ts("2024-01-01T00:10:00"), 20),  # exact tie → match
+            ("k", ts("2023-12-31T23:00:00"), 30),  # before all quotes
+        ],
+        "key string, t timestamp, qty int",
+    )
+    back = {
+        r.qty: r.asof_px
+        for r in asof_join(trades, quotes, on="t", key="key", value_cols=["px"]).collect()
+    }
+    assert back == {10: 1.0, 20: 2.0, 30: None}
+
+    fwd = {
+        r.qty: r.asof_px
+        for r in asof_join(
+            trades, quotes, on="t", key="key", value_cols=["px"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {10: 2.0, 20: 2.0, 30: 1.0}
+
+
+def test_merge_asof_pandas_matches_window_form(spark):
+    quotes = spark.createDataFrame(
+        [("k", ts("2024-01-01T00:00:00"), 1.0), ("k", ts("2024-01-01T00:10:00"), 2.0)],
+        "key string, t timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("k", ts("2024-01-01T00:05:00"), 10), ("k", ts("2024-01-01T00:12:00"), 20)],
+        "key string, t timestamp, qty int",
+    )
+    a = {
+        (r.qty, r.asof_px)
+        for r in asof_join(trades, quotes, on="t", key="key", value_cols=["px"]).collect()
+    }
+    b = {
+        (r.qty, r.asof_px)
+        for r in merge_asof_pandas(trades, quotes, on="t", key="key").collect()
+    }
+    assert a == b

@@ -1,0 +1,45 @@
+"""Stream/batch equivalence: the streaming jobs must produce exactly the
+batch results when driven to completion over the same static input
+(deterministic AvailableNow replay — SURVEY.md §5/§7 streaming strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark_movie_recommender_spark import queries as Q
+from pyspark_movie_recommender_spark.sources import load_table
+from pyspark_movie_recommender_spark.streaming.jobs import (
+    dedup_within_watermark_stream,
+    session_window_stream,
+    tumbling_window_stream,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    stream = tumbling_window_stream(
+        spark, sf_dir, query_name="t_tumble_eq", output_mode="complete"
+    )
+    batch = Q.QUERIES["tumbling_window_events"](spark, sf_dir)
+    assert rows(stream) == rows(batch)
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, sf_dir):
+    stream = session_window_stream(
+        spark, sf_dir, query_name="t_sess_eq", output_mode="complete"
+    )
+    batch = Q.QUERIES["sessionize_events"](spark, sf_dir)
+    # same session count per user (start/end representations differ:
+    # session_window end = last_ts + gap)
+    s = sorted((r.user_id, r.n_events) for r in stream.collect())
+    b = sorted((r.user_id, r.n_events) for r in batch.collect())
+    assert s == b
+
+
+def test_streaming_dedup_keeps_all_unique_events(spark, sf_dir):
+    out = dedup_within_watermark_stream(spark, sf_dir, query_name="t_dedup_eq")
+    n_in = load_table(spark, sf_dir, "events").count()
+    # event_id is unique in the source → nothing should be dropped
+    assert out.count() == n_in
