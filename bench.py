@@ -1,0 +1,61 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is materialized through the ``noop`` datasource sink — the
+whole plan executes distributed (no driver collect, no count() shortcut
+that would let Catalyst prune the projections being measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_movie_recommender_spark import get_spark
+from pyspark_movie_recommender_spark import queries as Q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else float("nan")
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # warm the JVM/codegen paths on the tiny SF so measured times are query
+    # cost, not first-call JIT
+    warm = Q.QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
+    warm.write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in Q.BENCH_QUERIES:
+        df = Q.QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
