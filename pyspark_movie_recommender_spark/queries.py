@@ -1276,3 +1276,288 @@ def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.recommend import recommend_parts_for_customers
 
     return recommend_parts_for_customers(spark, sf_dir, k=5)
+
+
+# ---------------------------------------------------------------------------
+# join-type completion: outer/cross; pivot/unpivot; subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "left_join_order_fill",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(COALESCE(l.n_items, 0) AS BIGINT) AS n_items,
+           ROUND(COALESCE(l.qty, 0.0), 2)         AS qty
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items, SUM(l_quantity) AS qty
+        FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def left_join_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with NULL-fill — orders with no lineitems keep 0s.
+
+    Aggregate-below-join: lineitem collapses to one row per orderkey
+    BEFORE the join, so the join input is minimal (at 100 TB the
+    difference between joining 6B rows and 1.5B rows).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("l_quantity").alias("qty"))
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce("n_items", F.lit(0)).cast("long").alias("n_items"),
+            F.round(F.coalesce("qty", F.lit(0.0)), 2).alias("qty"),
+        )
+    )
+
+
+@query(
+    "full_outer_daily_activity",
+    oracle="""
+    SELECT COALESCE(s.d, p.d) AS day,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_signups,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases
+    FROM (SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n
+          FROM events WHERE event_type = 'signup' GROUP BY 1) s
+    FULL OUTER JOIN
+         (SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+      ON s.d = p.d
+    """,
+)
+def full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily aggregates with COALESCE fill."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily(kind):
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    s, p = daily("signup"), daily("purchase")
+    return (
+        s.withColumnRenamed("n", "ns")
+        .join(p.withColumnRenamed("n", "np"), on=s["d"] == p["d"], how="full_outer")
+        .select(
+            F.coalesce(s["d"], p["d"]).alias("day"),
+            F.coalesce("ns", F.lit(0)).cast("long").alias("n_signups"),
+            F.coalesce("np", F.lit(0)).cast("long").alias("n_purchases"),
+        )
+    )
+
+
+@query(
+    "cross_join_region_status",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    LEFT JOIN (
+        SELECT r2.r_name AS rn, o.o_orderstatus AS st, COUNT(*) AS n
+        FROM orders o
+        JOIN customer c2 ON o.o_custkey = c2.c_custkey
+        JOIN nation n2   ON c2.c_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        GROUP BY 1, 2
+    ) c ON c.rn = r.r_name AND c.st = s.o_orderstatus
+    """,
+)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN scaffold (dense region x status grid) + left-join fill —
+    the standard dense-report shape where missing combos must show 0."""
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    statuses = orders.select("o_orderstatus").distinct()
+    grid = region.select("r_name").crossJoin(statuses)
+    counts = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("rn"), F.col("o_orderstatus").alias("st"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(
+            counts,
+            (grid.r_name == counts.rn) & (grid.o_orderstatus == counts.st),
+            "left",
+        )
+        .select(
+            "r_name",
+            "o_orderstatus",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_O,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_F,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by priority x status (explicit value list, so
+    the plan is a single pass — no distinct-values pre-query)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).cast("long").alias("status_O"),
+            F.coalesce("F", F.lit(0)).cast("long").alias("status_F"),
+            F.coalesce("P", F.lit(0)).cast("long").alias("status_P"),
+        )
+    )
+
+
+@query(
+    "unpivot_customer_measures",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS val
+    FROM customer
+    """,
+)
+def unpivot_customer_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt wide measures to long (DataFrame.unpivot, Spark 3.4+)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey", "c_acctbal", F.col("c_nationkey").cast("double").alias("nationkey")
+    ).withColumnRenamed("c_acctbal", "acctbal").unpivot(
+        ["c_custkey"], ["acctbal", "nationkey"], "measure", "val"
+    )
+
+
+@query(
+    "correlated_above_avg_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (RewriteCorrelatedScalarSubquery), the plan you'd
+    write by hand."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders_corr o
+        WHERE o.o_totalprice > (
+            SELECT AVG(o2.o_totalprice) FROM orders_corr o2
+            WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# complex types: arrays, maps, structs, higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "explode_name_words",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+    FROM (SELECT p_partkey, p_brand, unnest(string_split(p_name, ' ')) AS word
+          FROM part)
+    WHERE length(word) > 0
+    GROUP BY word
+    """,
+)
+def explode_name_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY explode → re-aggregate (the genres-explode pattern the
+    reference dropped at parse time, SURVEY.md §1.2)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_brand", F.explode(F.split("p_name", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+@query(
+    "higher_order_array_math",
+    oracle="""
+    SELECT p_partkey,
+           CAST(list_aggregate(list_transform(range(1, p_size + 1), x -> x * x),
+                               'sum') AS BIGINT)  AS sum_squares,
+           CAST(len(list_filter(range(1, p_size + 1), x -> x % 3 = 0)) AS BIGINT)
+                                                  AS n_div3,
+           CAST(list_aggregate(list_transform(range(1, p_size + 1), x -> x), 'max')
+                AS BIGINT)                        AS max_elem
+    FROM part
+    WHERE p_size >= 1
+    """,
+)
+def higher_order_array_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions: sequence/transform/filter/aggregate stay
+    inside codegen — the engine's no-UDF vector-math substrate."""
+    part = load_table(spark, sf_dir, "part")
+    seq = F.sequence(F.lit(1), F.col("p_size"))
+    return part.filter(F.col("p_size") >= 1).select(
+        "p_partkey",
+        F.aggregate(
+            F.transform(seq, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_squares"),
+        F.size(F.filter(seq, lambda x: x % 3 == 0)).cast("long").alias("n_div3"),
+        F.array_max(seq).cast("long").alias("max_elem"),
+    )
+
+
+@query(
+    "struct_map_access",
+    oracle="""
+    SELECT doc_id,
+           struct_extract({'lang': lang, 'src': source}, 'lang') AS meta_lang,
+           map(['lang', 'source'], [lang, source])['source'][1]  AS m_source,
+           CAST(length(source) AS INT)                           AS src_len
+    FROM documents
+    """,
+)
+def struct_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT construction/field access + MAP build/lookup as columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = F.struct(F.col("lang"), F.col("source").alias("src"))
+    m = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")), F.array("lang", "source")
+    )
+    return docs.select(
+        "doc_id",
+        meta.getField("lang").alias("meta_lang"),
+        F.element_at(m, "source").alias("m_source"),
+        F.length("source").cast("int").alias("src_len"),
+    )
