@@ -1561,3 +1561,43 @@ def struct_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "source").alias("m_source"),
         F.length("source").cast("int").alias("src_len"),
     )
+
+
+@query(
+    "window_rank_suite",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(DENSE_RANK() OVER w AS BIGINT)   AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT)       AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6)       AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6)          AS cume,
+           FIRST_VALUE(c_custkey) OVER w         AS richest,
+           LAST_VALUE(c_custkey) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+           NTH_VALUE(c_custkey, 2) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family completion: dense_rank/ntile/percent_rank/cume_dist/
+    first/last/nth_value, one shuffle on the segment key."""
+    from pyspark.sql.window import Window as W
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest"),
+        F.last("c_custkey").over(wfull).alias("poorest"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("second"),
+    )

@@ -1,0 +1,72 @@
+"""Plan-shape regression tests: the physical properties the 100 TB
+design depends on, pinned. If one of these fails after a refactor, the
+query got slower at scale even if answers stay right.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_movie_recommender_spark import queries as Q
+from pyspark_movie_recommender_spark.plans import (
+    count_exchanges,
+    has_operator,
+    has_pushed_filter,
+    physical_plan,
+    scan_read_schema,
+)
+from pyspark_movie_recommender_spark.sources import load_table
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = Q.QUERIES["filter_predicates"](spark, sf_dir)
+    assert has_pushed_filter(df, "l_quantity")
+    assert has_pushed_filter(df, "l_returnflag")
+
+
+def test_column_pruning_projects_only_needed(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = scan_read_schema(df)
+    assert schemas and all("l_extendedprice" not in s for s in schemas)
+    assert any("l_orderkey" in s for s in schemas)
+
+
+def test_global_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    df = Q.QUERIES["top_lineitems_global"](spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    df = Q.QUERIES["flagship_top_orders_per_customer"](spark, sf_dir)
+    assert has_operator(df, "WindowGroupLimit")
+
+
+def test_nation_join_is_broadcast(spark, sf_dir):
+    df = Q.QUERIES["revenue_per_nation"](spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    df = Q.QUERIES["pricing_summary"](spark, sf_dir)
+    plan = physical_plan(df)
+    # partial+final HashAggregate pair = map-side combine before shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    df = Q.QUERIES["asof_join_purchases"](spark, sf_dir)
+    # union + one window: exactly one hash exchange (on user_id)
+    assert count_exchanges(df) == 1
+
+
+def test_window_suite_shares_one_shuffle(spark, sf_dir):
+    df = Q.QUERIES["window_order_history"](spark, sf_dir)
+    # two window specs (custkey-ordered by date, custkey-ordered by status)
+    # over ONE partitioning → one hash exchange
+    assert count_exchanges(df) == 1
+
+
+def test_cosine_topk_corpus_not_shuffled_before_scoring(spark, sf_dir):
+    df = Q.QUERIES["cosine_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # probes broadcast to corpus

@@ -1,0 +1,90 @@
+"""Sources & sinks: CSV with real RFC-4180 quoting (the reference's
+parsing defect, fixed), JSON, partitioned parquet writes with partition
+pruning on read-back.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark_movie_recommender_spark.sources import (
+    load_table,
+    read_movies_csv,
+    read_ratings_csv,
+)
+
+
+def test_ratings_csv_schema_and_timestamp(spark, tmp_path):
+    p = tmp_path / "ratings.csv"
+    p.write_text("1,31,2.5,1260759144\n2,1029,3.0,1260759179\n")
+    df = read_ratings_csv(spark, str(p))
+    rows = df.orderBy("user_id").collect()
+    assert [f.name for f in df.schema.fields] == ["user_id", "movie_id", "rating", "ts"]
+    assert rows[0].user_id == 1 and rows[0].rating == 2.5
+    assert rows[0].ts.year == 2009  # epoch 1260759144 → 2009-12-14, kept not dropped
+
+
+def test_movies_csv_rfc4180_quoting(spark, tmp_path):
+    """The reference's line.split(',') truncates quoted titles
+    (recommender.py:137, SURVEY.md §1.2); the real CSV reader must not."""
+    p = tmp_path / "movies.csv"
+    p.write_text(
+        '11,"American President, The (1995)",Comedy|Drama|Romance\n'
+        "1,Toy Story (1995),Adventure|Animation|Children|Comedy|Fantasy\n"
+        '100,"Quoted ""inner"" title (2000)",(no genres listed)\n'
+    )
+    df = read_movies_csv(spark, str(p))
+    by_id = {r.movie_id: r for r in df.collect()}
+    assert by_id[11].title == "American President, The (1995)"  # not truncated
+    assert by_id[11].genres == ["Comedy", "Drama", "Romance"]
+    assert by_id[100].title == 'Quoted "inner" title (2000)'
+    assert by_id[1].genres[0] == "Adventure"
+
+
+def test_title_year_extraction(spark, tmp_path):
+    from pyspark_movie_recommender_spark.functions import title_year
+
+    p = tmp_path / "movies.csv"
+    p.write_text('1,Toy Story (1995),Adventure\n2,No Year Title,Drama\n')
+    df = read_movies_csv(spark, str(p)).select(
+        "movie_id", title_year("title").alias("yr")
+    )
+    got = {r.movie_id: r.yr for r in df.collect()}
+    assert got == {1: 1995, 2: None}
+
+
+def test_json_source_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "events_json")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(ev.schema).json(out)
+    assert back.count() == 100
+    assert sorted(back.columns) == sorted(ev.columns)
+
+
+def test_partitioned_parquet_write_and_pruning(spark, tmp_path):
+    out = str(tmp_path / "li_part")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    # hive-style partition dirs exist
+    assert any(d.startswith("l_returnflag=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    q = back.filter(F.col("l_returnflag") == "A").select("l_orderkey", "l_quantity")
+    plan = q.queryExecution.executedPlan.toString() if hasattr(q, "queryExecution") else ""
+    explained = q._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: non-matching partitions never scanned
+    assert "PartitionFilters" in explained or "l_returnflag" in explained
+    expect = li.filter(F.col("l_returnflag") == "A").count()
+    assert q.count() == expect
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).schema(nation.schema).csv(out)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in nation.collect()
+    )
