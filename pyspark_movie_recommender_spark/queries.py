@@ -1601,3 +1601,113 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("c_custkey").over(wfull).alias("poorest"),
         F.nth_value("c_custkey", 2).over(wfull).alias("second"),
     )
+
+
+@query(
+    "union_all_bag",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def union_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL bag semantics (reference U1, ``recommender.py:122``):
+    urgent orders + pending orders, overlap kept twice, no dedup."""
+    from pyspark_movie_recommender_spark.operators.relational import union_all
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    b = orders.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return union_all(a, b)
+
+
+@query(
+    "like_filter_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%gear%'
+       OR p_name LIKE 'red%'
+       OR (p_type LIKE '_CONOMY' AND p_brand NOT LIKE '%#1_')
+    """,
+)
+def like_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE pattern predicates: %, _ wildcards, NOT LIKE — all pushable
+    as StringContains/StartsWith filters."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("%gear%")
+        | F.col("p_name").like("red%")
+        | (F.col("p_type").like("_CONOMY") & ~F.col("p_brand").like("%#1_"))
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "tfidf_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents WHERE doc_id % 20 = 0
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM toks)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    """,
+)
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF in pure SQL (no HashingTF hash collisions): explode terms,
+    per-doc tf, per-term df, smoothed idf ln((N+1)/(df+1)).
+
+    Scale shape: two aggregations on naturally-partitionable keys; the
+    tiny df relation broadcasts back onto tf. Deterministic (unlike
+    HashingTF buckets) and oracle-checkable.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = docs.select("doc_id", F.explode(ws_tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # corpus size as a 1-row broadcast, not a driver-side .count() action —
+    # the whole query stays one lazy plan
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query("approx_quantiles_prices")
+def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (GK sketch) per returnflag — with HLL
+    distinct, the approximate-aggregation scale toolkit (rows-only:
+    sketch results are engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+    )
