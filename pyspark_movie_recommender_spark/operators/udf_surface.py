@@ -1,0 +1,103 @@
+"""The engine's Python-UDF surface — every form is Arrow-batched.
+
+Policy (SURVEY.md §2.B): built-in SQL functions are the hot path; when
+Python is unavoidable the ONLY sanctioned forms are the vectorized ones
+below. Row-at-a-time ``F.udf`` (the reference's C2 vector-wrapper at
+``recommender.py:200-201``) is banned from the engine — it serializes
+per row and blocks codegen.
+
+Forms:
+- scalar ``pandas_udf``        — Series → Series, Arrow batches;
+- grouped-agg ``pandas_udf``   — Series → scalar per group (UDAF);
+- ``applyInPandas``            — per-group DataFrame → DataFrame
+  (see also operators/asof.py merge_asof_pandas);
+- ``mapInPandas``              — per-partition batch iterator
+  (see operators/multimodal.py decode_and_featurize);
+- ``udtf``                     — table function, one row in → N rows out.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def sigmoid_scale(s: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: logistic squash — whole Arrow batches, ~10-100x
+    a row-at-a-time UDF. (Only exists as a UDF to exercise the surface;
+    expressible in SQL as 1/(1+exp(-x)).)"""
+    import numpy as np
+
+    return 1.0 / (1.0 + np.exp(-s))
+
+
+@F.pandas_udf(T.DoubleType())
+def gini_udaf(v: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF (UDAF): Gini coefficient of a value
+    column per group — a metric with no built-in SQL aggregate."""
+    import numpy as np
+
+    x = np.sort(v.to_numpy(dtype="float64"))
+    n = len(x)
+    if n == 0 or x.sum() == 0:
+        return 0.0
+    cum = np.cumsum(x)
+    return float((n + 1 - 2 * (cum / cum[-1]).sum()) / n)
+
+
+def spend_gini_per_segment(customer: DataFrame) -> DataFrame:
+    """Inequality of account balances per market segment via the UDAF.
+
+    Spark disallows mixing pandas UDAFs with JVM aggregates in one agg
+    ([INVALID_PANDAS_UDF_PLACEMENT]) — so the count comes from a second
+    aggregate joined on the group key (both sides share the same
+    shuffle partitioning, so the join is exchange-free).
+    """
+    gini = customer.groupBy("c_mktsegment").agg(
+        gini_udaf(F.col("c_acctbal")).alias("acctbal_gini")
+    )
+    counts = customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return gini.join(counts, "c_mktsegment")
+
+
+def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """applyInPandas: per-group standardization (group → pandas frame →
+    group). Groups must fit in executor memory — fine for per-key
+    slices, never applied to an unpartitioned relation."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("zscore", T.DoubleType(), True)]
+    )
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf[value_col].std(ddof=0)
+        mu = pdf[value_col].mean()
+        pdf = pdf.copy()
+        pdf["zscore"] = 0.0 if (sd == 0 or pd.isna(sd)) else (pdf[value_col] - mu) / sd
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(standardize, schema=out_schema)
+
+
+def make_explode_ngrams_udtf():
+    """UDTF: one document row in → one row per word n-gram out.
+
+    Spark 3.5+ ``@udtf`` — the table-function escape hatch for
+    fan-out transforms that need Python. (Word n-grams themselves are
+    also expressible with SQL transform+slice; the UDTF form exists to
+    exercise the surface.)
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, ngram string")
+    class ExplodeNGrams:
+        def eval(self, doc_id: int, text: str, n: int):
+            toks = (text or "").split()
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield doc_id, i, " ".join(toks[i : i + n])
+
+    return ExplodeNGrams

@@ -1,0 +1,68 @@
+"""UDF surface: each Arrow-batched form works and matches a SQL oracle
+computed in-plan where one exists."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyspark_movie_recommender_spark.operators.udf_surface import (
+    make_explode_ngrams_udtf,
+    sigmoid_scale,
+    spend_gini_per_segment,
+    zscore_per_group,
+)
+from pyspark_movie_recommender_spark.sources import load_table
+
+
+def test_scalar_pandas_udf_matches_sql(spark):
+    df = spark.range(100).select((F.col("id") / 10.0 - 5).alias("x"))
+    got = df.select(
+        sigmoid_scale("x").alias("u"),
+        (1 / (1 + F.exp(-F.col("x")))).alias("s"),
+    ).collect()
+    assert all(abs(r.u - r.s) < 1e-12 for r in got)
+
+
+def test_gini_udaf(spark):
+    # perfectly equal values → gini 0; one-holder-takes-all → near 1
+    eq = spark.createDataFrame([("a", 5.0)] * 10, "g string, v double")
+    uneq = spark.createDataFrame(
+        [("a", 0.0)] * 9 + [("a", 100.0)], "g string, v double"
+    )
+    from pyspark_movie_recommender_spark.operators.udf_surface import gini_udaf
+
+    g_eq = eq.groupBy("g").agg(gini_udaf("v").alias("g2")).collect()[0].g2
+    g_un = uneq.groupBy("g").agg(gini_udaf("v").alias("g2")).collect()[0].g2
+    assert abs(g_eq) < 1e-12
+    assert g_un > 0.85
+
+
+def test_gini_on_customers_runs(spark, sf_dir):
+    out = spend_gini_per_segment(load_table(spark, sf_dir, "customer")).collect()
+    assert len(out) == 5
+    assert all(0 <= r.acctbal_gini <= 1 for r in out)
+
+
+def test_zscore_apply_in_pandas(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 6)] + [("b", 7.0), ("b", 9.0)],
+        "g string, v double",
+    )
+    got = {(r.g, r.v): r.zscore for r in zscore_per_group(df, "g", "v").collect()}
+    assert abs(got[("a", 3.0)]) < 1e-12  # the mean of group a
+    assert abs(got[("b", 9.0)] - 1.0) < 1e-12  # (9-8)/1
+    # per-group mean of zscores is 0
+    assert abs(sum(z for (g, _), z in got.items() if g == "a")) < 1e-9
+
+
+def test_udtf_explode_ngrams(spark):
+    ExplodeNGrams = make_explode_ngrams_udtf()
+    spark.udtf.register("explode_ngrams", ExplodeNGrams)
+    df = spark.sql(
+        "SELECT * FROM explode_ngrams(42::BIGINT, 'a b c d', 2)"
+    )
+    rows = [(r.pos, r.ngram) for r in df.orderBy("pos").collect()]
+    assert rows == [(0, "a b"), (1, "b c"), (2, "c d")]
+    assert all(r.doc_id == 42 for r in df.collect())
