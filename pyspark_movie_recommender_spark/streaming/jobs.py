@@ -126,3 +126,42 @@ def dedup_within_watermark_stream(
     )
     _run_to_table(deduped, query_name, "append")
     return spark.table(query_name)
+
+
+def running_user_totals_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_user_totals",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total, state carried across micro-batches.
+
+    The state dict is tiny (two numbers per user) and keyed by the
+    shuffle partitioning, so state size scales with |users|, not
+    |events| — the invariant that keeps arbitrary-state operators
+    viable on unbounded streams.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_table(out, query_name, "update")
+    return spark.table(query_name)

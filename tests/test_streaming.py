@@ -43,3 +43,25 @@ def test_streaming_dedup_keeps_all_unique_events(spark, sf_dir):
     n_in = load_table(spark, sf_dir, "events").count()
     # event_id is unique in the source → nothing should be dropped
     assert out.count() == n_in
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        running_user_totals_stream,
+    )
+
+    out = running_user_totals_stream(spark, sf_dir, query_name="t_state_eq")
+    # last update per user == batch aggregate
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    s = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b
