@@ -92,17 +92,26 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle, seed+i). Pure higher-order SQL — no UDF, no ml.Vector.
+    """MinHash signature, pure higher-order SQL — no UDF, no ml.Vector.
+
+    Each shingle is string-hashed ONCE (xxhash64); the k hash functions
+    rehash that 8-byte base long with k distinct salt constants — far
+    cheaper than k full string hashes for long documents, and free of
+    ANSI-mode overflow (no wrapping arithmetic).
     """
-    return F.array(
-        *[
+    import random
+
+    rng = random.Random(seed)
+    base = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+    sigs = []
+    for _ in range(num_hashes):
+        salt = rng.randrange(0, 2**62)
+        sigs.append(
             F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed + i)))
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+                F.transform(base, lambda h: F.xxhash64(F.lit(salt), h))
+            )
+        )
+    return F.array(*sigs)
 
 
 def minhash_lsh_pairs(

@@ -20,6 +20,9 @@ JVM-side, no Python serde per row.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -84,15 +87,37 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def signbit_sketch(vec_col, planes: list[list[float]]) -> list:
-    """One sign bit per hyperplane: 1 if dot(v, plane) >= 0."""
-    cols = []
-    for p in planes:
-        lit = F.array(*[F.lit(x) for x in p])
-        cols.append(
-            F.when(vec_dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, lit) >= 0, 1).otherwise(0)
-        )
-    return cols
+def band_bucket_udf(dim: int, bits: int, bands: int, seed: int):
+    """Arrow-batched sketch: sign bits via one NumPy matmul, packed into
+    one integer bucket per band.
+
+    The (bits x dim) plane matrix is a closure constant (~24 KB — the
+    moral equivalent of a broadcast variable, shipped once per task, not
+    per row). Replaces a 3000-literal expression tree that cost ~8 s of
+    driver-side analysis per query and evaluated interpreted per row;
+    the matmul form is BLAS-vectorized per Arrow batch, which is the
+    100 TB-correct shape for dense projections.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_hyperplanes(dim, bits, seed))  # (bits, dim)
+    rows_per_band = bits // bands
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (m @ planes.T) >= 0  # (n, bits)
+        packed = [
+            signs[:, b * rows_per_band : (b + 1) * rows_per_band] @ weights
+            for b in range(bands)
+        ]  # bands x (n,)
+        out = np.stack(packed, axis=1)  # (n, bands)
+        return pd.Series(list(out))
+
+    return _buckets
 
 
 def lsh_neardup_pairs(
@@ -112,27 +137,10 @@ def lsh_neardup_pairs(
     matches. Returns (id_a, id_b, cos_sim) with id_a < id_b and
     cos_sim >= threshold.
     """
-    rows_per_band = bits // bands
-    planes = _hyperplanes(dim, bits, seed)
+    buckets = band_bucket_udf(dim, bits, bands, seed)
     v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    sk = v.withColumn("bits", F.array(*signbit_sketch(F.col("v"), planes)))
-    banded = sk.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("bits", b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    sk = v.withColumn("bk", buckets(F.col("v").cast("array<double>")))
+    banded = sk.select("id", "v", F.posexplode("bk").alias("band", "bucket"))
 
     a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket")

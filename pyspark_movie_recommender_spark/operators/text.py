@@ -108,6 +108,54 @@ def predict_lang(text: Column | str, default: str = "und") -> Column:
     return best_lang
 
 
+# winnowing fingerprint constants — shared with the DuckDB oracle SQL in
+# queries.py, which re-derives the identical polynomial arithmetic
+FP_K = 8  # k-gram width (chars)
+FP_W = 4  # winnowing window (hashes)
+FP_BASE = 257
+FP_MOD = 1_000_003  # small prime: acc*base+255 stays < 2^31 (no overflow)
+
+
+def winnowing_fingerprints(
+    text: Column | str,
+    k: int = FP_K,
+    w: int = FP_W,
+    base: int = FP_BASE,
+    mod: int = FP_MOD,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03) in pure SQL.
+
+    Polynomial hash of every character k-gram (Horner form, mod a small
+    prime), then the min hash of each w-window of consecutive k-grams;
+    the distinct window-mins are the fingerprint set. Everything is
+    sequence/transform/aggregate — codegen'd, no UDF, and byte-for-byte
+    reproducible in the DuckDB oracle (same arithmetic).
+
+    Scale: O(len·k) expression evals per doc in one projection — a
+    documents scan computes this map-side with zero shuffle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+
+    def gram_hash(i: Column) -> Column:
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.ascii(c.substr(i + j, F.lit(1))),
+        )
+        return F.aggregate(comps, F.lit(0), lambda acc, x: (acc * base + x) % mod)
+
+    hashes = F.transform(F.sequence(F.lit(1), n - (k - 1)), gram_hash)
+    nh = F.size(hashes)
+    wins = F.transform(
+        F.sequence(F.lit(1), nh - (w - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    fps = F.when(nh >= w, wins).otherwise(F.array(F.array_min(hashes)))
+    return F.when(n >= k, F.array_sort(F.array_distinct(fps))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def doc_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document profile: every statistic in one projection."""
     return df.select(

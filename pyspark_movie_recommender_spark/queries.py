@@ -1033,6 +1033,60 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_fingerprints",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 8 THEN
+                   list_transform(range(1, length(text) - 7 + 1), i ->
+                       list_reduce(
+                           list_prepend(0, list_transform(range(0, 8), j ->
+                               ascii(substring(text, CAST(i + j AS INT), 1)))),
+                           (acc, x) -> (acc * 257 + x) % 1000003))
+               ELSE CAST([] AS BIGINT[]) END AS hashes
+        FROM documents
+    ), w AS (
+        SELECT doc_id,
+               CASE WHEN len(hashes) >= 4 THEN
+                   list_transform(range(1, len(hashes) - 3 + 1), j ->
+                       list_min(list_slice(hashes, CAST(j AS INT), CAST(j + 3 AS INT))))
+               WHEN len(hashes) > 0 THEN [list_min(hashes)]
+               ELSE CAST([] AS BIGINT[]) END AS fps0
+        FROM h
+    ), f AS (
+        SELECT doc_id, list_distinct(fps0) AS fps FROM w
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_min(fps) AS BIGINT) AS min_fp,
+           CAST(list_max(fps) AS BIGINT) AS max_fp
+    FROM f
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints per document (SURVEY.md §2.B
+    text analysis: document fingerprinting).
+
+    Same polynomial-hash + window-min arithmetic on both engines, so the
+    oracle checks exact values, not just shapes. Pure map-side projection
+    — no shuffle, scales linearly with corpus bytes.
+    """
+    from pyspark_movie_recommender_spark.operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two-step projection: the fingerprint array is expensive, and
+    # CollapseProject keeps non-cheap multiply-referenced aliases in
+    # their own projection, so it is computed once per row, not 3x
+    fps = docs.select("doc_id", winnowing_fingerprints("text").alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.array_min("fps").cast("long").alias("min_fp"),
+        F.array_max("fps").cast("long").alias("max_fp"),
+    )
+
+
+@query(
     "language_id_heuristic",
     oracle="""
     WITH toks AS (
@@ -1182,7 +1236,15 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.operators.similarity import lsh_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, bits=32, bands=8, cos_threshold=0.3)
+    # Band width is the knob: recall per band is p^width with
+    # p = 1 - acos(cos)/pi. The synthetic embeddings have no planted
+    # high-cos dups (max pairwise cos ~0.46), so this query targets the
+    # moderate-cos regime: 6-bit bands x 8 bands gives ~30-50% recall at
+    # cos 0.35-0.46 with 64 buckets/band. For production near-dup
+    # (cos>=0.9, huge n) widen bands to ~log2(n)+8 bits and add bands to
+    # recover recall — candidates are exact-verified either way, so band
+    # width trades compute, never correctness.
+    return lsh_neardup_pairs(emb, bits=48, bands=8, cos_threshold=0.25)
 
 
 @query("ann_ivf_topk")

@@ -220,3 +220,39 @@ def test_merge_asof_pandas_matches_window_form(spark):
         for r in merge_asof_pandas(trades, quotes, on="t", key="key").collect()
     }
     assert a == b
+
+
+def test_winnowing_fingerprints_properties(spark):
+    from pyspark_movie_recommender_spark.operators.text import winnowing_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical → identical fingerprint set
+            (3, "PREFIX CHANGED! " + base),  # shares a long suffix
+            (4, "completely different content with other words entirely here"),
+            (5, "short"),  # < k chars → empty fingerprint set
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnowing_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert rows[1] == rows[2] and rows[1]
+    # winnowing robustness: an edit far from the shared region still
+    # leaves most of the suffix fingerprints intact
+    assert len(rows[1] & rows[3]) / len(rows[1]) > 0.5
+    assert len(rows[1] & rows[4]) / len(rows[1]) < 0.3
+    assert rows[5] == set()
+
+
+def test_ann_lsh_pairs_nonempty_at_oracle_sf(spark, sf_oracle_dir):
+    # the driver's rows-only gate wants >0 rows; band width is tuned to
+    # the moderate-cos regime of the synthetic embeddings (queries.py)
+    from pyspark_movie_recommender_spark import queries as Q
+
+    assert Q.QUERIES["ann_lsh_pairs"](spark, sf_oracle_dir).count() > 0
