@@ -153,3 +153,43 @@ def minmax_rescale(
         .withColumn(out_col, F.when(F.col("__hi") == F.col("__lo"), F.lit(lo)).otherwise(scaled))
         .drop("__lo", "__hi")
     )
+
+
+def salted_join(
+    df: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with manual key salting for heavily skewed left keys.
+
+    Splits every left-side key into ``salt_buckets`` sub-keys via a
+    deterministic hash of the whole row, and replicates the right side
+    once per bucket, so one hot key spreads over ``salt_buckets``
+    shuffle partitions instead of landing on a single straggler task.
+
+    AQE's skew-join handling (``spark.sql.adaptive.skewJoin``) covers
+    the same ground at runtime for sort-merge joins; this form is for
+    when the skew is known ahead of time, the join must be hash
+    partitioned for a later stage, or AQE is unavailable. Results are
+    identical to a plain join (the salt is dropped), so the oracle for
+    a salted query is the plain SQL join.
+
+    Cost model: right side is replicated ``salt_buckets`` x through the
+    shuffle — use for fact x dimension joins (small right side), never
+    fact x fact. ``how`` is limited to inner/left, where per-row
+    replicate-right semantics are join-correct.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    keys = [on] if isinstance(on, str) else list(on)
+    # salt the left deterministically: hash all columns, not rand(), so
+    # retries/speculative tasks see stable assignments
+    left = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).cast("int")
+    )
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return left.join(right, on=keys + ["__salt"], how=how).drop("__salt")

@@ -1033,6 +1033,40 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_order_priority",
+    oracle="""
+    SELECT c.c_mktsegment,
+           o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def salted_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted fact-dim join; identical results to the
+    plain join (the oracle IS the plain join).
+
+    One hot customer key spreads over 16 shuffle sub-keys; the customer
+    side is replicated 16x (dimension-sized, so cheap). See
+    ``relational.salted_join`` for when to prefer this over AQE skew
+    handling.
+    """
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = R.salted_join(orders, customer, on="custkey", salt_buckets=16)
+    return joined.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle="""
     WITH h AS (
@@ -1321,6 +1355,38 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.streaming.jobs import tumbling_window_stream
 
     return tumbling_window_stream(spark, sf_dir, query_name="q_stream_tumbling")
+
+
+@query("streaming_session_window")
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows on the event stream (append mode
+    + watermark: bounded state; sessions emit when the watermark passes
+    their close)."""
+    from pyspark_movie_recommender_spark.streaming.jobs import session_window_stream
+
+    return session_window_stream(spark, sf_dir, query_name="q_stream_sessions")
+
+
+@query("streaming_dedup_watermark")
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup with bounded state
+    (``dropDuplicatesWithinWatermark`` on event_id)."""
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        dedup_within_watermark_stream,
+    )
+
+    return dedup_within_watermark_stream(spark, sf_dir, query_name="q_stream_dedup")
+
+
+@query("streaming_running_user_totals")
+def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming (``applyInPandasWithState``): running
+    per-user totals, state ∝ |users| not |events|."""
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        running_user_totals_stream,
+    )
+
+    return running_user_totals_stream(spark, sf_dir, query_name="q_stream_totals")
 
 
 # ---------------------------------------------------------------------------

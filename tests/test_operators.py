@@ -256,3 +256,20 @@ def test_ann_lsh_pairs_nonempty_at_oracle_sf(spark, sf_oracle_dir):
     from pyspark_movie_recommender_spark import queries as Q
 
     assert Q.QUERIES["ann_lsh_pairs"](spark, sf_oracle_dir).count() > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ([1] * 5 + [2])],  # key 1 hot
+        "k int, v int",
+    )
+    right = spark.createDataFrame([(1, "a"), (3, "c")], "k int, name string")
+    for how in ("inner", "left"):
+        plain = {
+            tuple(r) for r in left.join(right, on="k", how=how).collect()
+        }
+        salted = {
+            tuple(r)
+            for r in R.salted_join(left, right, on="k", how=how, salt_buckets=4).collect()
+        }
+        assert salted == plain, how
