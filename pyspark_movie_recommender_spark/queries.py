@@ -1101,16 +1101,16 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints per document (SURVEY.md §2.B
     text analysis: document fingerprinting).
 
-    Same polynomial-hash + window-min arithmetic on both engines, so the
-    oracle checks exact values, not just shapes. Pure map-side projection
-    — no shuffle, scales linearly with corpus bytes.
+    Same polynomial-hash + window-min arithmetic on both engines (Arrow/
+    NumPy on the Spark side, list lambdas in DuckDB), so the oracle
+    checks exact values, not just shapes. Pure map-side projection — no
+    shuffle, scales linearly with corpus bytes.
     """
     from pyspark_movie_recommender_spark.operators.text import winnowing_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    # two-step projection: the fingerprint array is expensive, and
-    # CollapseProject keeps non-cheap multiply-referenced aliases in
-    # their own projection, so it is computed once per row, not 3x
+    # two-step projection so the UDF runs once per row, not once per
+    # consuming column
     fps = docs.select("doc_id", winnowing_fingerprints("text").alias("fps"))
     return fps.select(
         "doc_id",

@@ -71,3 +71,36 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register tables as temp views so ``spark.sql`` can reference them."""
     for name, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by a join key.
+
+    Bucketing pre-partitions data at rest: two tables bucketed by the
+    same key into the same bucket count join WITHOUT a shuffle — at
+    100 TB that turns the nightly fact-fact join from the dominant
+    network cost into a local merge per bucket. Plan-asserted in
+    tests/test_sources_sinks.py (no Exchange above the joined scans).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *partition_cols: str, fmt: str = "parquet"
+) -> None:
+    """Partitioned-directory write (hive layout): one dir per key value.
+
+    Queries filtering on the partition column scan only matching dirs
+    (partition pruning — ``PartitionFilters`` in the scan node), the
+    difference between reading one day and reading three years.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)

@@ -222,6 +222,23 @@ def test_merge_asof_pandas_matches_window_form(spark):
     assert a == b
 
 
+def test_winnowing_udf_equals_sql_form(spark):
+    from pyspark_movie_recommender_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_sql,
+    )
+
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    both = docs.select(
+        "doc_id",
+        winnowing_fingerprints("text").alias("udf_fps"),
+        winnowing_fingerprints_sql("text").alias("sql_fps"),
+    ).collect()
+    assert both and all(list(r.udf_fps) == list(r.sql_fps) for r in both)
+
+
 def test_winnowing_fingerprints_properties(spark):
     from pyspark_movie_recommender_spark.operators.text import winnowing_fingerprints
 

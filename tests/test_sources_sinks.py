@@ -88,3 +88,38 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in nation.collect()
     )
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    from pyspark_movie_recommender_spark.plans import count_exchanges
+    from pyspark_movie_recommender_spark.sources.tables import write_bucketed
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force sort-merge so the assertion proves bucketing (a broadcast
+        # join would also show 0 hash exchanges, for the wrong reason)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(li, "li_b", "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+        write_bucketed(orders, "ord_b", "o_orderkey", n_buckets=8, sort_col="o_orderkey")
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # co-located buckets: the sort-merge join needs NO exchange
+        from pyspark_movie_recommender_spark.plans import has_operator
+
+        assert has_operator(joined, "SortMergeJoin")
+        assert count_exchanges(joined) == 0
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
