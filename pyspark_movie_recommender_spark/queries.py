@@ -949,7 +949,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")
+@query("dedup_minhash_lsh", bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates — the sub-quadratic scale path
     (rows-only: signature values are engine-specific; planted-duplicate
@@ -1068,6 +1068,7 @@ def salted_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_fingerprints",
+    bench=True,
     oracle="""
     WITH h AS (
         SELECT doc_id,
@@ -1262,7 +1263,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_pairs")
+@query("ann_lsh_pairs", bench=True)
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup candidates over the FULL corpus,
     verified with exact cosine on candidates only (rows-only; recall
