@@ -327,6 +327,37 @@ def top_lineitems_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_frame_trailing_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def range_frame_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame (RANGE, not ROWS): per-customer trailing
+    30-day spend. Orders on the same day share a frame — semantics ROWS
+    frames cannot express. One shuffle on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day_no.cast("long").alias("day_no"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@query(
     "window_order_history",
     oracle="""
     SELECT o_orderkey, o_custkey,

@@ -95,3 +95,61 @@ def test_rescale_bounds_exact(spark, movielens_fixture):
     out = minmax_rescale(scored, "prediction", out_col="scaled")
     lo, hi = out.agg(F.min("scaled"), F.max("scaled")).collect()[0]
     assert lo == 1.0 and hi == 5.0
+
+
+# ---------------------------------------------------------------------------
+# true-parity integration: the reference's own MovieLens data, read in
+# place (never copied into this repo), full protocol end-to-end
+# ---------------------------------------------------------------------------
+
+REF_DATA = "/root/reference/data"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(f"{REF_DATA}/ratings.csv"),
+    reason="reference MovieLens data not present",
+)
+def test_reference_movielens_full_protocol_parity(spark):
+    """SURVEY.md §6 metric band on the real 100k ratings: grid search
+    must pick rank 4 with validation RMSE ≈0.94 (ml-ALS init differs
+    from mllib-ALS, so band not bit-equality), and the new-user fold-in
+    must recommend nearly all unrated movies (cold-start drops only)."""
+    from pyspark_movie_recommender_spark.sources.movielens import (
+        read_movies_csv,
+        read_ratings_csv,
+    )
+
+    ratings = read_ratings_csv(spark, f"{REF_DATA}/ratings.csv").select(
+        "user_id", F.col("movie_id").alias("item_id"), "rating"
+    )
+    res = REC.train_with_grid_search(ratings)
+    assert res.best_rank == 4  # recommender.py:86
+    for rank, rmse in res.validation_rmse.items():
+        assert 0.90 < rmse < 1.00, (rank, rmse)  # recommender.py:81-83
+    assert 0.90 < res.test_rmse < 1.00  # recommender.py:100
+
+    # entry point 2: fold in user 0 with 10 hand ratings (recommender.py:109-121)
+    movies = read_movies_csv(spark, f"{REF_DATA}/movies.csv").select(
+        F.col("movie_id").alias("item_id"), "title"
+    )
+    ten = [r.item_id for r in movies.limit(10).collect()]
+    new_user = spark.createDataFrame(
+        [(0, m, float(3 + i % 3)) for i, m in enumerate(ten)],
+        "user_id int, item_id int, rating double",
+    )
+    model = REC.fold_in_user(ratings, new_user, rank=res.best_rank)
+    top = REC.recommend_for_user(
+        model, movies, new_user, user_id=0, k=10, rescale=True
+    ).collect()
+    assert len(top) == 10
+    # rescale bound (recommender.py:205-206): scores within [1, 5]
+    assert all(1.0 <= r.scaled_rating <= 5.0 for r in top)
+    # cold-start drop semantics (recommender.py:155-156): scored
+    # candidates < all candidates, but nearly all (9,057/9,115 there)
+    n_cands = movies.count() - 10
+    n_scored = REC.score(
+        model,
+        REC.anti_join(movies.select("item_id"), new_user.select("item_id"), "item_id")
+        .select(F.lit(0).alias("user_id"), "item_id"),
+    ).count()
+    assert n_cands * 0.95 <= n_scored <= n_cands
