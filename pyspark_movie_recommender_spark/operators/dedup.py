@@ -262,6 +262,43 @@ def simhash64(text_col: Column | str, seed: int = 42) -> Column:
     return out
 
 
+def simhash64_udf(seed: int = 42):
+    """Arrow-batched SimHash, the hot path (``simhash64`` is the pure-SQL
+    spec — Catalyst inlines the token-hash array into all 64 per-bit
+    aggregates and runs them interpreted).
+
+    Whitespace tokens → FNV-style wrapping token hash → per-bit ±1 sums
+    via one (tokens x 64) broadcasted shift, sign-bits packed to int64.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    FNV = np.uint64(1099511628211)
+    SEED = np.uint64(seed * 2 + 1)
+    SHIFTS = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _sim(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for i, s in enumerate(texts):
+                toks = s.split() if s else []
+                if not toks:
+                    continue
+                h = np.zeros(len(toks), dtype=np.uint64)
+                for t_i, t in enumerate(toks):
+                    th = SEED
+                    for ch in t:  # wrapping FNV over codepoints
+                        th = th * FNV ^ np.uint64(ord(ch))
+                    h[t_i] = th
+                pm = (((h[:, None] >> SHIFTS) & np.uint64(1)).astype(np.int64) * 2 - 1)
+                bits = (pm.sum(axis=0) > 0).astype(np.uint64)
+                out[i] = (bits << SHIFTS).sum().astype(np.int64)
+        return pd.Series(out)
+
+    return _sim
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str,
@@ -275,7 +312,7 @@ def simhash_neardup_pairs(
     Returns (id_a, id_b, hamming) pairs with hamming <= max_hamming.
     """
     sig = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col, seed).alias("sim")
+        F.col(id_col).alias("id"), simhash64_udf(seed)(F.col(text_col)).alias("sim")
     )
     chunks = sig.select(
         "id",
