@@ -980,6 +980,57 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE sub AS (
+        SELECT doc_id, trim(text) AS tx FROM documents WHERE doc_id % 25 = 0
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   list_transform(range(1, greatest(length(tx) - 2, 1) + 1),
+                                  i -> substring(tx, CAST(i AS INT), 3)),
+                   g -> length(g) > 0)) AS shingles
+        FROM sub
+    ), nonempty AS (
+        SELECT * FROM sh WHERE len(shingles) > 0
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM nonempty
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN (SELECT doc_id, len(shingles) AS sz FROM nonempty) sa ON sa.doc_id = id_a
+        JOIN (SELECT doc_id, len(shingles) AS sz FROM nonempty) sb ON sb.doc_id = id_b
+        WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.5
+    ), bi AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, label) AS (
+        SELECT DISTINCT u AS id, u AS label FROM bi
+        UNION
+        SELECT bi.u, r.label FROM reach r JOIN bi ON bi.v = r.id
+    )
+    SELECT id, MIN(label) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters: connected components over the exact
+    Jaccard pair graph (min-label propagation, one shuffle per round,
+    lineage checkpointed). The DuckDB oracle computes the same
+    components with a recursive CTE — an iterative distributed
+    algorithm checked against a declarative fixpoint."""
+    from pyspark_movie_recommender_spark.operators.dedup import ngram_jaccard_pairs
+    from pyspark_movie_recommender_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return connected_components(pairs)
+
+
 @query("dedup_minhash_lsh", bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates — the sub-quadratic scale path

@@ -290,3 +290,21 @@ def test_salted_join_equals_plain_join(spark):
             for r in R.salted_join(left, right, on="k", how=how, salt_buckets=4).collect()
         }
         assert salted == plain, how
+
+
+def test_connected_components_and_keepers(spark):
+    from pyspark_movie_recommender_spark.operators.graph import (
+        connected_components,
+        dedup_keepers,
+    )
+
+    # two chains and a singleton edge: {1-2-3-4}, {10-11}, {20-21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a int, id_b int"
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    df = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id int")
+    keep = sorted(r.doc_id for r in dedup_keepers(df, edges, "doc_id").collect())
+    assert keep == [1, 10, 20, 99]
