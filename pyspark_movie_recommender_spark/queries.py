@@ -326,6 +326,35 @@ def top_lineitems_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# one SQL text, two engines: the engine's spark.sql entry path is
+# exercised with the exact string the DuckDB oracle runs
+_Q3_SQL = """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_shipping_priority", oracle=_Q3_SQL)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query through the textual SQL entry point: the
+    SAME string runs on ``spark.sql`` and on the DuckDB oracle —
+    dialect-shared ANSI SQL, parsed by Catalyst into the identical
+    join+agg+topk plan the DataFrame API would build."""
+    from pyspark_movie_recommender_spark.sources import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(_Q3_SQL)
+
+
 @query(
     "range_frame_trailing_spend",
     oracle="""
