@@ -216,3 +216,57 @@ def doc_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.round(quality_score(text_col), 4).alias("quality"),
         predict_lang(text_col).alias("pred_lang"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term set, pure SQL.
+
+    Classic Robertson/Sparck-Jones BM25: idf(t) = ln(1 + (N-df+0.5)/(df+0.5)),
+    tf saturation k1, length normalization b. Shapes for scale: one
+    tokens explode (map-side), tf = groupBy(doc, term), df = groupBy(term)
+    (tiny — |terms| rows, broadcast back), N/avgdl are a 1-row global
+    aggregate cross-joined in. No UDF anywhere; the explode dominates and
+    is linear in corpus tokens.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws_tokens(text_col).alias("toks"),
+    ).select("doc_id", F.size("toks").cast("double").alias("dl"), "toks")
+
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.array_contains(term_arr, F.col("term")))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_t = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", score_t)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )

@@ -1233,6 +1233,45 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents
+    ), d AS (
+        SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM d
+    ), tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, dl, term
+    ), dft AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           ROUND(SUM(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dft USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the query terms {spark, vector, stream}
+    — the text-analysis capstone, entirely SQL (explode + two small
+    aggregates broadcast back), oracle-checked to 6 decimals."""
+    from pyspark_movie_recommender_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "vector", "stream"])
+
+
+@query(
     "language_id_heuristic",
     oracle="""
     WITH toks AS (
