@@ -1508,6 +1508,19 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_window_stream(spark, sf_dir, query_name="q_stream_tumbling")
 
 
+@query("stratified_sample_documents")
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy`` on lang, seeded):
+    the training-data curation primitive for rebalancing a corpus by
+    language/source. Sampling is partition-local — no shuffle; rows-only
+    check (membership is seed+partitioning dependent by design)."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: (0.5 if lang == "en" else 0.25) for lang in langs}
+    sampled = docs.sampleBy("lang", fractions, seed=7)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 @query("streaming_session_window")
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native gap-based session windows on the event stream (append mode
