@@ -13,6 +13,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_movie_recommender_spark.functions import token_count, ws_tokens
 
@@ -269,4 +270,82 @@ def bm25_scores(
         .withColumn("term_score", score_t)
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the
+    tokenize-and-window step every LLM pretraining pipeline runs before
+    packing. Pure SQL: token array → sequence of chunk starts →
+    explode. Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Chunks start every ``stride`` tokens (overlap = chunk_tokens -
+    stride); the final partial chunk is kept iff it is the only one or
+    extends past the previous chunk. Map-side only — no shuffle;
+    explode multiplies rows ~n_tokens/stride, which is the point.
+    """
+    toks = ws_tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.size(toks) > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((F.col("__n") - chunk_tokens) / F.lit(stride)), F.lit(0)),
+    )
+    chunks = base.select(
+        "doc_id",
+        "__toks",
+        F.explode(starts).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.slice(
+            "__toks", F.col("chunk_idx") * stride + 1, chunk_tokens
+        ).alias("__chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to context-window bins: contiguous greedy fill
+    in deterministic (group, doc_id) order via one window cumsum —
+    bin = floor((cumsum - n_tokens) / budget). Docs longer than the
+    budget get a bin of their own (they'd be chunked first in a real
+    pipeline; composition with chunk_documents is the full path).
+
+    One shuffle (window partition on the group key); no driver loop, no
+    UDF. Deterministic, so the DuckDB oracle checks exact assignments.
+    """
+    n = token_count(text_col)
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(by).alias("grp"), n.alias("n_tokens")
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(
+            "doc_id",
+            "grp",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / budget_tokens)
+            .cast("long")
+            .alias("bin_id"),
+        )
     )

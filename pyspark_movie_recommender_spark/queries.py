@@ -1233,6 +1233,72 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents
+    ), base AS (
+        SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), chunks AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(greatest(ceil((n - 64) / 48.0), 0) AS BIGINT) + 1)) AS chunk_idx,
+               t
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(sl) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(sl, ' ') AS chunk_text
+    FROM (
+        SELECT doc_id, chunk_idx,
+               list_slice(t, CAST(chunk_idx * 48 + 1 AS BIGINT),
+                             CAST(chunk_idx * 48 + 64 AS BIGINT)) AS sl
+        FROM chunks
+    )
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (64-token windows, stride 48) —
+    the pre-packing step of a pretraining pipeline. Map-side explode,
+    no shuffle; oracle checks exact chunk text."""
+    from pyspark_movie_recommender_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+@query(
+    "pack_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source AS grp,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (
+                    PARTITION BY grp ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_tokens) / 512) AS BIGINT) AS bin_id
+    FROM toks
+    """,
+)
+def pack_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: contiguous greedy fill into 512-token
+    bins per source via one window cumsum — deterministic, exact-checked
+    bin assignments, single shuffle."""
+    from pyspark_movie_recommender_spark.operators.text import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_documents(docs, budget_tokens=512, by="source")
+    return out.select("doc_id", "grp", F.col("n_tokens").cast("long").alias("n_tokens"), "bin_id")
+
+
+@query(
     "bm25_search",
     oracle="""
     WITH toks AS (
