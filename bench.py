@@ -33,8 +33,12 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM/codegen paths on the tiny SF so measured times are query
     # cost, not first-call JIT
-    warm = Q.QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
-    warm.write.format("noop").mode("overwrite").save()
+    # JVM/codegen warm + Python-worker (Arrow UDF) warm, so measured
+    # times are query cost, not first-call JIT or worker fork
+    for wq in ("pricing_summary", "doc_fingerprints"):
+        Q.QUERIES[wq](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     times: dict[str, float] = {}
     for name in Q.BENCH_QUERIES:
