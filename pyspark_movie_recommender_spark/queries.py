@@ -2069,3 +2069,129 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series resampling + distribution analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "resample_user_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               ROUND(SUM(value), 6) AS day_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day
+        FROM span
+    )
+    SELECT g.user_id, g.day,
+           COALESCE(d.day_value, 0) AS day_value,
+           COALESCE(d.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def resample_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resampling per user: aggregate to a daily grain,
+    then regenerate the full min..max day grid per key (`sequence` +
+    `explode`) and left-join actuals back, zero-filling silent days.
+
+    The canonical time-series densification op the reference lacks
+    (its events are batch rows only — SURVEY §2.B streaming row).
+    Scale shape: one shuffle on user_id for the daily agg; span and
+    grid reuse that partitioning, so the left join is co-partitioned.
+    Grid explosion is bounded by days-in-range, not event count —
+    at 100 TB the grid is tiny next to the raw events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(F.sum("value"), 6).alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+    )
+
+
+@query(
+    "exact_percentiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — the checkable twin of
+    `approx_quantiles_prices` (GK sketch, rows-only). Spark `percentile`
+    and DuckDB `quantile_cont` share the p*(n-1) linear-interpolation
+    definition, so values hash-match.
+
+    Scale note: exact percentile sorts each group's values in memory —
+    right for bounded group cardinality; at 100 TB per-group value
+    counts in the billions, switch to percentile_approx (same query
+    shape, sketch mergeable map-side).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(a)
+            for p, a in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
+        ]
+    )
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by arithmetic binning — distribution
+    profiling without a sort (contrast K2's global orderBy). FLOOR of
+    an IEEE double division is bit-identical across engines, so the
+    bucketing is deterministic.
+
+    Scale shape: single hash-agg on a derived low-cardinality key;
+    partial aggregation collapses each partition to ≤ n_buckets rows
+    before the shuffle — the histogram of 100 TB moves KBs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
