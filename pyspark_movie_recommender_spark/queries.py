@@ -2195,3 +2195,168 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data curation: decontamination, edit-distance dedup, boilerplate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ), grams AS (
+        SELECT doc_id, array_to_string(t[g.i : g.i + 9], ' ') AS gram
+        FROM toks, (SELECT unnest(generate_series(1, 500)) AS i) g
+        WHERE g.i + 9 <= len(t)
+    ), ev AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0
+    ), tr AS (
+        SELECT doc_id, gram FROM grams WHERE doc_id % 25 <> 0
+    )
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           MAX(tr.gram) AS sample_gram
+    FROM tr JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    10-gram with a held-out eval set (doc_id % 25 = 0 stands in for the
+    benchmark corpus). The standard pretraining hygiene pass (e.g.
+    GPT-3 appendix C / PaLM-style 13-gram overlap), absent from the
+    reference, which has no text surface at all.
+
+    Scale shape: eval-set distinct grams are tiny next to the training
+    corpus, so the overlap join broadcasts; the training side streams
+    through without a shuffle until the final per-doc aggregate. Gram
+    explosion is linear in corpus tokens.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = docs.select("doc_id", ws_tokens("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 10 THEN "
+                "transform(sequence(1, size(t) - 9),"
+                " i -> array_join(slice(t, i, 10), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    ev = grams.filter(F.col("doc_id") % 25 == 0).select("gram").distinct()
+    tr = grams.filter(F.col("doc_id") % 25 != 0)
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.max("gram").alias("sample_gram"),
+        )
+    )
+
+
+@query(
+    "levenshtein_neardup",
+    oracle="""
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT)
+               AS edit_distance
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang
+     AND a.n_chars // 50 = b.n_chars // 50
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
+    """,
+)
+def levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup mining with blocking: candidate pairs are
+    restricted to the same (lang, length-bucket) block before the O(n²)
+    levenshtein runs on 40-char prefixes. Complements the set-based
+    near-dup family (MinHash/SimHash/Jaccard) with an order-sensitive
+    measure.
+
+    Scale shape: the blocked self-join shuffles both sides on the block
+    key once; pair count is sum of per-block C(n,2), not global C(n,2)
+    — blocking is what makes edit-distance dedup feasible at corpus
+    scale (prefix cap bounds each comparison's cost).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50).alias("bucket"),
+        F.substring("text", 1, 40).alias("prefix"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            F.levenshtein("a.prefix", "b.prefix").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 8)
+    )
+
+
+@query(
+    "boilerplate_ngram_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ), grams AS (
+        SELECT doc_id, array_to_string(t[g.i : g.i + 2], ' ') AS gram
+        FROM toks, (SELECT unnest(generate_series(1, 500)) AS i) g
+        WHERE g.i + 2 <= len(t)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT gram) * 1.0 / COUNT(*), 6) AS rep_ratio
+    FROM grams GROUP BY doc_id
+    """,
+)
+def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: fraction of repeated 3-grams per document
+    (high ratio → templated/spammy text). A standard quality-filter
+    signal alongside `doc_profile`'s length/diversity heuristics.
+
+    Scale shape: explode + one hash-agg keyed by doc_id — partial
+    aggregation collapses each doc's grams map-side; no join at all.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = docs.select("doc_id", ws_tokens("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN "
+                "transform(sequence(1, size(t) - 2),"
+                " i -> array_join(slice(t, i, 3), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("gram") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("rep_ratio"),
+    )
