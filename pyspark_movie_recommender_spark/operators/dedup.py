@@ -193,11 +193,18 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .filter(F.length("__t") >= n)
         .select("id", sig_udf(F.col("__t")).alias("sig"))
+        # the signature table feeds three plan branches (band keys + two
+        # re-attach joins); persist = the single-query stand-in for the
+        # checkpointed signature table a 100 TB pipeline would write
+        .persist()
     )
-    # band keys: hash of each signature slice
+    # Band join + pair-dedup shuffle ONLY (id, band, bucket): 24 bytes
+    # per banded row instead of the 0.5 KB signature array. At 100 TB
+    # the candidate stream dwarfs the corpus — narrow rows there decide
+    # the shuffle volume. Signatures are re-attached to the deduped
+    # pairs by two hash joins.
     banded = base.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -209,16 +216,19 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
-    cand = (
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    pairs = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    cand = pairs.join(
+        base.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     est = cand.withColumn(
         "est_jaccard",
         F.size(

@@ -14,8 +14,10 @@ Three tiers:
   (one pass), probe only the ``nprobe`` nearest cells. The 100 TB path
   for large probe sets.
 
-All vector math is higher-order-function SQL (zip_with/aggregate) —
-JVM-side, no Python serde per row.
+Vector math on hot paths is Arrow-batched NumPy (``cosine_arrow``) —
+nested-lambda HOFs (zip_with/aggregate) evaluate interpreted in Spark,
+which is a 10-50× cliff on candidate-verify loops. The HOF forms in
+``functions`` remain as the oracle-checkable SQL spec.
 """
 
 from __future__ import annotations
@@ -27,11 +29,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from pyspark_movie_recommender_spark.functions import cosine_sim, vec_dot, vec_norm
+from pyspark_movie_recommender_spark.functions import cosine_sim  # noqa: F401 — SQL spec twin of cosine_arrow
 
 
 def _as_double(col):
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def cosine_arrow():
+    """Arrow-batched exact cosine over two ARRAY<DOUBLE> columns.
+
+    Nested-lambda HOFs (``aggregate``/``zip_with``) run interpreted, not
+    codegen'd — on a candidate-verify hot path that is a 10-50× cliff.
+    One NumPy matmul per Arrow batch is the scale-correct shape; the
+    HOF form in ``functions.cosine_sim`` stays as the SQL-checkable spec.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy())
+        mb = np.stack(b.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return _cos
 
 
 def cosine_topk_bruteforce(
@@ -59,7 +84,7 @@ def cosine_topk_bruteforce(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
     )
-    sim = cosine_sim(F.col("__pv"), F.col("__cv"))
+    sim = cosine_arrow()(F.col("__pv"), F.col("__cv"))
     if sim_decimals is not None:
         sim = F.round(sim, sim_decimals)
     scored = (
@@ -139,18 +164,29 @@ def lsh_neardup_pairs(
     """
     buckets = band_bucket_udf(dim, bits, bands, seed)
     v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    sk = v.withColumn("bk", buckets(F.col("v").cast("array<double>")))
-    banded = sk.select("id", "v", F.posexplode("bk").alias("band", "bucket"))
-
-    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket")
-    cand = (
+    # Band join and pair-dedup shuffle ONLY (id, band, bucket) — never
+    # the vectors. At 100 TB the candidate set dwarfs the corpus, so a
+    # wide row through explode+join+distinct is the difference between
+    # shuffling ~16 bytes/candidate and ~0.5 KB/candidate. Vectors are
+    # re-attached to the deduped pairs with two narrow hash joins.
+    banded = v.select(
+        "id", F.posexplode(buckets(F.col("v"))).alias("band", "bucket")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    pairs = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    cand = pairs.join(
+        v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     return (
-        cand.withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        cand.withColumn(
+            "cos_sim", F.round(cosine_arrow()(F.col("va"), F.col("vb")), 6)
+        )
         .filter(F.col("cos_sim") >= cos_threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -189,7 +225,7 @@ def ivf_topk(
             F.col(vid).alias(out_id),
             F.col(vcol).alias(f"__{out_id}_v"),
             "cell",
-            cosine_sim(F.col(vcol), F.col("cv")).alias("csim"),
+            cosine_arrow()(F.col(vcol), F.col("cv")).alias("csim"),
         )
         w = W.partitionBy(out_id).orderBy(F.desc("csim"), F.asc("cell"))
         return (
@@ -213,7 +249,7 @@ def ivf_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("pv"), F.col("nv")), 6).alias("sim"),
+            F.round(cosine_arrow()(F.col("pv"), F.col("nv")), 6).alias("sim"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
