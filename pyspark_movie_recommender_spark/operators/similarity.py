@@ -171,7 +171,10 @@ def lsh_neardup_pairs(
     # re-attached to the deduped pairs with two narrow hash joins.
     banded = v.select(
         "id", F.posexplode(buckets(F.col("v"))).alias("band", "bucket")
-    )
+    # both sides of the self-join read the sketch; persist = compute the
+    # sketch UDF once (the single-query stand-in for a checkpointed
+    # sketch table on a cluster)
+    ).persist()
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     pairs = (
