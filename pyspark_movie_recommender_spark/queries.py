@@ -2057,6 +2057,42 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "token_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(t) AS token FROM toks)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 most frequent tokens (exact heavy hitters).
+
+    Scale shape: explode → hash-agg with map-side partial combine (the
+    token key space is small relative to occurrences, so partial agg
+    collapses most of the volume before the shuffle) → TakeOrdered for
+    the top-k. The exact twin of a count-min-sketch heavy-hitters pass;
+    ties break on token so the limit is engine-stable.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
 @query("approx_quantiles_prices")
 def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (GK sketch) per returnflag — with HLL
