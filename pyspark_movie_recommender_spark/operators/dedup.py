@@ -93,6 +93,61 @@ def ngram_jaccard_pairs(
     return out
 
 
+def blocked_levenshtein_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    bucket_size: int = 50,
+    prefix_len: int = 40,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with (lang, length-bucket) blocking.
+
+    The probe side explodes each doc to blocks {bucket-1, bucket, bucket+1}
+    so pairs straddling a bucket boundary (e.g. lengths 49 vs 51) still
+    meet — plain same-bucket blocking silently loses exactly those
+    near-dups. Each unordered pair matches exactly one exploded key (the
+    build side keeps its single true bucket), so no pair-dedup is needed;
+    ``left_id < right_id`` keeps one direction.
+
+    Scale shape: one shuffle on the (lang, bucket) block key; pair count
+    is sum of per-block ~3·C(n,2), never global C(n,2). The prefix cap
+    bounds each levenshtein call's cost.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.floor(F.col(len_col) / bucket_size).alias("bucket"),
+        F.substring(text_col, 1, prefix_len).alias("prefix"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("left_id"),
+        "lang",
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("jbucket"),
+        F.col("prefix").alias("prefix_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("right_id"),
+        "lang",
+        F.col("bucket").alias("jbucket"),
+        F.col("prefix").alias("prefix_b"),
+    )
+    return (
+        a.join(b, on=["lang", "jbucket"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            F.levenshtein("prefix_a", "prefix_b").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
     """MinHash signature in pure higher-order SQL — REFERENCE FORM.
 

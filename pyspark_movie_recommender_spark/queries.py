@@ -1545,18 +1545,75 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_features")
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               hex(encode(text)) AS hx
+        FROM documents
+    ), nib AS (
+        SELECT doc_id,
+               (strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1) // 2
+                   AS bin
+        FROM (SELECT doc_id, hx,
+                     unnest(generate_series(1, CAST(n_bytes AS INTEGER))) AS i
+              FROM b)
+    ), hist AS (
+        SELECT doc_id,
+               CAST(COUNT(*) FILTER (WHERE bin = 0) AS BIGINT) AS h0,
+               CAST(COUNT(*) FILTER (WHERE bin = 1) AS BIGINT) AS h1,
+               CAST(COUNT(*) FILTER (WHERE bin = 2) AS BIGINT) AS h2,
+               CAST(COUNT(*) FILTER (WHERE bin = 3) AS BIGINT) AS h3,
+               CAST(COUNT(*) FILTER (WHERE bin = 4) AS BIGINT) AS h4,
+               CAST(COUNT(*) FILTER (WHERE bin = 5) AS BIGINT) AS h5,
+               CAST(COUNT(*) FILTER (WHERE bin = 6) AS BIGINT) AS h6,
+               CAST(COUNT(*) FILTER (WHERE bin = 7) AS BIGINT) AS h7
+        FROM nib GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_bytes, sha256(b.text) AS content_hash,
+           CAST(COALESCE(h.h0, 0) AS BIGINT) AS h0,
+           CAST(COALESCE(h.h1, 0) AS BIGINT) AS h1,
+           CAST(COALESCE(h.h2, 0) AS BIGINT) AS h2,
+           CAST(COALESCE(h.h3, 0) AS BIGINT) AS h3,
+           CAST(COALESCE(h.h4, 0) AS BIGINT) AS h4,
+           CAST(COALESCE(h.h5, 0) AS BIGINT) AS h5,
+           CAST(COALESCE(h.h6, 0) AS BIGINT) AS h6,
+           CAST(COALESCE(h.h7, 0) AS BIGINT) AS h7
+    FROM b LEFT JOIN hist h ON b.doc_id = h.doc_id
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode→featurize over binary payloads via
-    mapInPandas (rows-only: the decode is a deterministic stand-in, the
-    batch plumbing is real — see operators/multimodal.py)."""
+    mapInPandas (operators/multimodal.py): the deterministic fake decode
+    is an 8-bin byte histogram (byte >> 5), L1-normalized in float32.
+
+    The registered projection un-normalizes the feature back to exact
+    integer bin counts (``round(feature_k * n_bytes)`` — exact because
+    float32 relative error << 0.5/count), so the driver's canonicalizer
+    sees only hashable scalars AND the query is fully DuckDB-oracle
+    checkable (the oracle recomputes the histogram from the hex
+    encoding: bin = high_nibble // 2). The raw ``array<float>`` form
+    stays covered by tests/test_operators.py."""
     from pyspark_movie_recommender_spark.operators.multimodal import (
         attach_fake_payload,
         decode_and_featurize,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_and_featurize(attach_fake_payload(docs))
+    feats = decode_and_featurize(attach_fake_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        *[
+            F.round(F.element_at("feature", k + 1) * F.col("n_bytes"))
+            .cast("long")
+            .alias(f"h{k}")
+            for k in range(8)
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1579,11 +1636,23 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum Bernoulli sampling (``sampleBy`` on lang, seeded):
     the training-data curation primitive for rebalancing a corpus by
     language/source. Sampling is partition-local — no shuffle; rows-only
-    check (membership is seed+partitioning dependent by design)."""
+    check (membership is seed+partitioning dependent by design).
+
+    The lang→fraction policy is a static map (a curation config, like a
+    real pipeline's per-source sampling rates) — no driver round-trip to
+    enumerate strata; strata absent from the map default to 0.25 via a
+    fraction column rather than ``sampleBy``'s dict contract."""
     docs = load_table(spark, sf_dir, "documents")
-    langs = [r.lang for r in docs.select("lang").distinct().collect()]
-    fractions = {lang: (0.5 if lang == "en" else 0.25) for lang in langs}
-    sampled = docs.sampleBy("lang", fractions, seed=7)
+    policy = {"en": 0.5}  # named strata; everything else defaults
+    frac = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in policy.items()],
+        F.lit(0.25),
+    )
+    # Bernoulli per-stratum sample without enumerating strata: keep a row
+    # iff a seeded uniform draw (deterministic per row) falls under its
+    # stratum's fraction — exactly what sampleBy does per partition, but
+    # expressible with a static policy and no collect() job.
+    sampled = docs.withColumn("__u", F.rand(seed=7)).filter(F.col("__u") < frac)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
@@ -2071,6 +2140,7 @@ def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, token
     LIMIT 20
     """,
+    bench=True,
 )
 def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 most frequent tokens (exact heavy hitters).
@@ -2245,9 +2315,9 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
         FROM documents WHERE trim(text) <> ''
     ), grams AS (
-        SELECT doc_id, array_to_string(t[g.i : g.i + 9], ' ') AS gram
-        FROM toks, (SELECT unnest(generate_series(1, 500)) AS i) g
-        WHERE g.i + 9 <= len(t)
+        SELECT doc_id, array_to_string(t[i : i + 9], ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS i
+              FROM toks WHERE len(t) >= 10)
     ), ev AS (
         SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0
     ), tr AS (
@@ -2259,6 +2329,7 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tr JOIN ev ON tr.gram = ev.gram
     GROUP BY tr.doc_id
     """,
+    bench=True,
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
@@ -2307,45 +2378,28 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS edit_distance
     FROM documents a JOIN documents b
       ON a.lang = b.lang
-     AND a.n_chars // 50 = b.n_chars // 50
+     AND b.n_chars // 50 BETWEEN a.n_chars // 50 - 1 AND a.n_chars // 50 + 1
      AND a.doc_id < b.doc_id
     WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 8
     """,
+    bench=True,
 )
 def levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup mining with blocking: candidate pairs are
-    restricted to the same (lang, length-bucket) block before the O(n²)
-    levenshtein runs on 40-char prefixes. Complements the set-based
+    """Edit-distance near-dup mining with bucket±1 blocking: candidate
+    pairs are restricted to the same lang and adjacent length buckets
+    before the O(n²) levenshtein runs on 40-char prefixes — the ±1
+    expansion recovers pairs straddling a bucket boundary (len 49 vs 51)
+    that plain blocking silently drops. Complements the set-based
     near-dup family (MinHash/SimHash/Jaccard) with an order-sensitive
-    measure.
-
-    Scale shape: the blocked self-join shuffles both sides on the block
-    key once; pair count is sum of per-block C(n,2), not global C(n,2)
-    — blocking is what makes edit-distance dedup feasible at corpus
-    scale (prefix cap bounds each comparison's cost).
+    measure. See operators/dedup.py blocked_levenshtein_pairs for the
+    distributed shape.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / 50).alias("bucket"),
-        F.substring("text", 1, 40).alias("prefix"),
+    from pyspark_movie_recommender_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("left_id"),
-            F.col("b.doc_id").alias("right_id"),
-            F.levenshtein("a.prefix", "b.prefix").cast("long").alias("edit_distance"),
-        )
-        .filter(F.col("edit_distance") <= 8)
-    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocked_levenshtein_pairs(docs)
 
 
 @query(
@@ -2355,9 +2409,9 @@ def levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
         FROM documents WHERE trim(text) <> ''
     ), grams AS (
-        SELECT doc_id, array_to_string(t[g.i : g.i + 2], ' ') AS gram
-        FROM toks, (SELECT unnest(generate_series(1, 500)) AS i) g
-        WHERE g.i + 2 <= len(t)
+        SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
