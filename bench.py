@@ -40,12 +40,15 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    from pyspark_movie_recommender_spark.operators.cache import release_all
+
     times: dict[str, float] = {}
     for name in Q.BENCH_QUERIES:
         df = Q.QUERIES[name](spark, SF_DIR)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        release_all()  # drop per-query cached sketches (LSH signature tables)
 
     total = round(sum(times.values()), 3)
     print(

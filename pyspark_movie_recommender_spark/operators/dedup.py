@@ -10,7 +10,7 @@ Five tiers, each with a different cost/recall point at 100 TB:
 4. MinHash + LSH banding — the sub-quadratic scale path: constant-size
    signature per doc, band-bucket equi-join, verify candidates only;
 5. SimHash — 64-bit fingerprint; near-dups differ in few bits, bucketed
-   by rotated prefixes.
+   by (max_hamming+1) bit chunks (pigeonhole-exact recall).
 
 The exact forms (1-3) are DuckDB-oracle-checkable; the probabilistic
 forms (4-5) are deterministic given fixed hash seeds but engine-specific,
@@ -54,6 +54,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over character n-gram shingle sets.
 
@@ -63,14 +64,34 @@ def ngram_jaccard_pairs(
     shingles, so disjoint documents never meet. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
 
-    At 100 TB this exact form is for verification/sampling; LSH
+    ``max_shingle_df`` is the stop-shingle cap that makes this safe
+    beyond sampling scale: a shingle present in d documents contributes
+    C(d, 2) candidate pairs, so ONE boilerplate shingle shared by 1M
+    docs is a 10¹²-pair bucket. Capping document frequency bounds every
+    shingle's contribution at C(cap, 2); Jaccard is then computed over
+    the FILTERED shingle sets (sizes included) so the measure stays
+    internally consistent. The df-filter join keys on ``shingle`` — the
+    same key as the candidate self-join — so its shuffle partitioning is
+    reused, not added.
+
+    At 100 TB the uncapped exact form is for verification/sampling; LSH
     (``minhash_lsh_pairs``) is the candidate generator.
     """
     base = df.select(
         F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sizes = base.select("id", F.size("shingles").alias("n_shingles"))
     exploded = base.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        keep = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(keep, "shingle").select("id", "shingle")
+        sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    else:
+        sizes = base.select("id", F.size("shingles").alias("n_shingles"))
 
     a = exploded.select(F.col("id").alias("id_a"), "shingle")
     b = exploded.select(F.col("id").alias("id_b"), "shingle")
@@ -242,16 +263,18 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
     across bands.
     """
+    from pyspark_movie_recommender_spark.operators.cache import track
+
     rows_per_band = num_hashes // bands
     sig_udf = minhash_signature_udf(n, num_hashes, seed)
-    base = (
+    base = track(
+        # the signature table feeds three plan branches (band keys + two
+        # re-attach joins); tracked persist = the single-query stand-in
+        # for the checkpointed signature table a 100 TB pipeline would
+        # write (cache.release_all() frees the blocks once consumed)
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .filter(F.length("__t") >= n)
         .select("id", sig_udf(F.col("__t")).alias("sig"))
-        # the signature table feeds three plan branches (band keys + two
-        # re-attach joins); persist = the single-query stand-in for the
-        # checkpointed signature table a 100 TB pipeline would write
-        .persist()
     )
     # Band join + pair-dedup shuffle ONLY (id, band, bucket): 24 bytes
     # per banded row instead of the 0.5 KB signature array. At 100 TB
@@ -371,11 +394,28 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """SimHash near-dup pairs bucketed by 16-bit chunks (pigeonhole: two
-    signatures within Hamming distance 3 share at least one of 4 chunks).
+    """SimHash near-dup pairs bucketed by ``max_hamming + 1`` bit chunks.
+
+    Pigeonhole guarantee: two signatures within Hamming distance h
+    differ in at most h chunks, so they agree exactly on at least one of
+    h+1 — recall is 100% for ANY ``max_hamming`` (the chunk count is
+    derived from it, not fixed). The cost side: larger h → narrower
+    chunks → smaller bucket key space → more candidate collisions, so
+    keep h modest (≤ ~8 for a 64-bit signature); beyond that, use
+    multi-chunk combination keys (Manku et al., WWW'07 §3) or the
+    MinHash path.
 
     Returns (id_a, id_b, hamming) pairs with hamming <= max_hamming.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 32:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks of a 64-bit "
+            "signature; chunks below 2 bits bucket everything together — "
+            "use minhash_lsh_pairs for that similarity regime"
+        )
+    starts = [c * 64 // n_chunks for c in range(n_chunks)]
+    widths = [(c + 1) * 64 // n_chunks - starts[c] for c in range(n_chunks)]
     sig = df.select(
         F.col(id_col).alias("id"), simhash64_udf(seed)(F.col(text_col)).alias("sim")
     )
@@ -387,9 +427,11 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftrightunsigned("sim", starts[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        .alias("key"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),

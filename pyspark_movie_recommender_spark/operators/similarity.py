@@ -162,6 +162,8 @@ def lsh_neardup_pairs(
     matches. Returns (id_a, id_b, cos_sim) with id_a < id_b and
     cos_sim >= threshold.
     """
+    from pyspark_movie_recommender_spark.operators.cache import track
+
     buckets = band_bucket_udf(dim, bits, bands, seed)
     v = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     # Band join and pair-dedup shuffle ONLY (id, band, bucket) — never
@@ -169,12 +171,11 @@ def lsh_neardup_pairs(
     # wide row through explode+join+distinct is the difference between
     # shuffling ~16 bytes/candidate and ~0.5 KB/candidate. Vectors are
     # re-attached to the deduped pairs with two narrow hash joins.
-    banded = v.select(
-        "id", F.posexplode(buckets(F.col("v"))).alias("band", "bucket")
-    # both sides of the self-join read the sketch; persist = compute the
-    # sketch UDF once (the single-query stand-in for a checkpointed
-    # sketch table on a cluster)
-    ).persist()
+    # Both sides of the self-join read the sketch; tracked persist =
+    # compute the sketch UDF once, releasable via cache.release_all()
+    banded = track(
+        v.select("id", F.posexplode(buckets(F.col("v"))).alias("band", "bucket"))
+    )
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     pairs = (
@@ -213,41 +214,61 @@ def ivf_topk(
     substitute that needs no iteration — good enough for cell routing).
     Corpus assignment is one scan; the probe search joins on cell id, so
     the per-probe work drops by ~n_cells/nprobe versus brute force.
+
+    Cell assignment is MAP-SIDE: the n_cells centroid vectors are
+    collected once (a tiny driver-side scalar, like ALS's RMSE — NOT a
+    hot-path collect) and shipped as a pandas-UDF closure constant, so
+    each corpus vector's nearest cell is one row of a per-batch NumPy
+    matmul with no shuffle between the corpus scan and the cell join.
+    (The previous form ranked a corpus×centroids cross join with a
+    window partitioned by the per-row-unique id — a full shuffle of the
+    corpus, vectors included, to compute a per-row argmax.)
     """
-    # deterministic centroid sample, small enough to broadcast
-    cents = (
+    from pyspark.sql.functions import pandas_udf
+
+    # deterministic centroid sample: ~n_cells vectors, driver-side once
+    cent_rows = (
         corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
         .withColumn("h", F.xxhash64(F.col("cid"), F.lit(seed)))
         .orderBy("h")
         .limit(n_cells)
-        .select(F.row_number().over(W.orderBy("cid")).alias("cell"), "cv")
+        .orderBy("cid")  # cell id = rank of centroid's vec_id (stable)
+        .collect()
     )
+    cmat = np.stack([np.asarray(r.cv, dtype=np.float64) for r in cent_rows])
+    cnorm = np.linalg.norm(cmat, axis=1)
 
-    def nearest_cells(side: DataFrame, vid: str, vcol: str, topn: int, out_id: str):
-        scored = side.crossJoin(F.broadcast(cents)).select(
-            F.col(vid).alias(out_id),
-            F.col(vcol).alias(f"__{out_id}_v"),
-            "cell",
-            cosine_arrow()(F.col(vcol), F.col("cv")).alias("csim"),
-        )
-        w = W.partitionBy(out_id).orderBy(F.desc("csim"), F.asc("cell"))
-        return (
-            scored.withColumn("crnk", F.row_number().over(w))
-            .filter(F.col("crnk") <= topn)
-            .drop("csim", "crnk")
-        )
+    def top_cells_udf(topn: int):
+        @pandas_udf("array<int>")
+        def _top(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            m = np.stack(vs.to_numpy())
+            sims = (m @ cmat.T) / (
+                np.linalg.norm(m, axis=1)[:, None] * cnorm[None, :]
+            )
+            # stable argsort on -sim: ties break by centroid order (cell asc)
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
+            return pd.Series(list((idx + 1).astype(np.int32)))
 
-    c = corpus.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("nv"))
-    assigned = nearest_cells(c, "nid", "nv", 1, "neighbor_id").withColumnRenamed(
-        "__neighbor_id_v", "nv"
+        return _top
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("nv"))
+    # coalesce with a literal makes `cell` provably non-null, so the join
+    # does NOT infer an isnotnull(cell) filter — which would re-evaluate
+    # the argmax UDF a second time over the whole corpus scan
+    assigned = c.withColumn(
+        "cell", F.coalesce(F.element_at(top_cells_udf(1)(F.col("nv")), 1), F.lit(-1))
     )
-    p = probes.select(F.col(id_col).alias("pid"), _as_double(vec_col).alias("pv"))
-    probed = nearest_cells(p, "pid", "pv", nprobe, "probe_id").withColumnRenamed(
-        "__probe_id_v", "pv"
+    p = probes.select(F.col(id_col).alias("probe_id"), _as_double(vec_col).alias("pv"))
+    probed = p.withColumn(
+        "cell", F.explode(top_cells_udf(nprobe)(F.col("pv")))
     )
 
     scored = (
-        probed.join(assigned, on="cell")
+        # probes are small by definition in ANN search — broadcast them so
+        # the corpus is never shuffled for the cell join
+        assigned.join(F.broadcast(probed), on="cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",

@@ -978,8 +978,14 @@ def dedup_subset_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sub
     ), nonempty AS (
         SELECT * FROM sh WHERE len(shingles) > 0
-    ), ex AS (
+    ), ex0 AS (
         SELECT doc_id, unnest(shingles) AS shingle FROM nonempty
+    ), keep AS (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= 15
+    ), ex AS (
+        SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
     ), shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -988,22 +994,27 @@ def dedup_subset_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            ROUND(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
     FROM shared
-    JOIN (SELECT doc_id, len(shingles) AS sz FROM nonempty) sa ON sa.doc_id = id_a
-    JOIN (SELECT doc_id, len(shingles) AS sz FROM nonempty) sb ON sb.doc_id = id_b
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
     WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.5
     """,
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact character-3-gram Jaccard near-dup pairs (sampled subset).
+    """Exact character-3-gram Jaccard near-dup pairs (sampled subset)
+    with a stop-shingle document-frequency cap.
 
     Candidate pairs come from an equi-join on shared shingles — never a
-    cross join. The sampled subset keeps the exact form cheap; the
-    full-corpus scale path is ``dedup_minhash_lsh`` below.
+    cross join — and the df cap (operators/dedup.py ngram_jaccard_pairs)
+    bounds any one shingle's candidate contribution at C(cap, 2), which
+    is what keeps the exact form from exploding on boilerplate shingles
+    at corpus scale. Full-corpus path is ``dedup_minhash_lsh`` below.
     """
     from pyspark_movie_recommender_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=15
+    )
     return pairs.select(
         F.col("id_a"), F.col("id_b"), F.round("jaccard", 6).alias("jaccard")
     )
@@ -2449,4 +2460,137 @@ def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             1.0 - F.countDistinct("gram") * 1.0 / F.count(F.lit(1)), 6
         ).alias("rep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python-UDF surface (operators/udf_surface.py) — every sanctioned
+# Arrow-batched form registered with a DuckDB oracle: the UDF result must
+# equal the declarative SQL it generalizes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udaf_gini_per_segment",
+    oracle="""
+    WITH s AS (
+        SELECT c_mktsegment, c_acctbal,
+               SUM(c_acctbal) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c_acctbal) OVER (PARTITION BY c_mktsegment) AS tot,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           ROUND((n + 1 - 2 * SUM(cum / tot)) / n, 6) AS acctbal_gini,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM s GROUP BY c_mktsegment, n
+    """,
+)
+def udaf_gini_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): Gini coefficient of account
+    balances per market segment — no built-in SQL aggregate computes it,
+    the vectorized UDAF does, and the oracle re-derives the same value
+    declaratively from a sorted cumulative sum (G = (n+1-2·Σcumᵢ/tot)/n).
+    """
+    from pyspark_movie_recommender_spark.operators.udf_surface import (
+        spend_gini_per_segment,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = spend_gini_per_segment(customer)
+    return out.select(
+        "c_mktsegment",
+        F.round("acctbal_gini", 6).alias("acctbal_gini"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+    )
+
+
+@query(
+    "udf_zscore_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(CASE WHEN STDDEV_POP(o_totalprice)
+                           OVER (PARTITION BY o_orderpriority) = 0
+                      THEN 0.0
+                      ELSE (o_totalprice - AVG(o_totalprice)
+                                OVER (PARTITION BY o_orderpriority))
+                           / STDDEV_POP(o_totalprice)
+                                OVER (PARTITION BY o_orderpriority)
+                 END, 6) AS zscore
+    FROM orders
+    """,
+)
+def udf_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-group standardization (group → pandas frame →
+    group): z-score of order totalprice within each order priority. The
+    oracle computes the identical population z-score with window
+    aggregates — UDF path and declarative path must agree to 6 decimals.
+    """
+    from pyspark_movie_recommender_spark.operators.udf_surface import zscore_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = zscore_per_group(orders, "o_orderpriority", "o_totalprice")
+    return out.select(
+        "o_orderkey", "o_orderpriority", F.round("zscore", 6).alias("zscore")
+    )
+
+
+@query(
+    "udtf_word_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE doc_id % 5 = 0 AND trim(text) <> ''
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(t[i : i + 2], ' ') AS ngram
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+          FROM toks WHERE len(t) >= 3)
+    """,
+)
+def udtf_word_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one document row in → one row per
+    word 3-gram out, lateral-joined against the documents scan. The
+    oracle derives the same rows with a per-row generate_series."""
+    from pyspark_movie_recommender_spark.operators.udf_surface import (
+        make_explode_ngrams_udtf,
+    )
+
+    udtf_cls = make_explode_ngrams_udtf()
+    spark.udtf.register("explode_ngrams", udtf_cls)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs.createOrReplaceTempView("udtf_docs_subset")
+    return spark.sql(
+        """
+        SELECT g.doc_id, g.pos, g.ngram
+        FROM udtf_docs_subset d,
+             LATERAL explode_ngrams(d.doc_id, d.text, 3) g
+        """
+    )
+
+
+@query(
+    "udf_sigmoid_part_price",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(1.0 / (1.0 + exp(-(p_retailprice - 1500.0) / 250.0)), 6)
+               AS price_sigmoid
+    FROM part
+    """,
+)
+def udf_sigmoid_part_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: logistic squash of centred part price — the
+    Arrow-batched Series→Series form, checked against the closed-form
+    SQL it implements."""
+    from pyspark_movie_recommender_spark.operators.udf_surface import sigmoid_scale
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(
+            sigmoid_scale((F.col("p_retailprice") - 1500.0) / 250.0), 6
+        ).alias("price_sigmoid"),
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark_movie_recommender_spark.operators import relational as R
 from pyspark_movie_recommender_spark.operators.asof import asof_join, merge_asof_pandas
 from pyspark_movie_recommender_spark.operators.dedup import (
+    blocked_levenshtein_pairs,
     content_hash_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -116,6 +117,32 @@ def test_simhash_finds_planted_pair(spark, docs_with_dups):
     pairs = simhash_neardup_pairs(docs_with_dups, "text", "doc_id", max_hamming=16)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 101) in got
+
+
+def test_ngram_jaccard_df_cap_kills_hot_shingle_blowup(spark):
+    # 12 docs whose ONLY overlap is a boilerplate footer: uncapped, the
+    # footer's shingles put every pair in one bucket (C(12,2) candidates);
+    # with a df cap the footer shingles drop and no pair survives.
+    rows = [(i, chr(65 + i) * 8 + " COMMON BOILERPLATE FOOTER") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.01)
+    assert uncapped.count() == 66  # every pair met via the hot shingles
+    capped = ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.01, max_shingle_df=8
+    )
+    assert capped.count() == 0  # bounded candidates: hot shingles filtered
+
+
+def test_levenshtein_blocking_recovers_bucket_boundary_pair(spark):
+    rows = [
+        (1, "en", 49, "x" * 49),
+        (2, "en", 51, "x" * 51),  # lengths straddle the 50-char bucket edge
+        (3, "de", 51, "x" * 51),  # other lang: blocked out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int, text string")
+    got = {(r.left_id, r.right_id) for r in blocked_levenshtein_pairs(df).collect()}
+    assert (1, 2) in got  # plain same-bucket blocking silently misses this
+    assert all(3 not in p for p in got)
 
 
 # ---------------------------------------------------------------------------

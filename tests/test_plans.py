@@ -70,3 +70,20 @@ def test_cosine_topk_corpus_not_shuffled_before_scoring(spark, sf_dir):
     df = Q.QUERIES["cosine_topk"](spark, sf_dir)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan  # probes broadcast to corpus
+
+
+def test_ivf_cell_assignment_is_map_side(spark, sf_dir):
+    df = Q.QUERIES["ann_ivf_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    # exactly one shuffle in the whole query: the final per-probe top-k
+    # window. Corpus→cell assignment is a map-side pandas UDF and the
+    # cell join broadcasts the probes, so the corpus is never shuffled.
+    assert count_exchanges(df) == 1
+    assert "BroadcastHashJoin" in plan
+    # the assignment UDF must run ONCE over the corpus: a nullable cell
+    # key would make the join re-evaluate it behind an isnotnull filter.
+    # (formatted plans list each node twice — tree + detail header; count
+    # detail headers: corpus cell, probe cells, cosine scoring = 3)
+    import re
+
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 3
