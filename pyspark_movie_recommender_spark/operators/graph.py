@@ -6,16 +6,23 @@ edges, connected components give cluster ids, ``min(id)`` per component
 is the keeper. The reference has no graph surface at all (SURVEY.md §2);
 this is north-star pipeline infrastructure.
 
-Algorithm: iterative min-label propagation over the undirected edge
-set — each round every vertex takes the min of its own label and its
-neighbours' labels; converges in O(graph diameter) rounds. Near-dup
-graphs are unions of small dense clusters (diameter ≲ 3), so 3-5
-rounds typically suffice. Each round is one shuffle (join + groupBy on
-vertex id); lineage is truncated per round with ``localCheckpoint`` so
-plans stay constant-size (the classic iterative-DataFrame pitfall).
-For adversarial long-chain graphs at 100 TB, swap in the large-star/
-small-star variant (Kiveris et al., "Connected Components in
-MapReduce"), which bounds rounds at O(log n); plumbing is identical.
+Two algorithms, same contract (returns (id, component) with component =
+min reachable vertex id):
+
+- ``connected_components`` — iterative min-label propagation; one
+  shuffle per round, converges in O(diameter) rounds. The right choice
+  for near-dup graphs (unions of small dense clusters, diameter ≲ 3).
+  Raises if the graph doesn't converge within ``max_rounds`` rather than
+  silently returning wrong labels.
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): converges in O(log² n) rounds regardless of diameter, so
+  adversarial long chains can't blow the round budget.
+
+Both accept ``checkpoint_dir``: set it on a real cluster to truncate
+lineage with RELIABLE checkpoints (HDFS/object store — survives executor
+loss); unset, they fall back to ``localCheckpoint`` (executor-memory
+blocks: fine on local[N], not fault-tolerant on a cluster).
 """
 
 from __future__ import annotations
@@ -24,28 +31,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _checkpointer(df_example: DataFrame, checkpoint_dir: str | None):
+    """Returns a fn that truncates a DataFrame's lineage each round."""
+    if checkpoint_dir is not None:
+        df_example.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    return ckpt
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Connected components of the undirected graph given by ``edges``.
+    """Connected components by iterative min-label propagation.
 
     Returns (id, component) with component = min vertex id reachable.
     Driver-coordinated iteration (like ALS training): one Spark job per
-    round to evaluate the convergence predicate.
+    round to evaluate the convergence predicate. Raises ``RuntimeError``
+    if labels are still changing after ``max_rounds`` — unconverged
+    labels are silently-wrong cluster assignments; long-diameter graphs
+    should use :func:`connected_components_star` instead.
     """
+    ckpt = _checkpointer(edges, checkpoint_dir)
     bi = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    labels = (
-        bi.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+    labels = ckpt(
+        bi.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
     )
 
     for _ in range(max_rounds):
@@ -54,15 +79,13 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr, labels.id == nbr.u, "left")
-            .select(
+        new_labels = ckpt(
+            labels.join(nbr, labels.id == nbr.u, "left").select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # truncate lineage each round
         )
         changed = (
             new_labels.alias("n")
@@ -73,8 +96,104 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds "
+            "(graph diameter exceeds the round budget); use "
+            "connected_components_star, which needs O(log^2 n) rounds"
+        )
 
     return labels.select("id", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star.
+
+    Each round rewires edges toward the per-neighborhood minimum:
+    large-star hangs every larger neighbor of u under min(Γ(u) ∪ {u});
+    small-star does the same for the smaller neighbors. The edge set
+    monotonically contracts to one star per component rooted at the
+    component minimum, in O(log² n) rounds for ANY topology (Kiveris et
+    al., SoCC'14) — the defense against adversarial long chains where
+    label propagation needs O(diameter) rounds.
+
+    Edges are kept as (child > parent) pairs; the fixpoint test is a
+    single-pass count+checksum aggregate per round (no extra join): XOR
+    of per-edge hashes — order-insensitive, overflow-free under ANSI,
+    and exact on the distinct edge set up to a 2⁻⁶⁴-ish collision
+    probability, negligible next to hardware fault rates.
+    """
+    ckpt = _checkpointer(edges, checkpoint_dir)
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhood view: (u, v) in both directions
+        nbrs = e.select(
+            F.col("child").alias("u"), F.col("parent").alias("v")
+        ).unionByName(
+            e.select(F.col("parent").alias("u"), F.col("child").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        j = nbrs.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("child"), F.col("m").alias("parent")
+            )
+        else:
+            out = (
+                j.filter(F.col("v") < F.col("u"))
+                .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+                .unionByName(
+                    m.select(F.col("u").alias("child"), F.col("m").alias("parent"))
+                )
+            )
+        return out.filter(F.col("child") != F.col("parent")).distinct()
+
+    e = ckpt(
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("child"),
+            F.least(F.col(src), F.col(dst)).alias("parent"),
+        )
+        .filter(F.col("child") != F.col("parent"))
+        .distinct()
+    )
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("child", "parent")).alias("chk"),
+        ).collect()[0]
+        return (row.n, row.chk)
+
+    fp = fingerprint(e)
+    for _ in range(max_rounds):
+        e = ckpt(star(star(e, large=True), large=False))
+        new_fp = fingerprint(e)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_rounds} "
+            "rounds — beyond the O(log^2 n) bound; the edge input is likely "
+            "pathological (check for self-loops or nulls)"
+        )
+
+    roots = e.select("parent").distinct().join(
+        e.select(F.col("child").alias("parent")).distinct(), "parent", "left_anti"
+    )
+    return e.select(
+        F.col("child").alias("id"), F.col("parent").alias("component")
+    ).unionByName(
+        roots.select(F.col("parent").alias("id"), F.col("parent").alias("component"))
+    )
 
 
 def dedup_keepers(

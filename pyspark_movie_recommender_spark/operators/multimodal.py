@@ -111,13 +111,73 @@ def decode_and_featurize(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — STUB: requires a video codec not present in
-    this container. The Spark-side contract (explode frames to rows with
-    (doc_id, frame_idx, frame_payload)) is defined; the codec call raises.
+def attach_fake_video_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ms_per_char: int = 40
+) -> DataFrame:
+    """Deterministic fake VIDEO payloads: like ``attach_fake_payload``
+    but modality='video' with a duration derived from text length, so
+    the frame-sampling plumbing has real metadata to chew on."""
+    return df.select(
+        id_col,
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/mp4").alias("mime"),
+            F.lit(640).alias("width"),
+            F.lit(360).alias("height"),
+            (F.length(text_col).cast("long") * ms_per_char).alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "doc_id",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Sample one frame every ``every_ms`` from each video payload.
+
+    The Spark side is fully real: filter to video rows, explode a frame
+    INDEX per sampling instant (``sequence(0, (duration_ms-1) / every_ms)``
+    — pure JVM, no Python), and emit (doc_id, frame_idx, ts_ms,
+    frame_payload). Only the codec byte-decode is faked: frame_payload =
+    sha256(payload ‖ frame_idx) as 32 deterministic bytes, standing in
+    for the decoded frame a PyAV/ffmpeg call would produce. Swapping in
+    a real decoder replaces ONE expression (the frame_payload column)
+    with a mapInPandas over (payload, frame_idx) — partitioning, schema
+    and fan-out shape are unchanged.
+
+    Scale shape: the explode multiplies rows but each output row carries
+    only the 32-byte fake (a real decoder would emit the frame bytes);
+    the payload column itself is dropped before any shuffle can see it.
     """
-    raise NotImplementedError(
-        "frame_sample needs a video codec (e.g. PyAV) not available in this "
-        "environment; the operator contract is (doc_id, frame_idx BIGINT, "
-        "frame_payload BINARY) exploded from each video payload"
+    vids = df.filter(
+        (F.col(f"{meta_col}.modality") == "video")
+        & F.col(f"{meta_col}.duration_ms").isNotNull()
+        & (F.col(f"{meta_col}.duration_ms") > 0)
+    )
+    frames = vids.select(
+        id_col,
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                ((F.col(f"{meta_col}.duration_ms") - 1) / every_ms).cast("long"),
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        id_col,
+        "frame_idx",
+        (F.col("frame_idx") * every_ms).alias("ts_ms"),
+        F.unhex(
+            F.sha2(
+                F.concat(
+                    F.col("payload"),
+                    F.encode(F.col("frame_idx").cast("string"), "UTF-8"),
+                ),
+                256,
+            )
+        ).alias("frame_payload"),
     )

@@ -1020,9 +1020,9 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_components",
-    oracle="""
+# shared by dedup_components (label propagation) and dedup_components_star
+# (large-star/small-star): both must equal the declarative fixpoint
+_CC_ORACLE = """
     WITH RECURSIVE sub AS (
         SELECT doc_id, trim(text) AS tx FROM documents WHERE doc_id % 25 = 0
     ), sh AS (
@@ -1055,8 +1055,10 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT bi.u, r.label FROM reach r JOIN bi ON bi.v = r.id
     )
     SELECT id, MIN(label) AS component FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+@query("dedup_components", oracle=_CC_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → clusters: connected components over the exact
     Jaccard pair graph (min-label propagation, one shuffle per round,
@@ -1069,6 +1071,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
     return connected_components(pairs)
+
+
+@query("dedup_components_star", oracle=_CC_ORACLE)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as ``dedup_components`` but via the alternating
+    large-star/small-star contraction (O(log² n) rounds for any graph
+    diameter — the 100 TB-safe variant for adversarial chain topologies).
+    Checked against the identical recursive-CTE fixpoint oracle, so both
+    algorithms are pinned to the same declarative answer."""
+    from pyspark_movie_recommender_spark.operators.dedup import ngram_jaccard_pairs
+    from pyspark_movie_recommender_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return connected_components_star(pairs)
 
 
 @query("dedup_minhash_lsh", bench=True)
@@ -1086,7 +1105,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit chunk bucketing (rows-only)."""
+    """SimHash near-dup pairs, (max_hamming+1)-chunk pigeonhole bucketing
+    (rows-only)."""
     from pyspark_movie_recommender_spark.operators.dedup import simhash_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
@@ -1624,6 +1644,44 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"h{k}")
             for k in range(8)
         ],
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) * 40 AS duration_ms
+        FROM documents WHERE doc_id % 10 = 0 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT)          AS frame_idx,
+           CAST(i * 1000 AS BIGINT)   AS ts_ms,
+           sha256(text || CAST(i AS VARCHAR)) AS frame_sha
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0, (duration_ms - 1) // 1000)) AS i
+          FROM vids)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: per-payload frame-index explode driven by
+    duration metadata (1 frame/sec), all JVM-side; the codec decode is a
+    deterministic 32-byte fake (see operators/multimodal.py
+    frame_sample). Oracle re-derives the identical (frame_idx, ts_ms,
+    sha) fan-out with a per-row generate_series."""
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        attach_fake_video_payload,
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    frames = frame_sample(attach_fake_video_payload(docs), every_ms=1000)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.lower(F.hex(F.col("frame_payload"))).alias("frame_sha"),
     )
 
 

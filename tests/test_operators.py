@@ -335,3 +335,53 @@ def test_connected_components_and_keepers(spark):
     df = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id int")
     keep = sorted(r.doc_id for r in dedup_keepers(df, edges, "doc_id").collect())
     assert keep == [1, 10, 20, 99]
+
+
+def test_connected_components_raises_instead_of_wrong_labels(spark):
+    from pyspark_movie_recommender_spark.operators.graph import connected_components
+
+    # path graph of diameter 40 > max_rounds: must raise, never return
+    # silently-unconverged labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=5)
+
+
+def test_star_cc_handles_long_chain_within_log_rounds(spark):
+    from pyspark_movie_recommender_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # 61-vertex path: label propagation needs ~60 rounds; the alternating
+    # large-star/small-star contraction needs O(log² n) — give it 10
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a int, id_b int"
+    )
+    comp = {r.id: r.component for r in connected_components_star(chain, max_rounds=10).collect()}
+    assert comp == {i: 0 for i in range(61)}
+
+    # and on the multi-cluster graph it agrees with label propagation
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a int, id_b int"
+    )
+    star = {r.id: r.component for r in connected_components_star(edges).collect()}
+    lp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert star == lp
+
+
+def test_star_cc_reliable_checkpoint_dir(spark, tmp_path):
+    from pyspark_movie_recommender_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([(5, 1), (5, 9), (2, 9)], "id_a int, id_b int")
+    comp = {
+        r.id: r.component
+        for r in connected_components_star(
+            edges, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 5: 1, 9: 1}
