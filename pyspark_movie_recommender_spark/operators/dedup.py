@@ -135,7 +135,10 @@ def blocked_levenshtein_pairs(
 
     Scale shape: one shuffle on the (lang, bucket) block key; pair count
     is sum of per-block ~3·C(n,2), never global C(n,2). The prefix cap
-    bounds each levenshtein call's cost.
+    bounds each levenshtein call's cost, and the 3-arg
+    ``levenshtein(l, r, threshold)`` (SPARK-44510) runs the banded
+    early-abandon DP — O(len·max_dist) per pair instead of O(len²),
+    returning -1 when the distance exceeds the bound.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -163,9 +166,11 @@ def blocked_levenshtein_pairs(
         .select(
             "left_id",
             "right_id",
-            F.levenshtein("prefix_a", "prefix_b").cast("long").alias("edit_distance"),
+            F.levenshtein("prefix_a", "prefix_b", max_dist)
+            .cast("long")
+            .alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= max_dist)
+        .filter(F.col("edit_distance") >= 0)
     )
 
 
