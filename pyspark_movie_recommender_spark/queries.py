@@ -1757,6 +1757,16 @@ def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     return running_user_totals_stream(spark, sf_dir, query_name="q_stream_totals")
 
 
+@query("streaming_enrich_join")
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: events micro-batches enriched with the
+    broadcast customer dim, aggregated per market segment (rows-only;
+    stream≡batch equivalence in tests/test_streaming.py)."""
+    from pyspark_movie_recommender_spark.streaming.jobs import enrich_join_stream
+
+    return enrich_join_stream(spark, sf_dir, query_name="q_stream_enrich")
+
+
 # ---------------------------------------------------------------------------
 # ALS recommendation (the reference's identity — rows-only, ml-vs-mllib
 # initialization differs; metric bands tested in tests/test_recommend.py)
@@ -2652,3 +2662,155 @@ def udf_sigmoid_part_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigmoid_scale((F.col("p_retailprice") - 1500.0) / 250.0), 6
         ).alias("price_sigmoid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 2 additions: mergeable sketches, forward-fill densification,
+# scalar-subquery + anti-join analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forward_fill_user_value",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               ROUND(AVG(value), 6) AS day_avg
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day
+        FROM span
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.day_avg IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_avg,
+           d.day_avg IS NOT NULL AS observed
+    FROM grid g LEFT JOIN daily d
+      ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def forward_fill_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill densification: regenerate the per-user daily grid
+    (as in ``resample_user_daily``) and carry the LAST OBSERVED daily
+    average into silent days — ``last(col, ignorenulls=True)`` over a
+    running row frame, the gap-fill semantics zero-fill can't express
+    (sensor/price panels, not counters).
+
+    Scale shape: one shuffle on user_id for the daily agg; the span,
+    grid join and the fill window all reuse that partitioning, so the
+    whole densify+fill pipeline is a single exchange. Grid size is
+    bounded by |users|·days, independent of raw event count.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("day_avg", ignorenulls=True).over(fill_w).alias("filled_avg"),
+        F.col("day_avg").isNotNull().alias("observed"),
+    )
+
+
+@query(
+    "global_sales_opportunity",
+    oracle="""
+    WITH seg AS (
+        SELECT * FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    ), avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM seg WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM seg c
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (ref has no subquery surface at all): customers
+    in target segments with above-average positive balance and NO urgent
+    order — a global-scalar subquery plus a NOT EXISTS anti-join feeding
+    an aggregate.
+
+    Scale shape: the scalar average is one partial-agg job broadcast as
+    a literal-like 1-row cross join (no shuffle of the fact side); the
+    anti join shuffles only (custkey) pairs; the final agg is a 3-group
+    hash agg. Catalyst plans the NOT EXISTS as LeftAnti directly.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = customer.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+    )
+    avg_bal = seg.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        seg.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query("hll_sketch_rollup")
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB cardinality
+    pattern: build one Apache-DataSketches HLL per order priority
+    (``hll_sketch_agg``, map-side partial agg), report per-group
+    estimates, then UNION THE SKETCHES (``hll_union_agg``) for the
+    global estimate instead of rescanning the fact table.
+
+    Mergeability is the point: per-partition/per-day sketches can be
+    stored and rolled up later at any grain for free. Rows-only for the
+    driver (estimates are sketch-parameter-dependent);
+    tests/test_operators.py pins estimates to exact counts within HLL
+    error and checks union(sketches) == sketch(union).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    sketches = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("sk")
+    )
+    per_group = sketches.select(
+        F.col("o_orderpriority").alias("grain"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    merged = sketches.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("grain"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    return per_group.unionByName(merged)

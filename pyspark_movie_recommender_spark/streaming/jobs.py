@@ -128,6 +128,41 @@ def dedup_within_watermark_stream(
     return spark.table(query_name)
 
 
+def enrich_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_enrich",
+) -> DataFrame:
+    """Stream-static join: each micro-batch of events is enriched with
+    the (static) customer dimension, then aggregated per market segment.
+
+    The static side is broadcast — no stream-side shuffle for the join,
+    and the dim is re-resolved every micro-batch so slowly-changing
+    dimensions pick up updates without restarting the query. This is the
+    canonical enrichment topology for 100 TB/day ingest: the only
+    stateful operator is the final windowless aggregate (state ∝
+    |segments|, constant).
+    """
+    from pyspark_movie_recommender_spark.sources.tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    agg = (
+        ev.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    _run_to_table(agg, query_name, "complete")
+    return spark.table(query_name)
+
+
 def running_user_totals_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -385,3 +385,36 @@ def test_star_cc_reliable_checkpoint_dir(spark, tmp_path):
         ).collect()
     }
     assert comp == {1: 1, 2: 1, 5: 1, 9: 1}
+
+
+def test_hll_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark import queries as Q
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    est = {
+        r.grain: r.approx_customers
+        for r in Q.QUERIES["hll_sketch_rollup"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = orders.select("o_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for grain, n in exact.items():
+        # lgConfigK=12 → relative error ~1.6%; allow 5%
+        assert abs(est[grain] - n) <= max(2, 0.05 * n), (grain, est[grain], n)
+
+    # mergeability: union of per-group sketches == sketch built directly
+    direct = (
+        orders.agg(F.hll_sketch_agg("o_custkey", 12).alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est["ALL"] == direct

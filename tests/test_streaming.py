@@ -65,3 +65,26 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     s = sorted(tuple(r) for r in out.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert s == b
+
+
+def test_enrich_join_stream_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.streaming.jobs import enrich_join_stream
+
+    stream = enrich_join_stream(spark, sf_dir, query_name="t_enrich_eq")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert rows(stream) == rows(batch)
