@@ -2814,3 +2814,74 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_customers"),
     )
     return per_group.unionByName(merged)
+
+
+@query(
+    "variant_shred_events",
+    oracle="""
+    WITH shred AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+        FROM events
+    )
+    SELECT k % 7                      AS k_mod,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS total_value,
+           MIN(k)                    AS min_k,
+           MAX(k)                    AS max_k
+    FROM shred GROUP BY 1
+    """,
+)
+def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4,
+    SPARK-45827): ``parse_json`` shreds props into the binary variant
+    encoding ONCE, then typed ``variant_get`` paths feed grouping and
+    aggregation — the open-format answer to JSON-string re-parsing per
+    expression (``json_extract_events`` is the string-path twin).
+
+    Scale shape: parse + typed get are map-side scalar expressions in
+    whole-stage codegen; the only shuffle is the 7-group hash agg, with
+    map-side partial aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "pysource_synthetic_docs",
+    oracle="""
+    SELECT i                     AS id,
+           'doc-' || i           AS title,
+           rtrim(repeat(
+               ['alpha','beta','gamma','delta','epsilon','zeta','eta','theta']
+                   [i % 8 + 1] || ' ',
+               i % 5 + 1))       AS body,
+           CAST(length(rtrim(repeat(
+               ['alpha','beta','gamma','delta','epsilon','zeta','eta','theta']
+                   [i % 8 + 1] || ' ',
+               i % 5 + 1))) AS INTEGER) AS body_len
+    FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    WHERE i % 3 = 0
+    """,
+)
+def pysource_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API
+    (sources/pydatasource.py): an 8-way partitioned deterministic
+    generator scanned like any table; the filter-and-project runs on the
+    source's own splits. The oracle replays the generator row function
+    in pure SQL, so the connector sits under the same correctness gate
+    as the builtin sources."""
+    from pyspark_movie_recommender_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    docs = spark.read.format("synthetic_docs").option("numRows", 2000).load()
+    return docs.filter(F.col("id") % 3 == 0)

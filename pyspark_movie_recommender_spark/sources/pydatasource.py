@@ -1,0 +1,92 @@
+"""Custom connector via the Spark 4 Python DataSource API.
+
+The reference hard-codes its two CSV inputs (recommender.py:40-44); a
+real engine needs pluggable connectors. Spark 4's Python DataSource API
+(SPARK-44076) is the sanctioned way to add one without JVM code: a
+``DataSource`` subclass declares the schema, its reader splits the scan
+into ``InputPartition``s, and each partition is read independently on an
+executor — same parallel-scan contract as the builtin file sources.
+
+``SyntheticDocsDataSource`` is a deterministic generator source (id,
+title, body, body_len) used to exercise that contract end-to-end: the
+row content is a pure function of the row id, so a DuckDB
+``generate_series`` oracle can replay the whole scan and the driver's
+correctness gate covers the connector like any other query.
+
+Scale notes: ``partitions()`` returns one split per ``numPartitions``
+(default 8) — Spark schedules them independently, so a generator of N
+rows scans with full cluster parallelism and constant driver memory;
+nothing is materialized driver-side. Arrow/pandas is not needed: the
+reader yields plain tuples, and the per-row cost is trivial next to
+the scan pipeline it feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("title", StringType(), False),
+        StructField("body", StringType(), False),
+        StructField("body_len", IntegerType(), False),
+    ]
+)
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+def _row(i: int) -> tuple[int, str, str, int]:
+    """Deterministic row content for id ``i`` (shared with the oracle:
+    body = the word at i % 8 repeated (i % 5) + 1 times)."""
+    word = _WORDS[i % len(_WORDS)]
+    body = " ".join([word] * (i % 5 + 1))
+    return (i, f"doc-{i}", body, len(body))
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class _SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("numRows", 1000))
+        self.num_partitions = int(options.get("numPartitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        step = max(1, -(-self.n // self.num_partitions))
+        return [
+            _Range(lo, min(lo + step, self.n)) for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _Range):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs").option("numRows", n)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> StructType:
+        return DOCS_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticDocsDataSource)

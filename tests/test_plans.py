@@ -87,3 +87,30 @@ def test_ivf_cell_assignment_is_map_side(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 3
+
+
+def test_forward_fill_is_single_exchange_pipeline(spark, sf_dir):
+    df = Q.QUERIES["forward_fill_user_value"](spark, sf_dir)
+    # daily agg, span agg, grid join and fill window all hash by user_id;
+    # AQE may materialize stages but only user_id exchanges should exist
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line
+
+
+def test_sales_opportunity_anti_join_and_scalar_broadcast(spark, sf_dir):
+    df = Q.QUERIES["global_sales_opportunity"](spark, sf_dir)
+    plan = physical_plan(df)
+    # NOT EXISTS must plan as an anti join, never a cartesian filter
+    assert "LeftAnti" in plan
+    # the scalar average reaches the fact side via broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_variant_shred_stays_in_codegen_until_agg(spark, sf_dir):
+    df = Q.QUERIES["variant_shred_events"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

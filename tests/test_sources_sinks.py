@@ -123,3 +123,23 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_python_datasource_partitioned_scan(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("numRows", 100)
+        .option("numPartitions", 7)
+        .load()
+    )
+    # the reader's splits drive scan parallelism
+    assert docs.rdd.getNumPartitions() == 7
+    assert docs.count() == 100
+    # deterministic content: id 9 -> word 'beta' x 5
+    row = docs.filter(F.col("id") == 9).collect()[0]
+    assert row.body == "beta beta beta beta beta" and row.body_len == len(row.body)
