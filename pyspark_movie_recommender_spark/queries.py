@@ -2885,3 +2885,175 @@ def pysource_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pydatasource.register(spark)
     docs = spark.read.format("synthetic_docs").option("numRows", 2000).load()
     return docs.filter(F.col("id") % 3 == 0)
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each subsequent activity week — the canonical product-analytics
+    rollup (cohort × offset triangle).
+
+    Scale shape: both the first-seen agg and the distinct-activity agg
+    shuffle once on user_id; the cohort join is then co-partitioned on
+    user_id, and only the final (cohort, offset) agg re-keys — three
+    hash aggs, two on the same key. At 100 TB the distinct-activity
+    dedup is the volume reducer (events → user-weeks) before any join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+                ).cast("bigint")
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@query(
+    "event_funnel_ordered",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+               MIN(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT)
+               AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL
+                                   AND t_view > t_signup) AS BIGINT)
+               AS n_signup_view,
+           CAST(COUNT(*) FILTER (WHERE t_signup IS NOT NULL
+                                   AND t_view > t_signup
+                                   AND t_purchase > t_view) AS BIGINT)
+               AS n_signup_view_purchase
+    FROM per_user
+    """,
+)
+def event_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose FIRST signup precedes their first
+    view precedes their first purchase — order-sensitive conversion, not
+    mere event presence. One conditional-min aggregation per step, then
+    a single global rollup.
+
+    Scale shape: conditional aggregates fold the funnel into one
+    user_id-keyed hash agg (map-side partial) — no self-joins, no
+    per-step passes over the events table; the classic N-way funnel
+    self-join collapses into FILTERed MINs.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    step1 = F.col("t_signup").isNotNull()
+    step2 = step1 & (F.col("t_view") > F.col("t_signup"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_view"))
+    return per_user.agg(
+        F.count(F.when(step1, 1)).cast("bigint").alias("n_signup"),
+        F.count(F.when(step2, 1)).cast("bigint").alias("n_signup_view"),
+        F.count(F.when(step3, 1)).cast("bigint").alias("n_signup_view_purchase"),
+    )
+
+
+@query(
+    "ordered_status_concat",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ','
+                      ORDER BY o_orderdate, o_orderkey) AS status_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def ordered_status_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered list aggregation: per-customer order-status
+    sequence in (date, key) order. ``collect_list`` alone is
+    partition-order-nondeterministic — the engine form collects
+    (date, key, status) structs and ``array_sort``s them, making the
+    concat reproducible on any partitioning (the property that matters
+    for audit/export pipelines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("o_orderdate", "o_orderkey", "o_orderstatus")
+                    )
+                ),
+                lambda x: x.o_orderstatus,
+            ),
+            ",",
+        ).alias("status_seq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
+@query(
+    "robust_try_casts",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE TRY_CAST(event_type AS BIGINT) IS NULL)
+                AS BIGINT) AS n_uncastable,
+           CAST(COUNT(*) FILTER (
+                WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0)
+                AS BIGINT) AS n_zero_div,
+           ROUND(SUM(value / NULLIF(
+                CAST(json_extract_string(props, '$.k') AS BIGINT) % 3, 0)), 2)
+               AS safe_div_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def robust_try_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe ingestion expressions (ANSI mode without the blast
+    radius): ``try_cast`` turns malformed casts into NULLs instead of
+    failing the job, ``try_divide`` absorbs divide-by-zero — the
+    row-level robustness a 100 TB ingest needs, where one bad record
+    must not kill a 6-hour job. Failure counts are surfaced as metrics
+    rather than exceptions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("event_type").try_cast("bigint").isNull(), 1))
+        .cast("bigint")
+        .alias("n_uncastable"),
+        F.count(F.when(k % 3 == 0, 1)).cast("bigint").alias("n_zero_div"),
+        F.round(F.sum(F.try_divide(F.col("value"), k % 3)), 2).alias(
+            "safe_div_sum"
+        ),
+    )
