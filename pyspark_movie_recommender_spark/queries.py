@@ -3057,3 +3057,14 @@ def robust_try_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "safe_div_sum"
         ),
     )
+
+
+@query("als_item_neighbors")
+def als_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item related-parts from ALS item factors: cosine top-k over
+    the trained factor matrix via the similarity operator library
+    (rows-only: factor values are initialization-dependent; neighbor
+    sanity is pinned in tests/test_recommend.py)."""
+    from pyspark_movie_recommender_spark.recommend import item_neighbors_from_factors
+
+    return item_neighbors_from_factors(spark, sf_dir)

@@ -179,3 +179,43 @@ def recommend_parts_for_customers(
         F.col("rec.item_id").cast("long").alias("p_partkey"),
         F.round(F.col("rec.rating"), 4).alias("score"),
     )
+
+
+def item_neighbors_from_factors(
+    spark: SparkSession, sf_dir: str, k: int = 3, n_probes: int = 10
+) -> DataFrame:
+    """Related-items retrieval from the trained ALS item-factor matrix:
+    cosine top-k over ``itemFactors`` reusing the similarity operator
+    library — the "customers who bought X also bought Y" surface the
+    reference's user-centric recommend flow (recommender.py:143-176)
+    never exposes.
+
+    Scale shape: ``itemFactors`` is |items|×rank — tiny next to the fact
+    tables — and the probe side is broadcast by ``cosine_topk_bruteforce``
+    (corpus never shuffled); at catalog scale the same call swaps to the
+    LSH-bucketed ANN path with identical output schema.
+    """
+    from pyspark_movie_recommender_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user_id"),
+            F.col("l_partkey").cast("int").alias("item_id"),
+        )
+        .agg(F.log1p(F.sum("l_quantity")).alias("rating"))
+    )
+    model = _als(rank=8, implicit=True, max_iter=5).fit(ratings)
+    factors = model.itemFactors.select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("features").cast("array<float>").alias("embedding"),
+    )
+    probes = factors.orderBy("vec_id").limit(n_probes)
+    return cosine_topk_bruteforce(factors, probes, k=k)

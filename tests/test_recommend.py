@@ -153,3 +153,21 @@ def test_reference_movielens_full_protocol_parity(spark):
         .select(F.lit(0).alias("user_id"), "item_id"),
     ).count()
     assert n_cands * 0.95 <= n_scored <= n_cands
+
+
+def test_als_item_neighbors_shape_and_sanity(spark, sf_dir):
+    from pyspark_movie_recommender_spark.recommend import item_neighbors_from_factors
+
+    out = item_neighbors_from_factors(spark, sf_dir, k=3, n_probes=5).collect()
+    # 5 probes x 3 neighbors, no self-matches, cosine in [-1, 1]
+    assert len(out) == 15
+    by_probe = {}
+    for r in out:
+        assert r.probe_id != r.neighbor_id
+        assert -1.0001 <= r.sim <= 1.0001
+        by_probe.setdefault(r.probe_id, []).append((r.rnk, r.sim))
+    assert all(len(v) == 3 for v in by_probe.values())
+    # rank order follows descending similarity per probe
+    for v in by_probe.values():
+        sims = [s for _, s in sorted(v)]
+        assert sims == sorted(sims, reverse=True)
