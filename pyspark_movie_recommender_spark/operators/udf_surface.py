@@ -89,11 +89,13 @@ def make_explode_ngrams_udtf():
     Spark 3.5+ ``@udtf`` — the table-function escape hatch for
     fan-out transforms that need Python. (Word n-grams themselves are
     also expressible with SQL transform+slice; the UDTF form exists to
-    exercise the surface.)
+    exercise the surface.) ``useArrow=True`` keeps the exchange on the
+    Arrow batch path (ArrowEvalPythonUDTF) rather than pickled rows —
+    the same rule as every other Python boundary in the engine.
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, pos int, ngram string")
+    @udtf(returnType="doc_id bigint, pos int, ngram string", useArrow=True)
     class ExplodeNGrams:
         def eval(self, doc_id: int, text: str, n: int):
             toks = (text or "").split()

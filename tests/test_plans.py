@@ -114,3 +114,17 @@ def test_variant_shred_stays_in_codegen_until_agg(spark, sf_dir):
     plan = physical_plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_no_query_uses_row_at_a_time_python(spark, sf_dir):
+    """Global invariant: every registered query stays JVM-side or uses
+    Arrow-batched Python (ArrowEvalPython / MapInPandas / udtf) — a
+    BatchEvalPython node means a row-at-a-time UDF crept into a hot
+    path. Streaming and ALS queries are skipped (building them executes
+    jobs/training, and their transforms are shared with batch twins)."""
+    skipped = ("streaming_", "als_")
+    for name, fn in Q.QUERIES.items():
+        if name.startswith(skipped):
+            continue
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
