@@ -2818,6 +2818,7 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "variant_shred_events",
+    bench=True,
     oracle="""
     WITH shred AS (
         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
@@ -2889,6 +2890,7 @@ def pysource_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cohort_retention_weekly",
+    bench=True,
     oracle="""
     WITH firsts AS (
         SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
@@ -3068,3 +3070,39 @@ def als_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.recommend import item_neighbors_from_factors
 
     return item_neighbors_from_factors(spark, sf_dir)
+
+
+@query(
+    "rolling_median_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(quantile_cont(o_totalprice, 0.5) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 3) AS roll_median
+    FROM orders
+    """,
+)
+def rolling_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-order median spend per customer: an order-statistic
+    (not sum/avg) over a moving row frame — robust-trend analytics that
+    mean-based frames can't express. ``percentile`` runs as a true
+    window aggregate (linear interpolation, matching ``quantile_cont``; rounded to 3
+    decimals — even-count frames interpolate to exact .xx5 midpoints,
+    where 2-decimal rounding is float-boundary-unstable across engines).
+
+    Scale shape: one exchange on o_custkey; the frame is 5 rows so
+    per-row cost is O(frame log frame) with no second shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 3).alias(
+            "roll_median"
+        ),
+    )
