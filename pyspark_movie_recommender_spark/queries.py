@@ -3106,3 +3106,39 @@ def rolling_median_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roll_median"
         ),
     )
+
+
+# shared-dialect recursive CTE: the SAME string runs on spark.sql and the
+# DuckDB oracle (like sql_shipping_priority) — integer division spelled
+# CAST(floor(x/10)) so both dialects parse it
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey AS node,
+               CAST(c_custkey AS BIGINT) AS anchor,
+               0 AS depth
+        FROM customer WHERE c_custkey < 50
+        UNION ALL
+        SELECT CAST(floor(node / 10) AS BIGINT), anchor, depth + 1
+        FROM chain WHERE node > 0
+    )
+    SELECT anchor,
+           CAST(MAX(depth) AS BIGINT) AS chain_len,
+           CAST(SUM(node) AS BIGINT)  AS chain_sum
+    FROM chain GROUP BY anchor
+"""
+
+
+@query("sql_recursive_chain", oracle=_RECURSIVE_CHAIN_SQL)
+def sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4, SPARK-24497): walk each seed customer key
+    up its digit-truncation hierarchy (node → node div 10) to the root —
+    the BOM-explosion / org-chart traversal shape, expressed in the
+    shared ANSI dialect and executed verbatim by BOTH engines.
+
+    Scale shape: Spark plans each recursive step as a UnionLoop over the
+    previous iteration's output; depth is bounded by log₁₀(maxkey), and
+    each step is a narrow projection — no joins, no widening state.
+    """
+    for t in ("customer",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RECURSIVE_CHAIN_SQL)

@@ -88,3 +88,49 @@ def test_enrich_join_stream_equals_batch(spark, sf_dir):
         )
     )
     assert rows(stream) == rows(batch)
+
+
+def test_checkpointed_availablenow_resume_is_exactly_once(spark, sf_dir, tmp_path):
+    """Incremental ingest: two AvailableNow runs over a growing source
+    directory, one checkpoint — the second run must process ONLY the
+    newly arrived file (no reprocessing, no loss): the exactly-once
+    resume contract a 100 TB daily-ingest pipeline leans on."""
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "arrivals"
+    sink_dir = tmp_path / "sink"
+    ckpt_dir = tmp_path / "ckpt"
+    src_dir.mkdir()
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    total = ev.count()
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.parquet(str(src_dir / "batch1"))
+
+    schema = ev.schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+            .writeStream.format("parquet")
+            .option("path", str(sink_dir))
+            .option("checkpointLocation", str(ckpt_dir))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(str(sink_dir)).count()
+    assert n1 == half1.count()
+
+    half2.coalesce(1).write.parquet(str(src_dir / "batch2"))
+    run_once()
+    out = spark.read.parquet(str(sink_dir))
+    assert out.count() == total  # nothing lost, nothing duplicated
+    assert out.select("event_id").distinct().count() == total
