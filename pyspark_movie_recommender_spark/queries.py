@@ -3142,3 +3142,76 @@ def sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer",):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+@query(
+    "pipeline_decl_top_nations",
+    oracle="""
+    WITH big AS (
+        SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+    ), cust AS (
+        SELECT c_custkey, c_nationkey FROM customer
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT)      AS n_big_orders,
+           ROUND(SUM(b.o_totalprice), 2) AS revenue
+    FROM big b
+    JOIN cust c ON b.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    LIMIT 10
+    """,
+)
+def pipeline_decl_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative pipeline front door (pipeline.py): this exact
+    JSON-able spec — two joins, an aggregate, a top-k — interprets into
+    ONE lazy Catalyst plan, so pushdown/pruning/broadcast behave as if
+    the DataFrame code were hand-written. A spec cannot express a
+    collect, a Python UDF, or a driver loop: the whole surface stays on
+    the optimizer's side."""
+    from pyspark_movie_recommender_spark.pipeline import run_pipeline
+
+    spec = {
+        "source": {"table": "orders"},
+        "steps": [
+            {"op": "filter", "expr": "o_totalprice > 150000"},
+            {"op": "select", "cols": ["o_custkey", "o_totalprice"]},
+            {
+                "op": "join",
+                "right": {
+                    "source": {"table": "customer"},
+                    "steps": [
+                        {"op": "select", "cols": ["c_custkey", "c_nationkey"]},
+                        {"op": "with_column", "name": "o_custkey",
+                         "expr": "c_custkey"},
+                        {"op": "select", "cols": ["o_custkey", "c_nationkey"]},
+                    ],
+                },
+                "on": ["o_custkey"],
+            },
+            {
+                "op": "join",
+                "right": {
+                    "source": {"table": "nation"},
+                    "steps": [
+                        {"op": "with_column", "name": "c_nationkey",
+                         "expr": "n_nationkey"},
+                        {"op": "select", "cols": ["c_nationkey", "n_name"]},
+                    ],
+                },
+                "on": ["c_nationkey"],
+                "broadcast": True,
+            },
+            {
+                "op": "groupby_agg",
+                "keys": ["n_name"],
+                "aggs": {
+                    "n_big_orders": "cast(count(1) as bigint)",
+                    "revenue": "round(sum(o_totalprice), 2)",
+                },
+            },
+            {"op": "orderby", "cols": ["revenue DESC", "n_name"], "limit": 10},
+        ],
+    }
+    return run_pipeline(spark, sf_dir, spec)

@@ -1,0 +1,110 @@
+"""Declarative pipeline runner: spec interpretation, laziness, errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_movie_recommender_spark.pipeline import PipelineError, run_pipeline
+
+
+def test_pipeline_matches_handwritten(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    spec = {
+        "source": {"table": "orders"},
+        "steps": [
+            {"op": "filter", "expr": "o_orderstatus = 'F'"},
+            {
+                "op": "groupby_agg",
+                "keys": ["o_orderpriority"],
+                "aggs": {"n": "cast(count(1) as bigint)"},
+            },
+            {"op": "orderby", "cols": ["n DESC", "o_orderpriority"]},
+        ],
+    }
+    got = [tuple(r) for r in run_pipeline(spark, sf_dir, spec).collect()]
+    want = [
+        tuple(r)
+        for r in (
+            load_table(spark, sf_dir, "orders")
+            .filter("o_orderstatus = 'F'")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("o_orderpriority"))
+            .collect()
+        )
+    ]
+    assert got == want
+
+
+def test_pipeline_window_dedup_union(spark, sf_dir):
+    spec = {
+        "source": {"table": "customer"},
+        "steps": [
+            {
+                "op": "window",
+                "name": "rnk",
+                "expr": "row_number()",
+                "partition_by": ["c_mktsegment"],
+                "order_by": ["c_acctbal DESC", "c_custkey"],
+            },
+            {"op": "filter", "expr": "rnk <= 2"},
+            {"op": "select", "cols": ["c_mktsegment", "c_custkey", "rnk"]},
+            {
+                "op": "union",
+                "right": {
+                    "source": {"table": "customer"},
+                    "steps": [
+                        {
+                            "op": "window",
+                            "name": "rnk",
+                            "expr": "row_number()",
+                            "partition_by": ["c_mktsegment"],
+                            "order_by": ["c_acctbal DESC", "c_custkey"],
+                        },
+                        {"op": "filter", "expr": "rnk <= 2"},
+                        {"op": "select",
+                         "cols": ["c_mktsegment", "c_custkey", "rnk"]},
+                    ],
+                },
+            },
+            {"op": "dedup", "cols": ["c_mktsegment", "c_custkey"]},
+        ],
+    }
+    out = run_pipeline(spark, sf_dir, spec)
+    rows = out.collect()
+    segs = {}
+    for r in rows:
+        segs.setdefault(r.c_mktsegment, []).append(r.c_custkey)
+    assert all(len(v) == 2 for v in segs.values())  # union deduped
+
+
+def test_pipeline_is_one_lazy_plan_with_pushdown(spark, sf_dir):
+    from pyspark_movie_recommender_spark.plans import has_pushed_filter
+
+    spec = {
+        "source": {"table": "lineitem"},
+        "steps": [
+            {"op": "filter", "expr": "l_quantity > 45"},
+            {"op": "select", "cols": ["l_orderkey", "l_quantity"]},
+        ],
+    }
+    df = run_pipeline(spark, sf_dir, spec)
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_pipeline_errors_are_typed(spark, sf_dir):
+    with pytest.raises(PipelineError, match="unknown op"):
+        run_pipeline(
+            spark, sf_dir,
+            {"source": {"table": "nation"}, "steps": [{"op": "collect"}]},
+        )
+    with pytest.raises(PipelineError, match="source"):
+        run_pipeline(spark, sf_dir, {"source": "nation"})
+    with pytest.raises(PipelineError, match="missing field"):
+        run_pipeline(
+            spark, sf_dir,
+            {"source": {"table": "nation"}, "steps": [{"op": "filter"}]},
+        )
