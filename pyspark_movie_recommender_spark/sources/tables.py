@@ -104,3 +104,40 @@ def write_partitioned(
     difference between reading one day and reading three years.
     """
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_mb`` each, optionally sorting within partitions so
+    min/max row-group stats cluster for data skipping.
+
+    The small-files problem is a first-order 100 TB cost (every file is
+    a task + a footer read + a NameNode/liststore entry); streaming
+    sinks and over-parallel writes produce thousands of KB-sized files.
+    Returns the output file count. Sizing reads the source's actual
+    bytes — no collect of data, just filesystem metadata.
+    """
+    size_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(size_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return sum(
+        1
+        for root, _, files in os.walk(dst_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -143,3 +143,42 @@ def test_python_datasource_partitioned_scan(spark):
     # deterministic content: id 9 -> word 'beta' x 5
     row = docs.filter(F.col("id") == 9).collect()[0]
     assert row.body == "beta beta beta beta beta" and row.body_len == len(row.body)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: files written before a column existed
+    read back as NULL for that column under mergeSchema — the contract
+    a years-long 100 TB table relies on when fields are added."""
+    from pyspark.sql import functions as F
+
+    old = spark.range(5).select(F.col("id"), F.lit("a").alias("v1"))
+    new = spark.range(5, 10).select(
+        F.col("id"), F.lit("b").alias("v1"), (F.col("id") * 10).alias("v2")
+    )
+    old.write.parquet(str(tmp_path / "t" / "batch=old"))
+    new.write.parquet(str(tmp_path / "t" / "batch=new"))
+    df = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(df.columns) == {"id", "v1", "v2", "batch"}
+    got = {r.id: r.v2 for r in df.collect()}
+    assert got[1] is None and got[7] == 70
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from pyspark_movie_recommender_spark.sources import load_table
+    from pyspark_movie_recommender_spark.sources.tables import compact_parquet
+
+    src = str(tmp_path / "shattered")
+    # simulate a streaming sink's small-file output: 64 shards
+    load_table(spark, sf_dir, "orders").repartition(64).write.parquet(src)
+    import os
+
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in >= 32
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(
+        spark, src, dst, target_file_mb=128, sort_cols=["o_orderdate"]
+    )
+    assert n_out < n_in / 8
+    assert spark.read.parquet(dst).count() == load_table(
+        spark, sf_dir, "orders"
+    ).count()

@@ -134,3 +134,60 @@ def test_checkpointed_availablenow_resume_is_exactly_once(spark, sf_dir, tmp_pat
     out = spark.read.parquet(str(sink_dir))
     assert out.count() == total  # nothing lost, nothing duplicated
     assert out.select("event_id").distinct().count() == total
+
+
+def test_foreachbatch_streaming_upsert(spark, sf_dir, tmp_path):
+    """foreachBatch upsert sink: maintain a per-user totals table in
+    parquet across micro-batches (merge = full-outer combine + atomic
+    overwrite) — the exactly-once-per-batch upsert pattern used where a
+    transactional table format isn't available."""
+    from pyspark.sql import functions as F
+
+    state_dir = str(tmp_path / "totals")
+
+    def upsert(batch_df, batch_id):
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        try:
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = (
+                prev.unionByName(agg)
+                .groupBy("user_id")
+                .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+            )
+        except Exception:
+            merged = agg
+        merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(state_dir)
+        merged.unpersist()
+
+    ev = _events_stream_for_test(spark, sf_dir)
+    q = (
+        ev.select("user_id", "value")
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def _events_stream_for_test(spark, sf_dir):
+    from pyspark_movie_recommender_spark.streaming.jobs import _events_stream
+
+    return _events_stream(spark, sf_dir)
