@@ -3354,3 +3354,82 @@ def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT CAST(date_trunc('year', l.l_shipdate) AS DATE) AS ship_year,
+           ROUND(100.0 *
+               SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0 END)
+               / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship-year — a
+    conditional-aggregate ratio over a fact⋈dim join (CASE inside SUM,
+    one pass, no self-join).
+
+    Scale shape: part is the broadcast side; the ratio needs a single
+    hash agg on the year key with both sums accumulated together.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.to_date(F.date_trunc("year", F.col("l_shipdate"))).alias("ship_year")
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "map_hof_roundtrip",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(2 * COUNT(*) AS BIGINT) AS doubled
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def map_hof_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column round trip: per-user counts collected into a
+    MAP<event_type, n> (``map_from_entries``), transformed value-wise
+    with the ``transform_values`` higher-order function, then exploded
+    back to rows — construction, HOF update, and flattening of map
+    columns, with the declarative groupBy as the oracle.
+
+    Scale shape: one shuffle for the (user, type) agg; the map is built
+    per-user from its own rows (collect_list feeds map_from_entries
+    within the user_id agg) and never leaves the JVM.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    doubled = maps.select(
+        "user_id",
+        F.transform_values("m", lambda _, v: v * 2).alias("m2"),
+    )
+    return doubled.select(
+        "user_id", F.explode("m2").alias("event_type", "doubled")
+    ).select("user_id", "event_type", F.col("doubled").cast("bigint"))
