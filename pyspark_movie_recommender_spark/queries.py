@@ -3433,3 +3433,95 @@ def map_hof_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doubled.select(
         "user_id", F.explode("m2").alias("event_type", "doubled")
     ).select("user_id", "event_type", F.col("doubled").cast("bigint"))
+
+
+@query(
+    "right_join_nation_suppliers",
+    oracle="""
+    SELECT n.n_name,
+           s.s_suppkey,
+           COALESCE(s.s_acctbal, 0.0) AS acctbal
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def right_join_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every nation row survives even with no
+    suppliers (NULL-filled left side) — the mirror of
+    ``left_join_order_fill`` completing the outer-join family.
+
+    Scale shape: Catalyst rewrites right joins as left joins with sides
+    swapped, so the small preserved side (nation) broadcasts and the
+    fact side never shuffles.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name",
+        "s_suppkey",
+        F.coalesce(F.col("s_acctbal"), F.lit(0.0)).alias("acctbal"),
+    )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)   AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR)             AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR)             AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (deequ-style data quality pass): null count,
+    distinct count, min/max per column, computed in ONE scan — all
+    per-column aggregates live in the same hash agg, then unpivot to a
+    (col, metrics) report. The oracle recomputes column-by-column;
+    equality proves the single-pass fusion loses nothing.
+
+    Scale shape: one pass over the fact table, no shuffle beyond the
+    global agg (a single reduce row), then a constant-size explode.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__null"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = load_table(spark, sf_dir, "orders").agg(*aggs)
+    profile = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_v"),
+                        F.col(f"{c}__max").alias("max_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return profile.select("p.col", "p.n_null", "p.n_distinct", "p.min_v", "p.max_v")
