@@ -200,3 +200,85 @@ def running_user_totals_stream(
     )
     _run_to_table(out, query_name, "update")
     return spark.table(query_name)
+
+
+def user_peaks_transform_with_state(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_user_peaks",
+) -> DataFrame:
+    """Arbitrary stateful streaming on the Spark 4 ``transformWithState``
+    API (SPARK-46815): per-user running event count and peak value kept
+    in typed ValueState, updated per micro-batch.
+
+    Compared to ``applyInPandasWithState`` (kept in
+    ``running_user_totals_stream`` as the 3.x-era form), the processor
+    object gets explicit state handles, timers, and schema evolution —
+    and requires the RocksDB state store, the provider that scales state
+    past executor memory (the 100 TB-stream requirement).
+
+    Gated: the TWS protocol speaks protobuf between the JVM and the
+    Python driver worker; raises ImportError with guidance when
+    ``google.protobuf`` is absent (this container ships without it —
+    tests skip, the applyInPandasWithState twin covers the semantics).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pip install protobuf); use running_user_totals_stream "
+            "(applyInPandasWithState) where it is unavailable"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType(), True),
+            StructField("peak", DoubleType(), True),
+        ]
+    )
+
+    class UserPeaks(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("peaks", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, peak = 0, float("-inf")
+            if self._state.exists():
+                n, peak = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                peak = max(peak, float(pdf["value"].max()))
+            self._state.update((n, peak))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "peak_value": [round(peak, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserPeaks(),
+        outputStructType="user_id bigint, n_events bigint, peak_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    _run_to_table(out, query_name, "update")
+    return spark.table(query_name)

@@ -5,6 +5,8 @@ batch results when driven to completion over the same static input
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark_movie_recommender_spark import queries as Q
 from pyspark_movie_recommender_spark.sources import load_table
 from pyspark_movie_recommender_spark.streaming.jobs import (
@@ -191,3 +193,27 @@ def _events_stream_for_test(spark, sf_dir):
     from pyspark_movie_recommender_spark.streaming.jobs import _events_stream
 
     return _events_stream(spark, sf_dir)
+
+
+def test_transform_with_state_peaks_match_batch(spark, sf_dir):
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState speaks protobuf"
+    )
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        user_peaks_transform_with_state,
+    )
+
+    out = user_peaks_transform_with_state(spark, sf_dir, query_name="t_tws_eq")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("value"), 2).alias("peak_value"),
+        )
+    )
+    s = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b
