@@ -181,3 +181,80 @@ def frame_sample(
             )
         ).alias("frame_payload"),
     )
+
+
+def attach_fake_audio_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic fake AUDIO payloads: UTF-8 text bytes reinterpreted
+    as a PCM16 little-endian stream, with sample-count metadata derived
+    from byte length — real Spark plumbing (binary column + typed
+    struct), fake codec, same pattern as the image/video twins."""
+    return df.select(
+        id_col,
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("audio").alias("modality"),
+            F.lit("audio/pcm").alias("mime"),
+            F.lit(sample_rate).alias("sample_rate"),
+            (F.octet_length(F.encode(F.col(text_col), "UTF-8")) / 2)
+            .cast("long")
+            .alias("n_samples"),
+        ).alias("media_meta"),
+    )
+
+
+def audio_window_rms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    window_samples: int = 256,
+) -> DataFrame:
+    """Windowed RMS energy over PCM16 audio payloads via ``mapInPandas``.
+
+    The Arrow batch shape is the point: payload bytes decode to an int16
+    NumPy array per row (``frombuffer`` — zero-copy), RMS is computed
+    per fixed-size window vectorized, and each input row fans out to
+    one row per window — the same explode-through-Python contract a
+    real feature extractor (spectrogram, VAD) would use. Swapping the
+    fake PCM16 reinterpretation for a real decoder changes only the
+    ``np.frombuffer`` line.
+
+    Output: (doc_id, window_idx, n_samples, rms) — rms rounded to 4
+    decimals for cross-run determinism.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, window_idx long, n_samples long, rms double"
+    )
+
+    def batches(it):
+        for pdf in it:
+            ids, widx, ns, rms = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = bytes(payload)
+                usable = len(buf) - (len(buf) % 2)
+                if usable == 0:
+                    continue
+                samples = np.frombuffer(buf[:usable], dtype="<i2").astype(
+                    np.float64
+                )
+                for w in range(0, len(samples), window_samples):
+                    chunk = samples[w : w + window_samples]
+                    ids.append(doc_id)
+                    widx.append(w // window_samples)
+                    ns.append(len(chunk))
+                    rms.append(
+                        round(float(np.sqrt(np.mean(chunk**2))), 4)
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(batches, schema=out_schema)

@@ -3525,3 +3525,18 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return profile.select("p.col", "p.n_null", "p.n_distinct", "p.min_v", "p.max_v")
+
+
+@query("multimodal_audio_rms")
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction: windowed RMS energy over PCM16
+    payloads through the Arrow mapInPandas fan-out (rows-only: the
+    byte→int16 decode is not SQL-expressible; exactness vs a NumPy
+    reference is pinned in tests/test_operators.py)."""
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        attach_fake_audio_payload,
+        audio_window_rms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return audio_window_rms(attach_fake_audio_payload(docs))

@@ -418,3 +418,55 @@ def test_hll_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
         .e
     )
     assert est["ALL"] == direct
+
+
+def test_audio_window_rms_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        attach_fake_audio_payload,
+        audio_window_rms,
+    )
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 50 = 0")
+    got = {
+        (r.doc_id, r.window_idx): (r.n_samples, r.rms)
+        for r in audio_window_rms(attach_fake_audio_payload(docs)).collect()
+    }
+    want = {}
+    for row in docs.select("doc_id", "text").collect():
+        buf = row.text.encode("utf-8")
+        usable = len(buf) - (len(buf) % 2)
+        samples = np.frombuffer(buf[:usable], dtype="<i2").astype(np.float64)
+        for w in range(0, len(samples), 256):
+            chunk = samples[w : w + 256]
+            want[(row.doc_id, w // 256)] = (
+                len(chunk),
+                round(float(np.sqrt(np.mean(chunk**2))), 4),
+            )
+    assert got == want
+
+
+def test_observation_metrics_ride_the_query(spark, sf_dir):
+    """df.observe(): pipeline health metrics accumulated DURING the
+    action (no second scan) — the monitoring hook a production ingest
+    attaches to every stage."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    obs = Observation("ingest")
+    orders = load_table(spark, sf_dir, "orders")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("o_totalprice")).alias("gross"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive"),
+    )
+    n = observed.filter(F.col("o_orderstatus") == "F").count()
+    metrics = obs.get
+    assert metrics["rows_seen"] == orders.count()
+    assert metrics["nonpositive"] == 0
+    assert n > 0 and metrics["gross"] > 0
