@@ -3540,3 +3540,186 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return audio_window_rms(attach_fake_audio_payload(docs))
+
+
+@query(
+    "cross_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS volume_e4
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+      AND cn.n_regionkey = sn.n_regionkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between DISTINCT nation pairs within
+    a region, by ship year — the same dimension table joined twice under
+    different roles (customer nation vs supplier nation) with a pair
+    ordering predicate to dedup the matrix.
+
+    Scale shape: both nation roles broadcast; the fact chain shuffles
+    once per fact join key; the pair predicate rides the broadcast joins
+    as a post-condition on tiny dims, never a fact-fact theta join.
+
+    Revenue is fixed-point EXACT: cents x discount-basis-points summed
+    as BIGINT (volume_e4 = dollars x 10^4) — float-sum rounding cannot
+    diverge across engines/summation orders at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("cnk"),
+            F.col("n_name").alias("cust_nation"),
+            F.col("n_regionkey").alias("crk"),
+        )
+    )
+    sn = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("snk"),
+            F.col("n_name").alias("supp_nation"),
+            F.col("n_regionkey").alias("srk"),
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(cn, c.c_nationkey == F.col("cnk"))
+        .join(sn, s.s_nationkey == F.col("snk"))
+        .filter(
+            (F.col("cust_nation") < F.col("supp_nation"))
+            & (F.col("crk") == F.col("srk"))
+        )
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round((1 - F.col("l_discount")) * 100).cast("long")
+            )
+            .cast("bigint")
+            .alias("volume_e4")
+        )
+    )
+
+
+@query(
+    "from_json_typed_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def from_json_typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: ``from_json`` with an explicit schema shreds
+    props into a struct ONCE (missing fields become typed NULLs), versus
+    the per-path ``get_json_object`` twin (``json_extract_events``)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.from_json("props", "k bigint, missing bigint").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p.missing").alias("absent"),
+    )
+
+
+@query(
+    "null_semantics_suite",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_orderpriority END AS p1,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS p2
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE p1 = p2) AS BIGINT)
+               AS eq_matches,
+           CAST(COUNT(*) FILTER (WHERE p1 IS NOT DISTINCT FROM p2) AS BIGINT)
+               AS nullsafe_matches,
+           CAST(COUNT(*) FILTER (WHERE NULLIF(p1, p2) IS NULL) AS BIGINT)
+               AS nullif_nulls,
+           CAST(COUNT(COALESCE(p1, p2)) AS BIGINT)
+               AS coalesce_nonnull
+    FROM t
+    """,
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic corner cases, pinned: plain ``=`` drops
+    NULL-vs-NULL rows, the null-safe operator (``<=>`` /
+    IS NOT DISTINCT FROM) keeps them, NULLIF/COALESCE compose with both.
+    Matching counts across engines proves the engine's NULL semantics
+    are ANSI, not ad hoc — the class of bug that silently corrupts
+    dedup and join results at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p1"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p2"),
+    )
+    return t.agg(
+        F.count(F.when(F.col("p1") == F.col("p2"), 1))
+        .cast("bigint")
+        .alias("eq_matches"),
+        F.count(F.when(F.col("p1").eqNullSafe(F.col("p2")), 1))
+        .cast("bigint")
+        .alias("nullsafe_matches"),
+        F.count(F.when(F.nullif(F.col("p1"), F.col("p2")).isNull(), 1))
+        .cast("bigint")
+        .alias("nullif_nulls"),
+        F.count(F.coalesce("p1", "p2")).cast("bigint").alias("coalesce_nonnull"),
+    )
+
+
+@query(
+    "collation_lcase_match",
+    oracle="""
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM part
+    WHERE lower(p_type) = 'promo'
+    GROUP BY p_type
+    """,
+)
+def collation_lcase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4, SPARK-46830): equality under
+    the UTF8_LCASE collation matches case-insensitively WITHOUT
+    rewriting both sides through lower() — the predicate stays sargable
+    and collation becomes a property of the comparison, not the data.
+    Oracle expresses the same semantics with lower()."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.collate(F.col("p_type"), "UTF8_LCASE") == F.lit("PROMO")
+        )
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
