@@ -3723,3 +3723,89 @@ def collation_lcase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@query(
+    "stats_moments_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 4)            AS price_stddev,
+           ROUND(var_samp(l_quantity), 6)                    AS qty_var,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)    AS fit_r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: correlation, sample covariance/
+    variance/stddev, and the regr_* least-squares fits — the numeric
+    profiling layer over the fact table, one hash agg, all JVM.
+
+    Scale shape: every moment is a streaming aggregate with map-side
+    partial state (sums of x, y, x², xy …) — no second pass, no sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("fit_r2"),
+    )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH m AS (
+        SELECT l_partkey,
+               MIN(struct_pack(
+                   unit_price_e4 := CAST(FLOOR(l_extendedprice * 10000
+                                               / l_quantity) AS BIGINT),
+                   suppkey := l_suppkey)) AS s
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, s.unit_price_e4 AS unit_price_e4, s.suppkey AS suppkey
+    FROM m
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group WITHOUT a window sort: the supplier offering the
+    lowest observed unit price per part, as ``min(struct(price, supp))``
+    — lexicographic struct minimum makes the argmin a plain streaming
+    aggregate with a total tie-break, where the naive form (window +
+    row_number + filter) would sort every group. Unit price is
+    fixed-point (×10⁴, floored) — float division rounds at .xxxx5
+    boundaries differently across engines; floor only cliffs at exact
+    integers, where binary division is exact.
+
+    Scale shape: one hash agg on l_partkey with map-side partials;
+    struct comparison is codegen'd. This is the TPC-H Q2 shape on the
+    available schema.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    pair = F.struct(
+        F.floor(F.col("l_extendedprice") * 10000 / F.col("l_quantity"))
+        .cast("bigint")
+        .alias("unit_price_e4"),
+        F.col("l_suppkey").alias("suppkey"),
+    )
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.min(pair).alias("m"))
+        .select(
+            "l_partkey",
+            F.col("m.unit_price_e4").alias("unit_price_e4"),
+            F.col("m.suppkey").alias("suppkey"),
+        )
+    )
