@@ -3301,6 +3301,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "regional_supplier_revenue",
+    bench=True,
     oracle="""
     SELECT n.n_name,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
