@@ -3810,3 +3810,50 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.suppkey").alias("suppkey"),
         )
     )
+
+
+@query(
+    "asof_forward_next_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.value AS next_purchase_value,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each click, the user's EARLIEST purchase
+    at-or-after it (time-to-convert) — the mirror of
+    ``asof_join_purchases``, via the same union + one-window operator
+    with ``direction='forward'`` (first ignorenulls over the following
+    frame). Still a single shuffle on user_id, no range explosion;
+    oracle is DuckDB's native forward ASOF (``c.ts <= p.ts``).
+    """
+    from pyspark_movie_recommender_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.col("ts").alias("pts")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        key="user_id",
+        value_cols=["value", "pts"],
+        direction="forward",
+    )
+    return joined.filter(F.col("asof_pts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_value").alias("next_purchase_value"),
+        (F.col("asof_pts").cast("long") - F.col("ts").cast("long")).alias(
+            "secs_to_purchase"
+        ),
+    )
