@@ -258,3 +258,69 @@ def audio_window_rms(
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, schema=out_schema)
+
+
+def image_resize_thumbnail(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "doc_id",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Nearest-neighbour thumbnail resize over image payloads via
+    ``mapInPandas`` — the resize leg of the decode/featurize/resize/
+    frame-sample multimodal family.
+
+    The fake raster is the payload byte stream wrapped row-major to the
+    metadata (width, height), padded with zeros — standing in for a real
+    decoder's pixel array; the NEAREST-NEIGHBOUR GATHER (index grid
+    ``floor(i*H/out_h), floor(j*W/out_w)``) is exactly what a real
+    uint8 luma resize does, vectorized with NumPy fancy indexing. Output
+    is the out_h×out_w thumbnail re-encoded as BINARY plus dims — a
+    row-per-image (no fan-out) Arrow batch shape, complementing the
+    fan-out shapes of frame_sample (1→N) and audio_window_rms (1→N).
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, src_w int, src_h int, thumb binary, "
+        "thumb_mean double"
+    )
+
+    def batches(it):
+        for pdf in it:
+            ids, ws, hs, thumbs, means = [], [], [], [], []
+            for doc_id, payload, w, h in zip(
+                pdf[id_col], pdf["payload"], pdf["w"], pdf["h"]
+            ):
+                w, h = int(w), int(h)
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                px = np.zeros(w * h, dtype=np.uint8)
+                px[: min(len(buf), w * h)] = buf[: w * h]
+                img = px.reshape(h, w)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                thumb = img[np.ix_(yi, xi)]
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                thumbs.append(thumb.tobytes())
+                means.append(round(float(thumb.mean()), 4))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "src_w": pd.Series(ws, dtype="int32"),
+                    "src_h": pd.Series(hs, dtype="int32"),
+                    "thumb": thumbs,
+                    "thumb_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    src = df.select(
+        id_col,
+        "payload",
+        F.col(f"{meta_col}.width").alias("w"),
+        F.col(f"{meta_col}.height").alias("h"),
+    )
+    return src.mapInPandas(batches, schema=schema)

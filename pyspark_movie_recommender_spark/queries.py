@@ -3857,3 +3857,26 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_to_purchase"
         ),
     )
+
+
+@query("multimodal_image_resize")
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-modality resize: nearest-neighbour 8×8 thumbnails over
+    binary payloads through Arrow mapInPandas (rows-only: pixel gather
+    is not SQL-expressible; exactness vs a NumPy reference is pinned in
+    tests/test_operators.py). Thumb bytes surfaced as a hex digest so
+    the projection stays canonicalizer-friendly."""
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        attach_fake_payload,
+        image_resize_thumbnail,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    thumbs = image_resize_thumbnail(attach_fake_payload(docs))
+    return thumbs.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        F.lower(F.hex(F.sha2("thumb", 256))).alias("thumb_sha"),
+        "thumb_mean",
+    )

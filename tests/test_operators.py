@@ -470,3 +470,35 @@ def test_observation_metrics_ride_the_query(spark, sf_dir):
     assert metrics["rows_seen"] == orders.count()
     assert metrics["nonpositive"] == 0
     assert n > 0 and metrics["gross"] > 0
+
+
+def test_image_resize_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        attach_fake_payload,
+        image_resize_thumbnail,
+    )
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 50 = 0")
+    got = {
+        r.doc_id: (r.src_w, r.src_h, bytes(r.thumb), r.thumb_mean)
+        for r in image_resize_thumbnail(attach_fake_payload(docs)).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        buf = np.frombuffer(row.text.encode("utf-8"), dtype=np.uint8)
+        n = len(row.text)
+        w, h = n % 1024 + 16, n % 768 + 16
+        px = np.zeros(w * h, dtype=np.uint8)
+        px[: min(len(buf), w * h)] = buf[: w * h]
+        img = px.reshape(h, w)
+        yi = (np.arange(8) * h) // 8
+        xi = (np.arange(8) * w) // 8
+        thumb = img[np.ix_(yi, xi)]
+        assert got[row.doc_id] == (
+            w,
+            h,
+            thumb.tobytes(),
+            round(float(thumb.mean()), 4),
+        )
