@@ -3880,3 +3880,63 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.sha2("thumb", 256))).alias("thumb_sha"),
         "thumb_mean",
     )
+
+
+@query(
+    "decimal_exact_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR)
+               AS exact_revenue,
+           CAST(AVG(CAST(o_totalprice AS DECIMAL(18, 2))) AS DECIMAL(18, 4))
+               AS avg_revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic on the DECIMAL type: summing DECIMAL(18,2)
+    is integer-exact and summation-order-independent — the engine answer
+    to the float-rounding divergences double money math invites (the sum
+    is surfaced as VARCHAR so the comparison is digit-exact, no float
+    hop anywhere).
+
+    Scale shape: decimal aggregation uses the same partial/final hash
+    agg as doubles (Tungsten fixed-size 128-bit representation for
+    precision ≤ 38) — exactness costs no extra pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(d).cast("string").alias("exact_revenue"),
+        F.avg(d).cast("decimal(18,4)").alias("avg_revenue"),
+    )
+
+
+@query(
+    "timezone_local_rollup",
+    oracle="""
+    SELECT CAST(timezone('America/New_York', timezone('UTC', ts)) AS DATE)
+               AS ny_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def timezone_local_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware rollup: UTC event timestamps converted to the
+    America/New_York civil clock (``convert_timezone`` → TIMESTAMP_NTZ)
+    and grouped by LOCAL date — the daily-report grain users actually
+    mean, which UTC-date grouping silently misassigns for evening
+    events (UTC-5/-4 with DST handled by the tz database on both
+    engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    local = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/New_York"), F.col("ts")
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(local).alias("ny_date"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
