@@ -3940,3 +3940,43 @@ def timezone_local_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date(local).alias("ny_date"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+@query(
+    "explode_outer_pos_semantics",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE string_split(c_name, '#') END AS toks
+        FROM customer WHERE c_custkey < 200
+    )
+    SELECT s.c_custkey,
+           CAST(u.pos - 1 AS INT) AS pos,
+           u.tok
+    FROM src s
+    LEFT JOIN LATERAL (
+        SELECT t.tok, t.pos
+        FROM (SELECT unnest(s.toks) AS tok,
+                     generate_subscripts(s.toks, 1) AS pos) t
+    ) u ON TRUE
+    """,
+)
+def explode_outer_pos_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving positional explode: ``posexplode_outer`` keeps
+    rows whose array is NULL (as a (NULL, NULL) element) where plain
+    ``explode`` silently drops them — the semantics difference that
+    loses records in flatten pipelines. The oracle spells the same
+    thing as LEFT JOIN LATERAL unnest WITH ORDINALITY.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    src = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.split(F.col("c_name"), "#"))
+        .alias("toks"),
+    )
+    return src.select(
+        "c_custkey",
+        F.posexplode_outer("toks").alias("pos", "tok"),
+    )
