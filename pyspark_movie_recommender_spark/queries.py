@@ -3980,3 +3980,17 @@ def explode_outer_pos_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.posexplode_outer("toks").alias("pos", "tok"),
     )
+
+
+@query("ml_pipeline_text_classifier")
+def ml_pipeline_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.Pipeline estimator/transformer composition: TF-IDF + logistic
+    regression recovering each document's dominant token group, reported
+    as per-class held-out hit counts (rows-only: model fits are seed/
+    initialization dependent; an accuracy floor is pinned in
+    tests/test_recommend.py)."""
+    from pyspark_movie_recommender_spark.recommend import (
+        text_topic_classifier_pipeline,
+    )
+
+    return text_topic_classifier_pipeline(spark, sf_dir)

@@ -219,3 +219,73 @@ def item_neighbors_from_factors(
     )
     probes = factors.orderBy("vec_id").limit(n_probes)
     return cosine_topk_bruteforce(factors, probes, k=k)
+
+
+def text_topic_classifier_pipeline(
+    spark: SparkSession, sf_dir: str, seed: int = 7
+) -> DataFrame:
+    """Supervised text classification on the ml.Pipeline API: Tokenizer →
+    HashingTF → IDF → LogisticRegression — the estimator/transformer
+    composition surface (the reference uses only raw ALS; a full engine
+    exposes the Pipeline abstraction the rest of pyspark.ml builds on).
+
+    The synthetic corpus shares one vocabulary across its ``lang``
+    labels (no real language signal), so the task is a self-validating
+    distributional one: the TRUE label is the dominant token group
+    (scan-ish vs join-ish vs agg-ish, exact counts, deterministic
+    tie-break) and the pipeline must recover it from hashed TF-IDF —
+    learnable precisely because one-vs-rest linear scores can express
+    count comparisons, and honest because the label derivation is
+    exact and checkable.
+
+    Returns per-class (n_docs, n_correct) on a held-out split.
+    Scale shape: HashingTF is stateless per-row hashing (no vocabulary
+    broadcast); IDF and LR are the standard distributed fits; nothing
+    driver-side beyond the model's coefficient vectors.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, IDF, StringIndexer, Tokenizer
+
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    groups = {
+        "scanish": ("scan", "row", "table"),
+        "joinish": ("join", "merge", "hash"),
+        "aggish": ("agg", "group", "sort"),
+    }
+
+    def count_of(words):
+        toks = ws_tokens(F.lower(F.col("text")))
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    best = F.lit(None).cast("string")
+    best_n = F.lit(-1)
+    for name in sorted(groups, reverse=True):
+        n = count_of(groups[name])
+        take = n >= best_n  # alphabetically-earlier wins ties
+        best = F.when(take, F.lit(name)).otherwise(best)
+        best_n = F.when(take, n).otherwise(best_n)
+    labeled = docs.select("doc_id", "text", best.alias("topic"))
+
+    train, test = labeled.randomSplit([0.8, 0.2], seed=seed)
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="topic", outputCol="label"),
+            Tokenizer(inputCol="text", outputCol="words"),
+            HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 12),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(maxIter=30, regParam=0.001),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(test)
+    return pred.groupBy("topic").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("label") == F.col("prediction"), 1))
+        .cast("bigint")
+        .alias("n_correct"),
+    )

@@ -128,3 +128,17 @@ def test_no_query_uses_row_at_a_time_python(spark, sf_dir):
             continue
         plan = physical_plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """Runtime scale behavior: AQE shrinks the 32 configured shuffle
+    partitions to a handful for a tiny aggregate output — the property
+    that keeps small stages from fragmenting into thousands of no-op
+    tasks on a real cluster."""
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert df.rdd.getNumPartitions() < configured

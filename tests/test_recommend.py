@@ -171,3 +171,18 @@ def test_als_item_neighbors_shape_and_sanity(spark, sf_dir):
     for v in by_probe.values():
         sims = [s for _, s in sorted(v)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_text_classifier_recovers_dominant_group(spark, sf_dir):
+    from pyspark_movie_recommender_spark.recommend import (
+        text_topic_classifier_pipeline,
+    )
+
+    rows = text_topic_classifier_pipeline(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    correct = sum(r.n_correct for r in rows)
+    majority = max(r.n_docs for r in rows)
+    assert n > 0
+    # must clearly beat the majority-class baseline and be mostly right
+    assert correct / n > 0.75, (correct, n)
+    assert correct > majority, (correct, majority)
