@@ -3994,3 +3994,92 @@ def ml_pipeline_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return text_topic_classifier_pipeline(spark, sf_dir)
+
+
+@query(
+    "scd2_customer_balances",
+    oracle="""
+    WITH current AS (
+        SELECT c_custkey, c_acctbal, CAST('2024-01-01' AS DATE) AS valid_from
+        FROM customer
+    ), updates AS (
+        SELECT c_custkey, ROUND(c_acctbal * 1.1, 2) AS c_acctbal,
+               CAST('2024-06-01' AS DATE) AS valid_from
+        FROM customer WHERE c_custkey % 10 = 0
+    ), unioned AS (
+        SELECT * FROM current UNION ALL SELECT * FROM updates
+    )
+    SELECT c_custkey, c_acctbal, valid_from,
+           COALESCE(LEAD(valid_from) OVER (
+               PARTITION BY c_custkey ORDER BY valid_from),
+               CAST('9999-12-31' AS DATE)) AS valid_to
+    FROM unioned
+    """,
+)
+def scd2_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 fold-in (operators/scd.py): a June balance revision
+    for every 10th customer closes the January version (valid_to =
+    successor's valid_from) and opens an open-ended new one — the
+    dimension-history MERGE expressed as union + one lead() window pass,
+    no row-level mutation primitive needed."""
+    from pyspark_movie_recommender_spark.operators.scd import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    current = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+    )
+    updates = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+        F.lit("2024-06-01").cast("date").alias("valid_from"),
+    )
+    return scd2_apply(current, updates, key="c_custkey")
+
+
+@query(
+    "snapshot_diff_customers",
+    oracle="""
+    WITH old AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE c_custkey % 13 <> 0
+    ), new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN ROUND(c_acctbal + 100, 2) ELSE c_acctbal END
+                   AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 11 <> 0
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.c_acctbal = n.c_acctbal
+                 AND o.c_mktsegment = n.c_mktsegment THEN 'unchanged'
+                ELSE 'changed' END AS diff_status
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/scd.py): every key classified
+    added/removed/changed/unchanged across two table versions via one
+    full outer join + null-safe struct compare — the audit pass that
+    catches silent drift between pipeline runs."""
+    from pyspark_movie_recommender_spark.operators.scd import snapshot_diff
+
+    customer = load_table(spark, sf_dir, "customer")
+    old = customer.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = customer.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return snapshot_diff(old, new, key="c_custkey")

@@ -502,3 +502,38 @@ def test_image_resize_matches_numpy_reference(spark, sf_dir):
             thumb.tobytes(),
             round(float(thumb.mean()), 4),
         )
+
+
+def test_scd2_apply_unit(spark):
+    from pyspark_movie_recommender_spark.operators.scd import scd2_apply
+
+    current = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01", "9999-12-31"), (2, 20.0, "2024-01-01", "9999-12-31")],
+        "k int, v double, valid_from string, valid_to string",
+    ).selectExpr("k", "v", "cast(valid_from as date) valid_from",
+                 "cast(valid_to as date) valid_to")
+    updates = spark.createDataFrame(
+        [(1, 11.0, "2024-03-01")], "k int, v double, valid_from string"
+    ).selectExpr("k", "v", "cast(valid_from as date) valid_from")
+    out = {
+        (r.k, str(r.valid_from)): (r.v, str(r.valid_to))
+        for r in scd2_apply(current, updates, key="k").collect()
+    }
+    assert out[(1, "2024-01-01")] == (10.0, "2024-03-01")   # closed
+    assert out[(1, "2024-03-01")] == (11.0, "9999-12-31")   # new open
+    assert out[(2, "2024-01-01")] == (20.0, "9999-12-31")   # untouched
+
+
+def test_snapshot_diff_null_safe(spark):
+    from pyspark_movie_recommender_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "x2"), (4, "z")], "k int, v string"
+    )
+    got = {r.c if hasattr(r, "c") else r.k: r.diff_status
+           for r in snapshot_diff(old, new, key="k").collect()}
+    # NULL == NULL must be 'unchanged' (null-safe compare), not 'changed'
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
