@@ -4083,3 +4083,281 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return snapshot_diff(old, new, key="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# corpus quality filtering, inverted index, multi-dim layout, robust stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_filter_gopher",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), tc AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+    ), per_tok AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+               CAST(COALESCE(SUM(cnt) FILTER (WHERE tok IN ('the', 'a')), 0)
+                    AS BIGINT) AS stop_cnt
+        FROM tc GROUP BY doc_id
+    ), bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''),
+             (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ), per_bg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bg,
+               CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_bg_d
+        FROM bg GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           p.n_tokens,
+           (1000000 * p.top_cnt) // p.n_tokens AS top_tok_ppm,
+           CASE WHEN COALESCE(b.n_bg, 0) = 0 THEN 0
+                ELSE (1000000 * (b.n_bg - b.n_bg_d)) // b.n_bg
+           END AS dup_bigram_ppm,
+           (1000000 * p.stop_cnt) // p.n_tokens AS stop_ppm,
+           (p.n_tokens >= 20
+            AND (1000000 * p.top_cnt) // p.n_tokens < 150000
+            AND CASE WHEN COALESCE(b.n_bg, 0) = 0 THEN 0
+                     ELSE (1000000 * (b.n_bg - b.n_bg_d)) // b.n_bg
+                END < 600000
+            AND (1000000 * p.stop_cnt) // p.n_tokens > 0) AS keep
+    FROM per_tok p LEFT JOIN per_bg b ON p.doc_id = b.doc_id
+    """,
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filter (Rae et al. 2021 rules
+    adapted to this corpus): per-document token count, most-frequent-token
+    ratio, duplicate-bigram ratio, stopword presence, and the resulting
+    keep/drop decision.
+
+    All ratios are fixed-point parts-per-million computed with integer
+    DIV on BIGINT counts, so the oracle compare never touches a float
+    (summation order and round-half behavior can't diverge).
+
+    Scale shape: one tokens explode feeding a two-level hash aggregate
+    (map-side partial collapse on (doc_id, token)), one bigram explode
+    built JVM-side from the token array (zip_with of two slices — no
+    Python), each branch aggregating to one row per doc before the
+    final doc-keyed join. Nothing is ever wider than (doc_id, gram);
+    at 100 TB both branches are linear scans + hash aggs on the doc_id
+    key, and the join is co-partitioned on doc_id by AQE.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    toks = docs.select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per_tok = tc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.max("cnt").cast("long").alias("top_cnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("tok").isin("the", "a"), F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("stop_cnt"),
+    )
+    with_arr = docs.select("doc_id", ws_tokens("text").alias("t"))
+    bg = with_arr.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("bigram"),
+    )
+    per_bg = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bg"),
+        F.countDistinct("bigram").cast("long").alias("n_bg_d"),
+    )
+    j = per_tok.join(per_bg, "doc_id", "left")
+    dup_ppm = F.expr(
+        "CASE WHEN COALESCE(n_bg, 0) = 0 THEN 0L"
+        " ELSE (1000000 * (n_bg - n_bg_d)) DIV n_bg END"
+    )
+    top_ppm = F.expr("(1000000 * top_cnt) DIV n_tokens")
+    stop_ppm = F.expr("(1000000 * stop_cnt) DIV n_tokens")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        top_ppm.alias("top_tok_ppm"),
+        dup_ppm.alias("dup_bigram_ppm"),
+        stop_ppm.alias("stop_ppm"),
+        (
+            (F.col("n_tokens") >= 20)
+            & (top_ppm < 150000)
+            & (dup_ppm < 600000)
+            & (stop_ppm > 0)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), tc AS (
+        SELECT tok, doc_id, COUNT(*) AS cnt FROM toks GROUP BY tok, doc_id
+    ), r AS (
+        SELECT tok, doc_id, cnt,
+               ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        FROM tc
+    )
+    SELECT tok AS token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(cnt) AS BIGINT) AS total_tf,
+           array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 20)), ',')
+               AS postings
+    FROM r GROUP BY tok
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token -> document frequency, total
+    term frequency, and a capped sorted posting list (first 20 doc_ids,
+    serialized as CSV text so the driver's canonicalizer never sees a
+    raw array column).
+
+    Scale shape: the explode is map-side; (token, doc_id) tf collapses
+    with map-side partial aggregation BEFORE the token shuffle, so the
+    shuffle carries one row per distinct (token, doc) — not one per
+    occurrence. The posting cap is applied with a row_number window on
+    the already-aggregated relation (same token-keyed exchange the final
+    agg needs; Catalyst reuses the partitioning), and collect_list only
+    ever sees <= 20 ids per token, so no reducer materializes an
+    unbounded posting array. Hot tokens (stopword-class df) are the skew
+    risk at 100 TB — real engines shard postings positionally; here the
+    cap bounds the reducer state instead.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    toks = docs.select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+    tc = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    r = tc.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("cnt").cast("long").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("rn") <= 20, F.col("doc_id")))
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    ).withColumnRenamed("tok", "token")
+
+
+# z-order bit-interleave: same arithmetic generated once for both engines
+# (Spark spells shifts as shiftleft/shiftright functions, DuckDB as << >>)
+_Z_SPARK = " + ".join(
+    f"shiftleft(shiftright(zx, {i}) & 1, {2 * i})"
+    f" + shiftleft(shiftright(zy, {i}) & 1, {2 * i + 1})"
+    for i in range(8)
+)
+_Z_DUCK = " + ".join(
+    f"(((zx >> {i}) & 1) << {2 * i}) + (((zy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+@query(
+    "zorder_layout_orders",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               o_custkey % 256 AS zx,
+               CAST(FLOOR(o_totalprice / 2000) AS BIGINT) % 256 AS zy
+        FROM orders WHERE o_orderkey % 37 = 0
+    )
+    SELECT o_orderkey,
+           CAST({_Z_DUCK} AS BIGINT) AS zval,
+           CAST(({_Z_DUCK}) // 4096 AS BIGINT) AS ztile
+    FROM keyed
+    """,
+)
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two dimensions — the layout
+    primitive behind multi-dimensional data skipping: write the table
+    ``repartitionByRange('zval').sortWithinPartitions('zval')`` and
+    point-range predicates on EITHER custkey or price bucket prune most
+    files, because bit-interleaving keeps both dimensions locally dense
+    (each 4096-wide ztile covers a 16x16 (custkey, price) square).
+
+    The interleave is pure integer bit arithmetic generated once and
+    shared verbatim with the oracle — map-side, codegen'd, no shuffle at
+    all in this projection; at 100 TB the only cost of z-ordering a
+    write is the range repartition you were already paying for layout.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.filter(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("zx"),
+        (F.floor(F.col("o_totalprice") / 2000).cast("long") % 256).alias("zy"),
+    )
+    return keyed.select(
+        "o_orderkey",
+        F.expr(f"CAST({_Z_SPARK} AS BIGINT)").alias("zval"),
+        F.expr(f"CAST(({_Z_SPARK}) DIV 4096 AS BIGINT)").alias("ztile"),
+    )
+
+
+@query(
+    "winsorized_stats_orders",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.01) AS p01,
+               quantile_cont(o_totalprice, 0.99) AS p99
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ROUND(MAX(s.p01), 2) AS p01,
+           ROUND(MAX(s.p99), 2) AS p99,
+           ROUND(AVG(LEAST(GREATEST(o.o_totalprice, s.p01), s.p99)), 2)
+               AS wins_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN stats s USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def winsorized_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clipped) mean order value per priority — the
+    outlier-robust aggregate a curation pipeline uses where a plain AVG
+    is one fat-finger order away from garbage.
+
+    Two-pass shape: pass 1 computes exact interpolated percentiles per
+    group (5 groups — the aggregate is a few rows), which broadcast-join
+    back onto the fact scan for the clipped second aggregate. At 100 TB
+    this is two linear scans with map-side partial aggs and zero
+    fact-table shuffles beyond the 5-group hash agg; the exact
+    percentile state is per-group-bounded, and for wider group
+    cardinalities the GK-sketch twin (approx_quantiles_prices) is the
+    drop-in.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.01).alias("p01"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+    j = orders.join(F.broadcast(stats), "o_orderpriority")
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.max("p01"), 2).alias("p01"),
+        F.round(F.max("p99"), 2).alias("p99"),
+        F.round(F.avg(clipped), 2).alias("wins_mean"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
