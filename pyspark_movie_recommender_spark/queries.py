@@ -4361,3 +4361,333 @@ def winsorized_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(clipped), 2).alias("wins_mean"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
+
+
+@query(
+    "deterministic_hash_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def deterministic_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment via multiplicative
+    (Knuth) hashing on the stable document id — the splitter a training
+    pipeline needs: reproducible across runs/engines (no rand()), stable
+    under corpus growth (a doc never changes split), and exactly
+    oracle-checkable because the hash is plain BIGINT arithmetic shared
+    with the SQL form.
+
+    Scale shape: the assignment is a map-side projection (no shuffle);
+    the summary agg is a tiny hash aggregate. Splitting a 100 TB corpus
+    is therefore a pure scan — and since the split is a deterministic
+    function of doc_id, downstream stages recompute it for free instead
+    of joining a split-assignment table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        "lang",
+        (((F.col("doc_id") * 2654435761) % 4294967296) % 100).alias("bucket"),
+    )
+    return (
+        assigned.select(
+            "lang",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            "doc_id",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "pit_join_orders_scd2",
+    oracle="""
+    WITH current AS (
+        SELECT c_custkey, c_acctbal,
+               CAST('1995-01-01' AS DATE) AS valid_from
+        FROM customer
+    ), updates AS (
+        SELECT c_custkey, ROUND(c_acctbal * 1.05, 2) AS c_acctbal,
+               CAST('1998-01-01' AS DATE) AS valid_from
+        FROM customer WHERE c_custkey % 3 = 0
+    ), unioned AS (
+        SELECT * FROM current UNION ALL SELECT * FROM updates
+    ), dim AS (
+        SELECT c_custkey, c_acctbal, valid_from,
+               COALESCE(LEAD(valid_from) OVER (
+                   PARTITION BY c_custkey ORDER BY valid_from),
+                   CAST('9999-12-31' AS DATE)) AS valid_to
+        FROM unioned
+    )
+    SELECT o.o_orderkey, o.o_custkey, d.c_acctbal AS acctbal_at_order,
+           d.valid_from
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= CAST(d.valid_from AS TIMESTAMP)
+     AND o.o_orderdate <  CAST(d.valid_to   AS TIMESTAMP)
+    """,
+)
+def pit_join_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every order picks the SCD2 dimension version
+    that was valid on its order date (operators/scd.py builds the
+    versioned dim; a 1998 balance revision for every third customer
+    means their pre-1998 orders see the old balance, later orders the
+    new one).
+
+    Scale shape: the join is equi on c_custkey with a residual range
+    predicate on the validity interval — Catalyst plans the equi part
+    as the join key (broadcast here; sort-merge on a big dim) and
+    evaluates the interval check as a post-join filter, so there is no
+    pair explosion: each order meets only its customer's few versions.
+    This is the warehouse-correct alternative to joining 'current'
+    attributes onto historical facts.
+    """
+    from pyspark_movie_recommender_spark.operators.scd import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    current = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+    )
+    updates = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 1.05, 2).alias("c_acctbal"),
+        F.lit("1998-01-01").cast("date").alias("valid_from"),
+    )
+    dim = scd2_apply(current, updates, key="c_custkey")
+    return orders.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from").cast("timestamp"))
+        & (F.col("o_orderdate") < F.col("valid_to").cast("timestamp")),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("c_acctbal").alias("acctbal_at_order"),
+        "valid_from",
+    )
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH kc AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+           ROUND(quantile_cont(cnt, 0.50), 4) AS p50_per_key,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_per_key,
+           (1000000 * MAX(cnt) * COUNT(*)) // SUM(cnt) AS skew_ppm
+    FROM kc
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the pre-flight report you run before
+    shuffling 100 TB on a key — distinct-key count, rows per key at
+    p50/p99/max, and a fixed-point skew factor (max over mean, ppm).
+    skew_ppm >> 1e6 says the hottest key owns many partitions' worth of
+    rows: salt it (salted_join operator) or let AQE split it.
+
+    Scale shape: one map-side-combined count per key, then a single
+    global aggregate over the (small) key-count relation; integer
+    arithmetic end-to-end except the exact interpolated percentiles,
+    which follow the engine-shared interpolation rule.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    kc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return kc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_per_key"),
+        F.round(F.percentile("cnt", 0.50), 4).alias("p50_per_key"),
+        F.round(F.percentile("cnt", 0.99), 4).alias("p99_per_key"),
+        F.expr("(1000000 * MAX(cnt) * COUNT(*)) DIV SUM(cnt)").alias("skew_ppm"),
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via mergeable partial state: daily
+    (count, sum) partials roll up to monthly totals WITHOUT rescanning
+    the facts — the Spark side computes day partials then merges them,
+    while the oracle aggregates the raw table directly; equality proves
+    the merge is exact. Money is fixed-point BIGINT cents
+    (floor(x*100+0.5)) so partial-order never perturbs a float.
+
+    Scale shape: this is the nightly-pipeline pattern — store day-grain
+    partials (365 rows/yr per group instead of billions of facts) and
+    answer any coarser grain by summing them. Both aggs are map-side
+    partial hash aggregates; the second one runs on day-cardinality
+    input, i.e. effectively free.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+    )
+    return daily.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month")
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_orders"),
+        F.sum("sum_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "zscore_window_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 4) AS z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+)
+def zscore_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization in pure SQL — the
+    oracle-checkable twin of the applyInPandas z-score in
+    operators/udf_surface.py (same math, zero Python): every order's
+    total price standardized against its priority class.
+
+    Scale shape: one exchange on the group key; both window aggregates
+    (mean, sample stddev) share the same unbounded frame so Spark
+    computes them in a single window pass. No Python worker — compare
+    the UDF twin, which pays Arrow serde for identical output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            (F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+            / F.stddev_samp("o_totalprice").over(w),
+            4,
+        ).alias("z"),
+    )
+
+
+@query(
+    "sparse_count_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ), tc AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY doc_id, tok
+    ), norms AS (
+        SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS nrm
+        FROM tc GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS num
+        FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.num,
+           (1000000 * p.num * p.num) // (na.nrm * nb.nrm) AS cos2_ppm
+    FROM pairs p
+    JOIN norms na ON na.doc_id = p.doc_a
+    JOIN norms nb ON nb.doc_id = p.doc_b
+    WHERE 1000000 * p.num * p.num >= 980100 * na.nrm * nb.nrm
+    """,
+)
+def sparse_count_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity through the inverted index: documents as
+    term-count vectors, pair numerators accumulated by joining postings
+    on the shared token, threshold cos >= 0.99 applied as the integer
+    inequality 1e6*num^2 >= 980100*|a|^2*|b|^2 — every quantity is a
+    BIGINT, so the pair set and the reported cos^2 (ppm) are bit-exact
+    across engines with no float rounding anywhere.
+
+    Scale shape: the classic sparse all-pairs problem. The token join
+    runs on the aggregated (doc, token, tf) relation — one row per
+    distinct term per doc, not per occurrence — and hot tokens are THE
+    quadratic risk exactly as in ngram_jaccard_pairs; at corpus scale
+    apply the same document-frequency cap / prefix-filtering (Bayardo
+    et al.) before the self-join. Norms broadcast back onto the
+    surviving pairs only.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    toks = docs.select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    norms = tc.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("nrm")
+    )
+    a = tc.alias("a")
+    b = tc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("num"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(
+            F.lit(1000000) * F.col("num") * F.col("num")
+            >= F.lit(980100) * F.col("nrm_a") * F.col("nrm_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "num",
+            F.expr("(1000000 * num * num) DIV (nrm_a * nrm_b)").alias(
+                "cos2_ppm"
+            ),
+        )
+    )
