@@ -4691,3 +4691,169 @@ def sparse_count_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+"""
+
+
+@query("lateral_topk_per_nation", oracle=_LATERAL_TOPK_SQL)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL-standard spelling of per-group top-k, dialect-shared: the SAME
+    string runs on spark.sql and the DuckDB oracle.
+
+    Catalyst decorrelates the lateral into the equivalent
+    window/group-limit plan rather than re-executing the subquery per
+    outer row — so at scale this costs one customer shuffle exactly
+    like the flagship row_number() form, while staying the most
+    readable spelling for analysts. Exercises DecorrelateInnerQuery
+    with LIMIT, a distinct planner path from the scalar-subquery and
+    EXISTS shapes already covered.
+    """
+    from pyspark_movie_recommender_spark.sources import register_views
+
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@query(
+    "per_group_hash_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def per_group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group k-sampling: rank documents inside each
+    language by a multiplicative hash of their stable id and keep the
+    first k — a pseudo-random but reproducible, engine-exact sample
+    (stratified_sample_documents is the rand()-based rows-only twin;
+    this one hash-checks).
+
+    Scale shape: one exchange on the group key; WindowGroupLimit prunes
+    to k rows per group per partition BEFORE the shuffle, so sampling a
+    100 TB corpus moves k rows per language per input partition, not
+    the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("doc_id") * 2654435761) % 4294967296, "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "lang", "n_chars", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (lag window, total tie-break on event_id) — the
+    session-flow / next-action matrix behind funnel diagnostics and
+    sequence-model training data.
+
+    Scale shape: one exchange on user_id for the lag, then a tiny
+    (|event_type|^2 upper-bounded) hash aggregate with map-side
+    partials. The transition relation never materializes wider than
+    (prev, next) per event row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
+@query(
+    "table_checksum_orders",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderpriority,
+               CAST(concat('0x', substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                        AS VARCHAR)
+               ), 1, 15)) AS BIGINT) % 1000000007 AS hmod
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(hmod) % 1000000007 AS BIGINT) AS content_checksum
+    FROM h GROUP BY o_orderpriority
+    """,
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group content checksum — the reconciliation
+    primitive for verifying a copy/migration/pipeline re-run produced
+    byte-identical data without sorting or moving it: md5 each row's
+    canonical serialization (floats pre-quantized to BIGINT cents so
+    formatting can't diverge), fold a 60-bit prefix into a modular sum.
+    Engine-exact: Spark's conv(substr(md5..)) and DuckDB's 0x-cast
+    produce the same BIGINT, verified here by the oracle gate itself.
+
+    Scale shape: embarrassingly parallel — map-side hash + modular
+    partial sums, one tiny final agg; checksumming 100 TB is a pure
+    scan with ~zero shuffle. The modular fold keeps SUM inside BIGINT
+    for any row count (each term < 1e9; overflow needs >9e9 rows per
+    partial — repartition finer or sum as DECIMAL if a single group
+    exceeds that).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    hmod = (
+        F.expr(
+            f"CAST(conv(substr(md5(concat_ws('|', CAST(o_orderkey AS STRING),"
+            f" CAST(o_custkey AS STRING), o_orderstatus,"
+            f" CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING))),"
+            f" 1, 15), 16, 10) AS BIGINT) % 1000000007"
+        )
+    ).alias("hmod")
+    return (
+        orders.select("o_orderpriority", hmod)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.sum("hmod") % 1000000007).cast("long").alias("content_checksum"),
+        )
+    )
