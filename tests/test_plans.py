@@ -142,3 +142,44 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     )
     configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert df.rdd.getNumPartitions() < configured
+
+
+def test_zorder_key_is_pure_map_side(spark, sf_dir):
+    df = Q.QUERIES["zorder_layout_orders"](spark, sf_dir)
+    # bit-interleave is a projection: zero exchanges, nothing but the scan
+    assert count_exchanges(df) == 0
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_sample_prunes_before_shuffle(spark, sf_dir):
+    df = Q.QUERIES["per_group_hash_sample"](spark, sf_dir)
+    # rn <= 3 filter must compile to WindowGroupLimit (k rows per group
+    # per partition cross the wire, not the corpus)
+    assert has_operator(df, "WindowGroupLimit")
+
+
+def test_inverted_index_two_exchanges_window_reused(spark, sf_dir):
+    df = Q.QUERIES["inverted_index_postings"](spark, sf_dir)
+    # (tok, doc) partial-agg shuffle + tok shuffle; the final token agg
+    # reuses the window's partitioning (no third exchange)
+    assert count_exchanges(df) == 2
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark, sf_dir):
+    df = Q.QUERIES["lateral_topk_per_nation"](spark, sf_dir)
+    # the correlated LATERAL ... LIMIT must NOT replay the subquery per
+    # outer row: Catalyst rewrites it into the windowed group-limit form
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_pit_join_dim_is_broadcast(spark, sf_dir):
+    df = Q.QUERIES["pit_join_orders_scd2"](spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_table_checksum_single_exchange(spark, sf_dir):
+    df = Q.QUERIES["table_checksum_orders"](spark, sf_dir)
+    # map-side modular partials; only the 5-group final agg shuffles
+    assert count_exchanges(df) <= 1
