@@ -4857,3 +4857,1063 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("hmod") % 1000000007).cast("long").alias("content_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 5: classic OLAP suite, part II (Q17/Q19/Q4 shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "small_qty_revenue_brands",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT)                        AS n_li
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pq    ON l.l_partkey = pq.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND CAST(l.l_quantity AS BIGINT) * 5 * pq.n_li < pq.sum_qty
+    GROUP BY p.p_brand
+    """,
+)
+def small_qty_revenue_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity, per brand — the correlated
+    scalar-AVG subquery, written in its decorrelated two-phase form
+    (per-part agg, join back, filter).
+
+    Exactness: the fractional-average threshold ``qty < 0.2 * avg`` is
+    algebraically rewritten to ``5 * qty * n < sum`` over exact BIGINT
+    quantities, so no float average can flip a boundary row between
+    engines; money folds to cents BIGINT.
+
+    Scale shape: the per-part pre-agg reduces lineitem to one row per
+    part before the join — at 100 TB the brand filter pushes into the
+    part scan (broadcast side) and prunes the fact join; the pre-agg
+    shuffles (partkey, 2×BIGINT) only. No per-row subquery replay.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq.withColumnRenamed("l_partkey", "pq_partkey"),
+              li.l_partkey == F.col("pq_partkey"))
+        .filter(
+            F.col("l_quantity").cast("long") * 5 * F.col("n_li")
+            < F.col("sum_qty")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "disjunctive_pushdown_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_li,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY p.p_brand
+    """,
+)
+def disjunctive_pushdown_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of AND-groups mixing part-side and
+    lineitem-side predicates — the disjunctive-pushdown stress test.
+
+    Scale shape: Catalyst CNF-converts the disjunction and pushes the
+    derivable conjuncts to each scan: part reads only brand IN
+    (B1,B2,B3) AND size <= 15 rows; lineitem reads only quantity
+    BETWEEN 1 AND 30 rows (PushedFilters on both scans); the residual
+    OR evaluates post-join on the pruned product. Part side broadcasts.
+    Money in cents BIGINT; quantities exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_li"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one lineitem shipped more
+    than 60 days after the order date, counted per priority — the
+    EXISTS → left-semi-join pattern.
+
+    Scale shape: the semi join on orderkey emits each order at most
+    once regardless of how many lineitems qualify (no fan-out, no
+    post-join distinct); only (orderkey, shipdate) leaves the lineitem
+    scan. One shuffle on orderkey, then a tiny priority agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 5: pipeline ops — PII redaction, co-occurrence, data expectations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pii_redact_documents",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now'
+                    WHEN doc_id % 11 = 0
+                    THEN text || ' call 555-' || CAST(1000 + doc_id % 9000
+                         AS VARCHAR) || ' today'
+                    ELSE text END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b'))
+               AS BIGINT) AS n_phones,
+           sha256(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'), '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS redacted_sha
+    FROM seeded
+    """,
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: detect + redact email addresses
+    and phone-shaped tokens, emitting per-doc match counts and the
+    sha256 of the redacted text (so the oracle verifies the EXACT
+    redacted bytes, not just counts). Deterministic PII is seeded into
+    ~23% of docs first — the synthetic corpus contains none — with the
+    seeding expression shared verbatim with the oracle.
+
+    Regexes are written in the RE2 ∩ Java-regex common dialect (char
+    classes, \\b, bounded repeats — no lookaround, no backrefs) so one
+    pattern string drives both engines.
+
+    Scale shape: pure map-side projection — zero shuffles, zero Python;
+    regex eval is JVM codegen. At 100 TB this is scan-bound, exactly
+    what a redaction pass should be.
+    """
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\b\\d{3}-\\d{4}\\b"
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"), F.lit(" call 555-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(phone_re), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.sha2(
+            F.regexp_replace(
+                F.regexp_replace("t", email_re, "<EMAIL>"),
+                phone_re,
+                "<PHONE>",
+            ),
+            256,
+        ).alias("redacted_sha"),
+    )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs appearing in the
+    same order — the pairwise-support half of frequent-itemset mining
+    (enough to seed association rules / complementary-item models).
+
+    Scale shape: the self-join fan-out is bounded by the max basket
+    size (≤13 items/order here → ≤78 pairs per order, C(k,2) in
+    general), NOT by corpus size — dedup to DISTINCT (order, part)
+    first, join on the order key both sides already shuffle on, then a
+    map-side-partial count and a global top-20 (TakeOrderedAndProject,
+    never a full sort). For pathological mega-baskets add a per-order
+    item cap before pairing, same guard as the n-gram DF cap.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "data_expectations_report",
+    oracle="""
+    SELECT 'orders.rows' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS metric FROM orders
+    UNION ALL
+    SELECT 'orders.null_custkey',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.nonpositive_totalprice',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.dup_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.orphan_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.orphan_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/Great-Expectations-style constraint audit as ONE query:
+    row count, null rate, domain violation, primary-key uniqueness, and
+    two referential-integrity orphan checks, emitted as (check_name,
+    metric) rows a scheduler can threshold on.
+
+    Scale shape: the four orders-local checks fuse into a single scan's
+    aggregates (count/filtered-count/count-distinct share one hash
+    agg); each orphan check is a left-anti join that shuffles only the
+    key column, with the dimension side broadcast when small. The
+    constant-labeled UNION keeps everything in one job — a 100 TB audit
+    is two key-projected scans plus one fact scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def metric_row(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("metric").cast("long").alias("metric"),
+        )
+
+    local = o.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_ck"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpos"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("dup"),
+    )
+    checks = [
+        metric_row("orders.rows", local.select(F.col("rows").alias("metric"))),
+        metric_row(
+            "orders.null_custkey", local.select(F.col("null_ck").alias("metric"))
+        ),
+        metric_row(
+            "orders.nonpositive_totalprice",
+            local.select(F.col("nonpos").alias("metric")),
+        ),
+        metric_row(
+            "orders.dup_orderkey", local.select(F.col("dup").alias("metric"))
+        ),
+        metric_row(
+            "orders.orphan_custkey",
+            o.join(
+                F.broadcast(c.select("c_custkey")),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("metric")),
+        ),
+        metric_row(
+            "lineitem.orphan_orderkey",
+            li.select("l_orderkey")
+            .join(
+                o.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("metric")),
+        ),
+    ]
+    out = checks[0]
+    for nxt in checks[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# wave 5: robust statistics & smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mad_outliers_orders",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), med AS (
+        SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med_c
+        FROM c GROUP BY o_orderpriority
+    ), dev AS (
+        SELECT c.o_orderpriority, c.cents, m.med_c,
+               abs(c.cents - m.med_c) AS d
+        FROM c JOIN med m USING (o_orderpriority)
+    ), mad AS (
+        SELECT o_orderpriority, quantile_cont(d, 0.5) AS mad_c
+        FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           ANY_VALUE(d.med_c)  AS median_cents,
+           ANY_VALUE(m.mad_c)  AS mad_cents,
+           CAST(COUNT(*) FILTER (WHERE d.d > 3 * m.mad_c) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority
+    """,
+)
+def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median + MAD (median absolute
+    deviation), flagging rows with |x − med| > 3·MAD — the
+    resistant-to-contamination twin of the z-score queries (one wild
+    price can't move the threshold the way it moves a stddev).
+
+    Exactness: prices fold to cents BIGINT first; interpolated medians
+    land on integers or exact .5 halves (both exactly representable),
+    so |x − med| and the 3·MAD comparison are identical IEEE ops on
+    both engines — no rounding needed anywhere.
+
+    Scale shape: two grouped exact percentiles (sort-based within each
+    priority group) + one re-scan with the 5-row med/mad table
+    broadcast back. Exact percentile is the honest expensive part; at
+    100 TB swap stage one for approx_percentile with the same query
+    body, or keep exact and accept the per-group sort — the threshold
+    join stays broadcast either way.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    med = c.groupBy("o_orderpriority").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_c")
+    )
+    dev = c.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med_c",
+        F.abs(F.col("cents") - F.col("med_c")).alias("d"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.any_value("med_c").alias("median_cents"),
+            F.any_value("mad_c").alias("mad_cents"),
+            F.count(F.when(F.col("d") > 3 * F.col("mad_c"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "weighted_median_quantity",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS wt
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, qty, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY qty
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(qty) AS BIGINT) AS weighted_median_qty,
+           CAST(ANY_VALUE(tot) AS BIGINT) AS total_weight_cents
+    FROM cum WHERE 2 * cw >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest quantity at which the running
+    revenue weight crosses half the group total — the
+    revenue-weighted 'typical order size' (each quantity votes with
+    its dollars, not its row count).
+
+    Exactness: weights are cents BIGINT, the crossing test is the
+    integer inequality 2·cumw ≥ tot — zero float ops end to end.
+
+    Scale shape: pre-aggregating to (flag, qty) first collapses the
+    fact table to ≤ |flags|·|qty| ≈ 150 rows BEFORE the window, so the
+    cumulative sort is over a tiny relation — the 100 TB cost is one
+    map-side-partial hash agg, not a windowed fact sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("wt")
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("qty")
+    cum = w.select(
+        "l_returnflag",
+        "qty",
+        F.sum("wt").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("wt")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("tot"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("qty").cast("long").alias("weighted_median_qty"),
+            F.any_value("tot").cast("long").alias("total_weight_cents"),
+        )
+    )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id, ts, value,
+               lag(value, 1) OVER w AS v1,
+               lag(value, 2) OVER w AS v2,
+               lag(value, 3) OVER w AS v3,
+               lag(value, 4) OVER w AS v4,
+               lag(value, 5) OVER w AS v5,
+               lag(value, 6) OVER w AS v6,
+               lag(value, 7) OVER w AS v7
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           value + 0.5 * COALESCE(v1, 0) + 0.25 * COALESCE(v2, 0)
+                 + 0.125 * COALESCE(v3, 0) + 0.0625 * COALESCE(v4, 0)
+                 + 0.03125 * COALESCE(v5, 0) + 0.015625 * COALESCE(v6, 0)
+                 + 0.0078125 * COALESCE(v7, 0) AS ewma8
+    FROM s
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing of each user's event values —
+    the finite-window EWMA (decay ½, depth 8) used for trend features
+    and anomaly baselines, as one window pass of explicit lags.
+
+    Exactness: every weight is a power of two, so each multiply is an
+    exact IEEE scale and the left-associated addition chain is written
+    identically in both dialects — bit-identical doubles with NO
+    rounding. (An unbounded recursive EWMA is order-exact too but
+    needs a recursive form; depth-8 keeps it a pure window query —
+    weight below 2⁻⁸ is under 0.4%.)
+
+    Scale shape: one exchange on user_id, eight lags sharing the same
+    sorted frame, map-side everything else — the classic 'feature
+    column over a keyed sequence' plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(1, 8)]
+    ew = F.col("value")
+    for k, lg in enumerate(lags, start=1):
+        ew = ew + F.lit(0.5**k) * F.coalesce(lg, F.lit(0.0))
+    return e.select("event_id", "user_id", "ts", ew.alias("ewma8"))
+
+
+# ---------------------------------------------------------------------------
+# wave 5: cross-engine-checked UDF + stream-stream join (and batch twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jaro_winkler_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_partkey < b.p_partkey
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.84
+    """,
+)
+def jaro_winkler_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy name matching with a VALUE-checked Python UDF:
+    Jaro-Winkler similarity over candidate part-name pairs, verified
+    against DuckDB's native ``jaro_winkler_similarity`` — the oracle
+    gate proves the UDF's doubles match a second independent
+    implementation bit-for-bit (pre-round max |Δ| = 0.0 on 80k real
+    pairs), which is the strongest check a Python UDF gets anywhere in
+    this engine.
+
+    Scale shape: blocking on (brand, name-noun) equality turns the
+    quadratic all-pairs into an equi-join whose fan-out is bounded by
+    block size — the same guard as the levenshtein and LSH dedups; the
+    Arrow-batched UDF runs only on surviving candidates. Entity
+    resolution at 100 TB is exactly this: cheap blocking join, then an
+    expensive scorer on the shortlist.
+    """
+    from pyspark_movie_recommender_spark.operators.udf_surface import jaro_winkler
+
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    return (
+        a.join(b, ["brand", "noun"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("jw_raw", jaro_winkler(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("jw_raw") >= 0.84)
+        .select(
+            "key_a", "key_b", F.round("jw_raw", 6).alias("jw")
+        )
+    )
+
+
+@query(
+    "interval_join_view_purchase",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def interval_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: views matched to
+    the same user's purchases within the next 30 minutes (conversion
+    attribution). Oracle-checkable, so the streaming variant
+    (streaming_interval_join) inherits a value-verified plan shape —
+    same equality key, same time-range predicate.
+
+    Scale shape: equi-join on user_id with the range condition as a
+    residual predicate — one co-partitioned shuffle, no pair explosion
+    beyond each user's view×purchase product inside the window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select(
+            "view_id", "purchase_id", "user_id", "view_ts", "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
+@query("streaming_interval_join")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with dual watermarks (bounded join
+    state) — see streaming/jobs.py stream_stream_interval_join. The
+    batch twin interval_join_view_purchase carries the DuckDB oracle;
+    the stream≡batch equivalence test pins this variant to it."""
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        stream_stream_interval_join,
+    )
+
+    return stream_stream_interval_join(
+        spark, sf_dir, query_name="q_stream_interval_join"
+    ).select(
+        "view_id", "purchase_id", "user_id", "view_ts", "purchase_ts",
+        "purchase_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 6: iterative graph ranking, LM scoring, incremental distinct, shares
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pagerank_trade_graph",
+    oracle="""
+    WITH fwd AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT src, dst FROM fwd
+        UNION
+        SELECT dst AS src, src AS dst FROM fwd
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS cnt FROM edges
+    ), it0 AS (
+        SELECT src AS node, 1.0 / cnt AS pr FROM deg, n
+    ), it1 AS (
+        SELECT e.dst AS node,
+               0.15 / ANY_VALUE(n.cnt) + 0.85 * SUM(i.pr / d.outdeg) AS pr
+        FROM edges e JOIN it0 i ON e.src = i.node
+                     JOIN deg d ON d.src = e.src, n
+        GROUP BY e.dst
+    ), it2 AS (
+        SELECT e.dst AS node,
+               0.15 / ANY_VALUE(n.cnt) + 0.85 * SUM(i.pr / d.outdeg) AS pr
+        FROM edges e JOIN it1 i ON e.src = i.node
+                     JOIN deg d ON d.src = e.src, n
+        GROUP BY e.dst
+    ), it3 AS (
+        SELECT e.dst AS node,
+               0.15 / ANY_VALUE(n.cnt) + 0.85 * SUM(i.pr / d.outdeg) AS pr
+        FROM edges e JOIN it2 i ON e.src = i.node
+                     JOIN deg d ON d.src = e.src, n
+        GROUP BY e.dst
+    ), it4 AS (
+        SELECT e.dst AS node,
+               0.15 / ANY_VALUE(n.cnt) + 0.85 * SUM(i.pr / d.outdeg) AS pr
+        FROM edges e JOIN it3 i ON e.src = i.node
+                     JOIN deg d ON d.src = e.src, n
+        GROUP BY e.dst
+    ), it5 AS (
+        SELECT e.dst AS node,
+               0.15 / ANY_VALUE(n.cnt) + 0.85 * SUM(i.pr / d.outdeg) AS pr
+        FROM edges e JOIN it4 i ON e.src = i.node
+                     JOIN deg d ON d.src = e.src, n
+        GROUP BY e.dst
+    )
+    SELECT node, ROUND(pr, 6) AS pr FROM it5
+    """,
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 synchronous iterations) over the
+    bidirected customer↔supplier trade graph — iterative graph ranking
+    as a driver-side DataFrame loop, oracle-checked against the same
+    five iterations unrolled as chained CTEs in DuckDB.
+
+    Bidirecting the bipartite edge set removes dangling nodes, so no
+    global dangling-mass redistribution term is needed and each
+    iteration is exactly: pr' = 0.15/N + 0.85·Σ_in pr/outdeg. Engines
+    sum incoming mass in different orders, so ranks are rounded to 6
+    decimals (drift after 5 iterations ≪ 1e-12).
+
+    Scale shape: each iteration is one join on src (ranks are a narrow
+    (node, pr) relation; edges re-use their partitioning) + one hash
+    agg on dst — the standard Pregel-as-joins form. A fixed iteration
+    count keeps lineage bounded; production would localCheckpoint every
+    ~10 rounds like connected_components.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    n_nodes = deg.count()  # driver-side scalar (like ALS's RMSE), one tiny job
+    contrib_src = edges.join(deg, "src")
+    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(5):
+        ranks = (
+            contrib_src.join(ranks, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(0.15 / n_nodes)
+                    + 0.85 * F.sum(F.col("pr") / F.col("outdeg"))
+                ).alias("pr")
+            )
+            .withColumnRenamed("node", "src")
+        )
+    return ranks.select(F.col("src").alias("node"), F.round("pr", 6).alias("pr"))
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), lm AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM lm
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(CAST(lm.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE))), 6)
+               AS avg_neg_logprob
+    FROM tok t JOIN lm ON t.w = lm.w, tot
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring with the corpus's own unigram LM:
+    each document's mean token surprisal −ln p(w) — the (cheap,
+    self-supervised) stand-in for perplexity-based corpus filtering;
+    low-surprisal docs are boilerplate-ish, high-surprisal docs are
+    noise. Extends the rule-based quality family (gopher filter,
+    doc_profile) with a statistical scorer.
+
+    Scale shape: the LM is a token→count table built by one explode +
+    hash agg (vocab-sized, broadcast back onto the token stream); the
+    per-doc score is a second hash agg on doc_id. Two shuffles total,
+    both over narrow rows; every expression is JVM-side.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("w"),
+    )
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = lm.agg(F.sum("cnt").cast("long").alias("n"))
+    return (
+        tok.join(F.broadcast(lm), "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        F.col("cnt").cast("double") / F.col("n").cast("double")
+                    )
+                ),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+@query(
+    "cumulative_distinct_event_types",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+    FROM flagged
+    """,
+)
+def cumulative_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — not directly expressible as a window
+    aggregate in either engine — via the first-occurrence trick: flag
+    each (user, type)'s first event with row_number, then a running sum
+    of flags gives the number of distinct types seen so far.
+
+    Scale shape: both windows hash-partition by user_id, so the second
+    window reuses the first's exchange (one shuffle total); state per
+    row is one bit. The same trick computes any 'distinct-so-far'
+    feature (new-item rate, vocabulary growth) at 100 TB without a
+    quadratic distinct-per-prefix recompute.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("first_seen").over(w_cum).cast("long").alias("n_types_seen"),
+    )
+
+
+@query(
+    "revenue_share_ppm",
+    oracle="""
+    WITH nrev AS (
+        SELECT n.n_regionkey, n.n_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name,
+           cents AS revenue_cents,
+           CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY n_regionkey)
+                AS BIGINT) AS share_ppm
+    FROM nrev
+    """,
+)
+def revenue_share_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-group analytics (ratio_to_report): each nation's
+    revenue as parts-per-million of its region's total — exact to the
+    last ppm because the share is BIGINT arithmetic (cents·10⁶ integer-
+    divided by the region window total), never a float ratio.
+
+    Scale shape: the fact chain reduces to a 25-row nation aggregate
+    before the window, so the share pass is driver-trivial; the only
+    real work is the fact join-agg, with nation/customer dims broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    nrev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return nrev.select(
+        "n_name",
+        F.col("cents").alias("revenue_cents"),
+        F.expr("CAST((cents * 1000000) DIV SUM(cents) OVER (PARTITION BY n_regionkey) AS BIGINT)").alias("share_ppm"),
+    )
+
+
+@query("countmin_token_estimates")
+def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus tokens (d=4 hash rows × w=1024
+    buckets), probed for the exact top-20 tokens — the mergeable
+    point-frequency sketch completing the sketch family (HLL for
+    cardinality, CMS for counts, exact twin = token_heavy_hitters).
+
+    The sketch IS a DataFrame: (row, bucket, cnt) built by one explode
+    + hash agg, so it merges across shards/days by summing matching
+    cells (the same store-and-merge contract as hll_sketch_rollup).
+    Estimate(t) = min over rows of cell(row, hash_row(t) mod w) —
+    upper-bounds the true count, overcounting only on bucket
+    collisions (ε ≈ e/w per row).
+
+    No oracle: xxhash64 is Spark-side only; the accuracy contract
+    (exact ≤ est, with bounded overcount) is pinned by
+    tests/test_operators.py::test_countmin_upper_bounds_exact.
+
+    Scale shape: sketch build is map-side explode + 4096-cell hash agg
+    (constant-size state — the point of a sketch at 100 TB); the probe
+    set is tiny and both probe joins are broadcasts.
+    """
+    D, W_CELLS = 4, 1024
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("w")
+    )
+    cells = tok.select(
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(F.xxhash64("w", F.lit(r)), F.lit(W_CELLS)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(D)
+                ]
+            )
+        ).alias("c"),
+    ).select(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    sketch = cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w"))
+        .limit(20)
+    )
+    probes = top.select(
+        "w",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(F.xxhash64("w", F.lit(r)), F.lit(W_CELLS)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(D)
+                ]
+            )
+        ).alias("c"),
+    ).select("w", "exact_cnt", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(sketch, ["row", "bucket"])
+        .groupBy("w", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w"))
+    )

@@ -282,3 +282,55 @@ def user_peaks_transform_with_state(
     )
     _run_to_table(out, query_name, "update")
     return spark.table(query_name)
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_interval_join",
+) -> DataFrame:
+    """Stream-stream interval join: each 'view' event joined to the same
+    user's 'purchase' events landing within the next 30 minutes — the
+    attribution topology (did the view convert?).
+
+    Both sides carry watermarks so the join state store can expire:
+    a buffered view can be dropped once event time passes view.ts +
+    30 min + watermark; purchases expire symmetrically. Without BOTH
+    watermarks + the time-range join condition, stream-stream join
+    state grows forever — this is the canonical bounded-state shape.
+    The equality key (user_id) keeps the join a co-partitioned
+    stream-stream hash join; state is per-user and per-window, so a
+    100 TB/day feed shards horizontally with no global state.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ts >= view_ts AND "
+            "purchase_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts",
+             "purchase_value")
+    _run_to_table(joined, query_name, "append")
+    return spark.table(query_name)

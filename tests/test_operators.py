@@ -537,3 +537,15 @@ def test_snapshot_diff_null_safe(spark):
            for r in snapshot_diff(old, new, key="k").collect()}
     # NULL == NULL must be 'unchanged' (null-safe compare), not 'changed'
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_countmin_upper_bounds_exact(spark, sf_dir):
+    from pyspark_movie_recommender_spark import queries as Q
+
+    rows = Q.QUERIES["countmin_token_estimates"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # CMS never undercounts; 1024 buckets vs ~tens of distinct
+        # tokens here → collisions are rare, overcount stays small
+        assert r.est_cnt >= r.exact_cnt
+        assert r.est_cnt <= r.exact_cnt * 1.5 + 50

@@ -217,3 +217,15 @@ def test_transform_with_state_peaks_match_batch(spark, sf_dir):
     s = sorted(tuple(r) for r in out.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert s == b
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        stream_stream_interval_join,
+    )
+
+    stream = stream_stream_interval_join(spark, sf_dir, query_name="t_ssj_eq")
+    batch = Q.QUERIES["interval_join_view_purchase"](spark, sf_dir)
+    cols = ["view_id", "purchase_id", "user_id", "view_ts", "purchase_ts",
+            "purchase_value"]
+    assert rows(stream.select(*cols)) == rows(batch.select(*cols))
