@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_movie_recommender_spark.functions import char_ngrams, fingerprint, ws_tokens
 
@@ -452,4 +453,99 @@ def simhash_neardup_pairs(
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_pct: int = 70,
+) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (Chaudhuri/Bayardo
+    ppjoin family): exact word-set Jaccard ≥ threshold, generating
+    candidates only from each document's RAREST tokens instead of all
+    of them.
+
+    Why it scales where the plain shared-token join doesn't: order the
+    vocabulary by ascending document frequency; if |A∩B| ≥ α then the
+    first |A|−α+1 tokens of A and first |B|−α+1 of B must share one
+    (pigeonhole on the global order). With α = ⌈t·|A|⌉ (implied by
+    J ≥ t), each doc only emits its prefix — mostly RARE tokens, so
+    join buckets stay small by construction; the corpus-wide stop
+    words that explode the naive join never appear in any prefix. A
+    size-ratio pre-filter (t ≤ |A|/|B| ≤ 1/t) prunes further.
+
+    All arithmetic is integer-exact: prefix length uses the integer
+    ceiling (t_pct·n + 99) DIV 100, the verify threshold is
+    (100+t_pct)·inter ≥ t_pct·(|A|+|B|), and the returned similarity
+    is BIGINT ppm — so the all-pairs oracle matches hash-for-hash.
+
+    Returns (id_a, id_b, inter, n_a, n_b, jaccard_ppm), id_a < id_b.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+"))
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w_rank = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("w"))
+    ranked = (
+        tok.join(dfreq, "w")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .join(sizes, "id")
+    )
+    # integer ceil: prefix keeps sz - ceil(t*sz) + 1 rarest tokens
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.expr(f"({threshold_pct} * sz + 99) DIV 100") + 1
+    ).select("id", "w", "sz")
+    a = prefix.select(
+        F.col("id").alias("id_a"), "w", F.col("sz").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "w", F.col("sz").alias("n_b")
+    )
+    cand = (
+        a.join(b, "w")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size ratio: t <= n_a/n_b <= 1/t (both directions, integer)
+            & (100 * F.col("n_a") >= threshold_pct * F.col("n_b"))
+            & (100 * F.col("n_b") >= threshold_pct * F.col("n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "w")
+    tb = tok.select(F.col("id").alias("id_b"), "w")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(
+            (100 + threshold_pct) * F.col("inter")
+            >= threshold_pct * (F.col("n_a") + F.col("n_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.expr("CAST((inter * 1000000) DIV (n_a + n_b - inter) AS BIGINT)")
+            .alias("jaccard_ppm"),
+        )
     )

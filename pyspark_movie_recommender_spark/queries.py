@@ -5641,27 +5641,39 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals (drift after 5 iterations ≪ 1e-12).
 
     Scale shape: each iteration is one join on src (ranks are a narrow
-    (node, pr) relation; edges re-use their partitioning) + one hash
-    agg on dst — the standard Pregel-as-joins form. A fixed iteration
-    count keeps lineage bounded; production would localCheckpoint every
-    ~10 rounds like connected_components.
+    (node, pr) relation against the persisted contribution table) + one
+    hash agg on dst — the standard Pregel-as-joins form. Dedup happens
+    on INTEGER key pairs before any string node-id exists (longs
+    shuffle ~3× cheaper than strings), and bidirecting after the dedup
+    needs no second distinct (the two directions are disjoint by
+    construction). Each round ends in localCheckpoint, so round k+1's
+    plan starts from materialized ranks instead of re-optimizing k
+    chained shuffles (26 s → ~13 s at sf0.1); swap for reliable
+    checkpoint(dir) on a real cluster, as in connected_components.
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    fwd = (
+    pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
     )
+    fwd = pairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    # c→s and s→c namespaces are disjoint: union IS the distinct edge set
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
+    from pyspark_movie_recommender_spark.operators.cache import track
+
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    # the (src, dst, outdeg) contribution relation feeds EVERY round:
+    # tracked-persist it so the fact join + dedup + degree agg run
+    # once, not 5× (cache.release_all() drains the blocks).
+    contrib_src = track(edges.join(deg, "src"))
     n_nodes = deg.count()  # driver-side scalar (like ALS's RMSE), one tiny job
-    contrib_src = edges.join(deg, "src")
     ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(5):
         ranks = (
@@ -5674,6 +5686,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr")
             )
             .withColumnRenamed("node", "src")
+            .localCheckpoint()
         )
     return ranks.select(F.col("src").alias("node"), F.round("pr", 6).alias("pr"))
 
@@ -5917,3 +5930,262 @@ def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").cast("long").alias("est_cnt"))
         .orderBy(F.desc("exact_cnt"), F.asc("w"))
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 7: skyline, period-over-period, binning, vector quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skyline_parts_pareto",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey,
+           CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(p.p_size AS INT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_brand = p.p_brand
+          AND q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: per brand, the parts not
+    dominated on (price, size) by any other part of the same brand —
+    the multi-criteria shortlist shape (cheapest-for-its-size), which
+    no single ORDER BY can express.
+
+    Scale shape: dominance is a THETA anti-join, blocked on the brand
+    equality key so the quadratic check runs only within each brand's
+    partition (same blocking discipline as the levenshtein/JW dedups).
+    At 100 TB you'd pre-reduce each block to its 2-D staircase with a
+    window (sort by price, keep rows whose size beats the running min
+    — the classic skyline sweep) before any pairwise check; block
+    sizes here (≲100 parts/brand) don't need it.
+    """
+    p = load_table(spark, sf_dir, "part")
+    q = p.select(
+        F.col("p_brand").alias("q_brand"),
+        F.col("p_retailprice").alias("q_price"),
+        F.col("p_size").alias("q_size"),
+    )
+    dominated = (
+        (F.col("q_brand") == F.col("p_brand"))
+        & (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") <= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") < F.col("p_size"))
+        )
+    )
+    return p.join(q, dominated, "left_anti").select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("price_cents"),
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+
+
+@query(
+    "mom_revenue_growth",
+    oracle="""
+    WITH m AS (
+        SELECT n.n_name,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, month, cents AS revenue_cents,
+           CAST((cents * 1000000) //
+                lag(cents) OVER (PARTITION BY n_name ORDER BY month)
+                AS BIGINT) AS growth_ppm
+    FROM m
+    """,
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period analytics: month-over-month revenue per
+    nation with the growth ratio as exact BIGINT ppm ((cur·10⁶) DIV
+    prev — integer division, so no float ratio can drift; NULL for
+    each nation's first month).
+
+    Scale shape: the fact table reduces to (nation × month) before the
+    lag window, so the sequential pass runs over a few hundred rows
+    regardless of fact size; dims broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    return m.select(
+        "n_name",
+        "month",
+        F.col("cents").alias("revenue_cents"),
+        F.expr(
+            "CAST((cents * 1000000) DIV lag(cents) OVER "
+            "(PARTITION BY n_name ORDER BY month) AS BIGINT)"
+        ).alias("growth_ppm"),
+    )
+
+
+@query(
+    "ntile_price_quartiles",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                            AS BIGINT), o_orderkey) AS quartile
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM q GROUP BY 1, 2
+    """,
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature binning: each order assigned to its
+    priority's price quartile via ntile over a TOTAL order (cents,
+    orderkey tie-break — ntile on a partial order is nondeterministic
+    in any engine), then per-bucket count + value ranges — the
+    quantile-bucketizer every feature pipeline needs.
+
+    Scale shape: one window exchange on priority, then a tiny
+    (priority × 4) agg reusing the same partitioning. For 100 TB,
+    swap ntile for precomputed approx-percentile cut points (the
+    winsorized/percentile queries) to avoid the per-group sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    q = o.select(
+        "o_orderpriority", cents.alias("cents"), F.col("o_orderkey")
+    ).withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    return q.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(list_sum(list_transform(embedding, x ->
+                GREATEST(-128, LEAST(127,
+                    CAST(FLOOR(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)))))
+                AS BIGINT) AS q_checksum,
+           CAST(list_min(list_transform(embedding, x ->
+                GREATEST(-128, LEAST(127,
+                    CAST(FLOOR(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)))))
+                AS BIGINT) AS q_min,
+           CAST(list_max(list_transform(embedding, x ->
+                GREATEST(-128, LEAST(127,
+                    CAST(FLOOR(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)))))
+                AS BIGINT) AS q_max
+    FROM embeddings
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-scale int8 vector quantization (q = clip(round(x·64)) —
+    the storage/bandwidth lever for ANN at scale: 4× smaller vectors,
+    SIMD-able integer dot products), verified by per-vector integer
+    checksum + range. A FIXED scale (not per-vector min/max) keeps the
+    quantizer exact and engine-portable: floor(x·64 + 0.5) is the same
+    IEEE op in both dialects, so the oracle checks every element via
+    the checksum.
+
+    Scale shape: pure map-side HOF projection (transform/aggregate) —
+    zero shuffles, zero Python. The SQL HOF form is the SPEC; a
+    100 TB pass would swap in the Arrow/NumPy kernel (see
+    operators/similarity.py cosine_arrow) for the ~10× interpreter
+    cliff on nested lambdas, identical results.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qexpr = (
+        "transform(embedding, x -> GREATEST(-128L, LEAST(127L, "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT))))"
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        F.expr(f"aggregate({qexpr}, 0L, (a, b) -> a + b)")
+        .cast("long")
+        .alias("q_checksum"),
+        F.expr(f"array_min({qexpr})").cast("long").alias("q_min"),
+        F.expr(f"array_max({qexpr})").cast("long").alias("q_max"),
+    )
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), tok2 AS (
+        SELECT id, w FROM tok WHERE w <> ''
+    ), sz AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tok2 GROUP BY id
+    ), inter AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM tok2 a JOIN tok2 b ON a.w = b.w AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.inter,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST((i.inter * 1000000) // (sa.n + sb.n - i.inter) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sz sa ON i.id_a = sa.id
+    JOIN sz sb ON i.id_b = sb.id
+    WHERE 170 * i.inter >= 70 * (sa.n + sb.n)
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (word-set Jaccard ≥
+    0.70) — see operators/dedup.py prefix_filtered_jaccard_pairs. The
+    oracle is the NAIVE all-pairs shared-token join: hash-equality of
+    the two result sets proves the prefix filter is lossless pruning,
+    not an approximation (contrast minhash_lsh_pairs, which trades
+    recall for speed and gets rows-only checks).
+
+    Scale shape: candidates come only from rare-token prefixes (the
+    corpus-wide stop tokens that make the naive join quadratic never
+    enter any prefix), plus an integer size-ratio prune — the
+    sub-quadratic EXACT leg of the dedup family, between the df-capped
+    jaccard sampler and LSH.
+    """
+    from pyspark_movie_recommender_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_pairs(docs, threshold_pct=70)

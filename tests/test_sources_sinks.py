@@ -182,3 +182,52 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dst).count() == load_table(
         spark, sf_dir, "orders"
     ).count()
+
+
+def test_orc_sink_source_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the other columnar format Spark ships natively — verify
+    write→read preserves rows, schema, and predicate pushdown."""
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.plans import physical_plan
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    filtered = back.filter(F.col("o_orderpriority") == "URGENT").select(
+        "o_orderkey"
+    )
+    plan = physical_plan(filtered)
+    assert "PushedFilters" in plan  # ORC scan gets pushdown too
+
+
+def test_text_source_line_per_row(spark, tmp_path):
+    """spark.read.text: one line per row in a single `value` column —
+    the raw-corpus ingestion path (jsonl/plain dumps) before parsing."""
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta\ngamma\n\ndelta epsilon zeta\n")
+    df = spark.read.text(str(p))
+    assert df.columns == ["value"]
+    lines = [r.value for r in df.collect()]
+    assert lines == ["alpha beta", "gamma", "", "delta epsilon zeta"]
+
+
+def test_binaryfile_source_payload_and_metadata(spark, tmp_path):
+    """binaryFile source: whole-file BinaryType payloads + file metadata
+    — the object-store ingestion path for the multimodal operators
+    (operators/multimodal.py consumes exactly this shape)."""
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-b")
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+    )
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
+    assert rows["a.bin"] == b"\x00\x01\x02payload-a"
+    assert rows["b.bin"] == b"payload-b"
