@@ -6189,3 +6189,225 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filtered_jaccard_pairs(docs, threshold_pct=70)
+
+
+# ---------------------------------------------------------------------------
+# wave 9: classic OLAP suite, part III (Q8/Q9/Q10/Q15 shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "national_market_share",
+    oracle="""
+    WITH mkt AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT) AS cents,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        JOIN region r    ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)
+                AS BIGINT) AS nation_cents,
+           CAST(SUM(cents) AS BIGINT) AS market_cents,
+           CAST((SUM(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)
+                 * 1000000) // SUM(cents) AS BIGINT) AS share_ppm
+    FROM mkt GROUP BY o_year
+    """,
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of supplier revenue in the ASIA
+    customer market per order year — the two-level conditional ratio
+    (numerator = CASE inside SUM, one pass, no self-join), share exact
+    in BIGINT ppm.
+
+    Scale shape: all five dims broadcast; the fact chain shuffles
+    lineitem⋈orders on orderkey then orders⋈customer on custkey; both
+    sums accumulate in ONE hash agg keyed by year (≈7 groups).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    cust_nat = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nat = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    mkt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cust_nat, c.c_nationkey == F.col("cn_key"))
+        .join(supp_nat, li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("cents")).otherwise(0))
+    return mkt.groupBy("o_year").agg(
+        nat.cast("long").alias("nation_cents"),
+        F.sum("cents").cast("long").alias("market_cents"),
+        F.expr(
+            "CAST((SUM(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)"
+            " * 1000000) DIV SUM(cents) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit from one product family (name LIKE
+    '%widget%') by supplier nation × order year — the many-dim star
+    join with a mid-string LIKE that can't prune at the scan but CAN
+    shrink the broadcast part dim before the fact join.
+
+    Scale shape: part filters to the widget subset then broadcasts
+    (so the fact side is pre-pruned by the join itself), supplier and
+    nation broadcast; one orderkey shuffle for the orders join; final
+    agg is (25 nations × years).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    supp_nat = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(supp_nat, li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(cents).cast("long").alias("profit_cents"))
+    )
+
+
+@query(
+    "returned_revenue_top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS returned_cents
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY returned_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers with the most returned-item
+    revenue (returnflag R) — the 'who is hurting us' ranking behind
+    churn/fraud triage, with a deterministic custkey tie-break.
+
+    Scale shape: the returnflag filter pushes to the lineitem scan;
+    custkey/orderkey shuffles carry only keys + cents; nation
+    broadcasts; the final ranking is TakeOrderedAndProject (top-20
+    heap per partition), never a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(cents).cast("long").alias("returned_cents"))
+        .orderBy(F.desc("returned_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "top_supplier_per_quarter",
+    oracle="""
+    WITH q AS (
+        SELECT l.l_suppkey,
+               CAST(date_trunc('quarter', l.l_shipdate) AS DATE) AS qtr,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l GROUP BY 1, 2
+    )
+    SELECT qtr, s.s_name,
+           cents AS revenue_cents
+    FROM (SELECT *, rank() OVER (PARTITION BY qtr ORDER BY cents DESC) AS rk
+          FROM q) r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE rk = 1
+    """,
+)
+def top_supplier_per_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-revenue supplier of each ship quarter —
+    the classic 'MAX of an aggregate' view, done with rank() so exact
+    ties all surface (deterministic without an arbitrary pick; the
+    original's revenue = MAX(revenue) subquery keeps ties too).
+
+    Scale shape: lineitem pre-aggregates to (supplier × quarter)
+    before any window — the rank runs over ~400 rows; WindowGroupLimit
+    prunes rank=1 per partition pre-shuffle; supplier broadcasts onto
+    the winners only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    q = li.groupBy(
+        "l_suppkey",
+        F.to_date(F.date_trunc("quarter", F.col("l_shipdate"))).alias("qtr"),
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.partitionBy("qtr").orderBy(F.desc("cents"))
+    return (
+        q.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("qtr", "s_name", F.col("cents").alias("revenue_cents"))
+    )

@@ -183,3 +183,36 @@ def test_table_checksum_single_exchange(spark, sf_dir):
     df = Q.QUERIES["table_checksum_orders"](spark, sf_dir)
     # map-side modular partials; only the 5-group final agg shuffles
     assert count_exchanges(df) <= 1
+
+
+def test_q10_top_customers_is_take_ordered(spark, sf_dir):
+    df = Q.QUERIES["returned_revenue_top_customers"](spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
+    # returnflag filter must reach the lineitem scan
+    from pyspark_movie_recommender_spark.plans import has_pushed_filter
+    assert has_pushed_filter(df, "l_returnflag")
+
+
+def test_q15_rank_prunes_with_group_limit(spark, sf_dir):
+    df = Q.QUERIES["top_supplier_per_quarter"](spark, sf_dir)
+    assert has_operator(df, "WindowGroupLimit")
+
+
+def test_q19_disjunction_pushes_conjuncts_to_scans(spark, sf_dir):
+    df = Q.QUERIES["disjunctive_pushdown_revenue"](spark, sf_dir)
+    from pyspark_movie_recommender_spark.plans import has_pushed_filter
+    # CNF conversion: the brand IN-list and quantity range reach scans
+    assert has_pushed_filter(df, "p_brand")
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_pii_redaction_is_shuffle_free(spark, sf_dir):
+    df = Q.QUERIES["pii_redact_documents"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_int8_quantize_is_shuffle_free(spark, sf_dir):
+    df = Q.QUERIES["embedding_int8_quantize"](spark, sf_dir)
+    assert count_exchanges(df) == 0
