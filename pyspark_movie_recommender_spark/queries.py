@@ -5693,6 +5693,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unigram_logprob_quality",
+    bench=True,
     oracle="""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
@@ -6410,4 +6411,155 @@ def top_supplier_per_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("qtr", "s_name", F.col("cents").alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 10: association rules, privacy erasure
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "association_rules_parts",
+    bench=True,
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ), item_n AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM items GROUP BY 1
+    ), pair_n AS (
+        SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+               CAST(COUNT(*) AS BIGINT) AS both_cnt
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons, p.both_cnt,
+           ia.cnt AS ante_cnt,
+           CAST((p.both_cnt * 1000000) // ia.cnt AS BIGINT)
+               AS confidence_ppm,
+           CAST((p.both_cnt * n.n * 1000000) // (ia.cnt * ic.cnt) AS BIGINT)
+               AS lift_ppm
+    FROM pair_n p
+    JOIN item_n ia ON p.ante = ia.l_partkey
+    JOIN item_n ic ON p.cons = ic.l_partkey, n_orders n
+    WHERE p.both_cnt >= 3
+    ORDER BY confidence_ppm DESC, ante ASC, cons ASC
+    LIMIT 50
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for each directed part
+    pair A→B with support ≥ 3 orders, confidence P(B|A) and lift
+    P(B|A)/P(B) — the full rule-mining step on top of
+    market_basket_pairs' raw co-occurrence, with every ratio exact in
+    BIGINT ppm (integer division; no float probabilities).
+
+    Scale shape: the pair fan-out stays C(basket,2)-bounded; item
+    counts and the global order count are tiny broadcast sides; the
+    top-50 is TakeOrderedAndProject. The support≥3 filter runs on the
+    aggregated pair relation BEFORE the ratio joins, pruning the long
+    tail early.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()  # driver scalar
+    item_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("both_cnt"))
+        .filter(F.col("both_cnt") >= 3)
+    )
+    ia = F.broadcast(item_n.select(F.col("l_partkey").alias("ante"),
+                                   F.col("cnt").alias("ante_cnt")))
+    ic = F.broadcast(item_n.select(F.col("l_partkey").alias("cons"),
+                                   F.col("cnt").alias("cons_cnt")))
+    return (
+        pair_n.join(ia, "ante")
+        .join(ic, "cons")
+        .select(
+            "ante",
+            "cons",
+            "both_cnt",
+            "ante_cnt",
+            F.expr("CAST((both_cnt * 1000000) DIV ante_cnt AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                f"CAST((both_cnt * {n_orders}L * 1000000) DIV "
+                "(ante_cnt * cons_cnt) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("confidence_ppm"), F.asc("ante"), F.asc("cons"))
+        .limit(50)
+    )
+
+
+@query(
+    "privacy_erasure_audit",
+    oracle="""
+    WITH erase AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id % 37 = 0
+    ), kept AS (
+        SELECT e.* FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM erase x WHERE x.user_id = e.user_id)
+    )
+    SELECT 'events.before' AS metric, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    UNION ALL
+    SELECT 'events.after', CAST(COUNT(*) AS BIGINT) FROM kept
+    UNION ALL
+    SELECT 'events.erased_users',
+           CAST(COUNT(*) AS BIGINT) FROM erase
+    UNION ALL
+    SELECT 'events.residual_rows',
+           CAST(COUNT(*) AS BIGINT)
+    FROM kept k WHERE EXISTS (SELECT 1 FROM erase x
+                              WHERE x.user_id = k.user_id)
+    """,
+)
+def privacy_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten pass with its audit: drop every event of
+    the erasure set (here: deterministic user_id % 37 = 0 stand-in for
+    a DSAR list), then PROVE completeness in the same job — before /
+    after counts, erased-user count, and a residual check that MUST be
+    zero (the auditor's query, not the deleter's claim).
+
+    Scale shape: the erasure list is a broadcast anti-join (key-only
+    dim side); the residual check is the mirror semi-join over the
+    kept rows — both shuffle-free on the fact side. At 100 TB this is
+    the standard GDPR repave: scan, anti-join, rewrite partitions,
+    then run exactly this audit before swapping them in.
+    """
+    e = load_table(spark, sf_dir, "events")
+    erase = e.filter(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    kept = e.join(F.broadcast(erase), "user_id", "left_anti")
+    residual = kept.join(F.broadcast(erase), "user_id", "left_semi")
+
+    def one(metric: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(metric).alias("metric"), "n"
+        )
+
+    return (
+        one("events.before", e)
+        .unionByName(one("events.after", kept))
+        .unionByName(one("events.erased_users", erase))
+        .unionByName(one("events.residual_rows", residual))
     )
