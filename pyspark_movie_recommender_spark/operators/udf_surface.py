@@ -13,7 +13,9 @@ Forms:
   (see also operators/asof.py merge_asof_pandas);
 - ``mapInPandas``              — per-partition batch iterator
   (see operators/multimodal.py decode_and_featurize);
-- ``udtf``                     — table function, one row in → N rows out.
+- ``udtf``                     — table function, one row in → N rows out;
+- cogrouped ``applyInPandas``  — two grouped DataFrames, per-key pair of
+  frames → DataFrame (``cogrouped_user_reconciliation``).
 """
 
 from __future__ import annotations
@@ -162,4 +164,66 @@ def jaro_winkler(s1: pd.Series, s2: pd.Series) -> pd.Series:
 
     return pd.Series(
         [jw(a, b) for a, b in zip(s1, s2)], dtype="float64"
+    )
+
+
+def cogrouped_user_reconciliation(
+    events: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Co-grouped ``applyInPandas``: the LAST sanctioned Python-UDF
+    form — two DataFrames grouped on the same key, each key's pair of
+    pandas frames handed to one function (the per-key two-sided
+    merge/compare primitive: reconciliation, per-key merge_asof,
+    distribution drift tests).
+
+    Here: reconcile each user's EVENT activity against their ORDER
+    history in one pass — counts and integer-cents sums from both
+    sides (exact arithmetic, so the cross-engine oracle checks the
+    cogroup plumbing value-for-value, like the Jaro-Winkler UDF).
+
+    Scale shape: both sides hash-partition on the key (the same
+    exchange a join would need — cogroup adds no extra shuffle); each
+    key's pair of frames must fit in one Arrow batch, which holds for
+    per-user activity but NOT for corpus-wide keys — that's the
+    documented cogroup contract, same as any applyInPandas.
+    """
+
+    def recon(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        ev_cents = (
+            (ev["value"] * 100 + 0.5).pipe(np_floor_int64).sum()
+            if len(ev)
+            else 0
+        )
+        od_cents = (
+            (od["o_totalprice"] * 100 + 0.5).pipe(np_floor_int64).sum()
+            if len(od)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(ev)],
+                "n_orders": [len(od)],
+                "event_cents": [int(ev_cents)],
+                "order_cents": [int(od_cents)],
+            }
+        )
+
+    def np_floor_int64(s: pd.Series):
+        import numpy as np
+
+        return pd.Series(np.floor(s.to_numpy(dtype="float64")).astype("int64"))
+
+    ev = events.select(F.col("user_id"), "value")
+    od = orders.select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            recon,
+            schema=(
+                "user_id long, n_events long, n_orders long, "
+                "event_cents long, order_cents long"
+            ),
+        )
     )

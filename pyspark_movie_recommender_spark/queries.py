@@ -6563,3 +6563,42 @@ def privacy_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("events.erased_users", erase))
         .unionByName(one("events.residual_rows", residual))
     )
+
+
+@query(
+    "cogroup_user_reconciliation",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS event_cents
+        FROM events GROUP BY user_id
+    ), od AS (
+        SELECT o_custkey AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS order_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(ev.user_id, od.user_id) AS user_id,
+           CAST(COALESCE(ev.n_events, 0) AS BIGINT)    AS n_events,
+           CAST(COALESCE(od.n_orders, 0) AS BIGINT)    AS n_orders,
+           CAST(COALESCE(ev.event_cents, 0) AS BIGINT) AS event_cents,
+           CAST(COALESCE(od.order_cents, 0) AS BIGINT) AS order_cents
+    FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+    """,
+)
+def cogroup_user_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped applyInPandas (operators/udf_surface.py): per-user
+    two-sided reconciliation of event activity vs order history —
+    the cogroup UDF form, VALUE-checked against a full-outer-join of
+    two aggregates in DuckDB (integer cents, so the Arrow plumbing is
+    verified exactly, not just row counts)."""
+    from pyspark_movie_recommender_spark.operators.udf_surface import (
+        cogrouped_user_reconciliation,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return cogrouped_user_reconciliation(events, orders)
