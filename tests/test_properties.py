@@ -86,3 +86,73 @@ def test_salted_join_equals_plain_join(spark, data, data2):
         (r.k, r.v, r.w) for r in salted_join(left, right, "k", salt_buckets=4).collect()
     )
     assert plain == salted
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=30),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**SETTINGS)
+def test_prefix_filter_jaccard_equals_bruteforce(spark, texts):
+    """The prefix filter must be LOSSLESS pruning: its result set equals
+    the brute-force all-pairs word-set Jaccard for any corpus."""
+    from pyspark_movie_recommender_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        data or [(0, "x")], "doc_id long, text string"
+    ).limit(len(data))
+    got = {
+        (r.id_a, r.id_b, r.inter, r.n_a, r.n_b)
+        for r in prefix_filtered_jaccard_pairs(df, threshold_pct=70).collect()
+    }
+    sets = {i: set(t.split()) for i, t in data}
+    want = set()
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                if 170 * inter >= 70 * (len(sets[i]) + len(sets[j])):
+                    want.add((i, j, inter, len(sets[i]), len(sets[j])))
+    assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="abcde ", min_size=0, max_size=12),
+            st.text(alphabet="abcde ", min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_jaro_winkler_udf_matches_duckdb_on_random_strings(spark, pairs):
+    """The pandas-UDF Jaro-Winkler must agree with DuckDB's native
+    implementation on arbitrary strings, not just the part-name corpus."""
+    import duckdb
+
+    from pyspark_movie_recommender_spark.operators.udf_surface import jaro_winkler
+
+    df = spark.createDataFrame(pairs, "s1 string, s2 string")
+    got = [
+        r.jw
+        for r in df.select(jaro_winkler("s1", "s2").alias("jw"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        for a, b in pairs
+    ]
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-12
