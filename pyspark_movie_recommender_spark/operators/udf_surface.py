@@ -123,9 +123,8 @@ def jaro_winkler(s1: pd.Series, s2: pd.Series) -> pd.Series:
 
     def jaro(a: str, b: str) -> float:
         l1, l2 = len(a), len(b)
-        if l1 == 0 and l2 == 0:
-            return 1.0
         if l1 == 0 or l2 == 0:
+            # DuckDB convention: any empty side (including both) scores 0.0
             return 0.0
         win = max(max(l1, l2) // 2 - 1, 0)
         m1 = [False] * l1

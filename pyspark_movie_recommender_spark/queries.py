@@ -747,7 +747,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    # cast tolerates both TIMESTAMP and TIMESTAMP_NTZ parquet encodings;
+    # with the UTC session timezone the NTZ->LTZ cast is wall-clock-identity,
+    # matching the oracle's epoch_us over naive timestamps
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     flagged = ev.withColumn(
         "new_session",
         F.when(
@@ -3853,9 +3856,10 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.col("asof_value").alias("next_purchase_value"),
-        (F.col("asof_pts").cast("long") - F.col("ts").cast("long")).alias(
-            "secs_to_purchase"
-        ),
+        (
+            F.col("asof_pts").cast("timestamp_ltz").cast("long")
+            - F.col("ts").cast("timestamp_ltz").cast("long")
+        ).alias("secs_to_purchase"),
     )
 
 

@@ -32,8 +32,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict((f.name, f.dataType.simpleString()) for f in schema).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
+    if ts_type == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (LTZ); with the UTC session timezone
+        # the cast is wall-clock-identity, matching the batch twins' oracle
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 
