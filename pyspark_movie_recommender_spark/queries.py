@@ -6606,3 +6606,323 @@ def cogroup_user_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     return cogrouped_user_reconciliation(events, orders)
+
+
+# ---------------------------------------------------------------------------
+# wave 11: completing the classic TPC-H shape suite (Q6, Q11, Q12, Q16,
+# Q20, Q21 — adapted to the available columns: no partsupp/shipmode/
+# commitdate in the testdata, so each keeps the REFERENCE PLAN SHAPE with
+# substitute predicates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_revenue_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate forecast query —
+    no joins, one global agg, every predicate pushable to the parquet
+    scan (shipdate range, discount band, quantity cap all reach
+    PushedFilters; ReadSchema is 4 columns).
+
+    Scale shape: this is the query whose 100-TB cost IS the scan; the
+    plan must be map-side partial agg -> single-row final with zero
+    shuffled data beyond one partial row per task. Revenue kept in
+    BIGINT cents (per-row floor is engine-identical; summation order
+    can't drift integers).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100 + 0.5)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "important_part_revenue_share",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM lineitem GROUP BY l_partkey
+    ), t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS tot FROM v)
+    SELECT v.l_partkey, v.value_cents
+    FROM v, t
+    WHERE 2000 * v.value_cents > t.tot
+    """,
+)
+def important_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp replaced by lineitem revenue): parts
+    whose total revenue exceeds 1/2000 of the global total — the
+    group-agg + global-scalar-subquery HAVING filter.
+
+    Scale shape: one fact shuffle for the per-part agg; the global
+    total is an agg-of-agg over the already-reduced relation and comes
+    back as a BROADCAST scalar (no second fact scan, no driver
+    round-trip). Threshold as exact integer inequality
+    ``2000*val > tot`` — no float share.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    v = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("value_cents"))
+    tot = v.agg(F.sum("value_cents").cast("long").alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(2000 * F.col("value_cents") > F.col("tot"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@query(
+    "priority_class_by_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def priority_class_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode replaced by linestatus): slow-shipped
+    lines (shipped >30 days after order date) counted by line status,
+    split urgent-vs-other via CASE-in-SUM conditional aggregation.
+
+    Scale shape: the one big-big join in the suite — lineitem x orders
+    shuffles on orderkey (AQE handles skew); the date-lag predicate is
+    a residual on the join (it references both sides so it can't push
+    below it); the final agg is 2 groups wide, so partial agg collapses
+    everything map-side after the join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'S%'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) for a filtered part subset, excluding a NOT-IN supplier
+    denylist (negative balance stands in for the complaint-comment
+    filter).
+
+    Scale shape: part filters then BROADCASTS (the fact side is pruned
+    by the join itself); the denylist is a tiny broadcast ANTI join —
+    NOT IN is safe to decorrelate here because s_suppkey is non-null;
+    COUNT(DISTINCT) expands to the standard two-phase distinct-expand
+    agg on the grouped keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("S%")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "promotable_suppliers_q20",
+    oracle="""
+    WITH sq AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%green%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ), tot AS (
+        SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM sq GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM sq
+    JOIN tot ON sq.l_partkey = tot.l_partkey
+    JOIN supplier s ON sq.l_suppkey = s.s_suppkey
+    WHERE 4 * sq.qty > tot.total_qty
+    """,
+)
+def promotable_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty replaced by shipped quantity):
+    suppliers who moved >25% of a green part's 1996 volume — the
+    nested correlated-threshold semi-join, decorrelated into
+    agg -> agg-of-agg -> integer-inequality join.
+
+    Scale shape: green parts broadcast to prune the fact scan; one
+    shuffle to (partkey, suppkey); the per-part total is an agg over
+    the ALREADY-REDUCED relation (tiny second shuffle); supplier dim
+    broadcasts onto the surviving pairs. Threshold is exact BIGINT
+    ``4*qty > total`` — no float share.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    sq = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    tot = sq.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("total_qty")
+    )
+    return (
+        sq.join(tot, "l_partkey")
+        .filter(4 * F.col("qty") > F.col("total_qty"))
+        .join(F.broadcast(s), sq.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@query(
+    "sole_late_supplier_orders",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    bench=True,
+)
+def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per-supplier count of late lines in
+    multi-supplier orders where that supplier was the ONLY late one
+    (late := shipped >60 days after order date, standing in for
+    receipt>commit).
+
+    Scale shape: the oracle's EXISTS / NOT EXISTS pair would be two
+    more fact-sized joins; here both decorrelate into per-order
+    aggregates over ONE (orderkey, suppkey) reduction of the fact:
+    ``n_supp``/``n_late_supp`` are unbounded-frame WINDOW counts over
+    that pair relation, not COUNT(DISTINCT) over raw lines (which
+    would plan a 2x expand shuffle) and not an agg + self-join back
+    (which would scan the fact twice — exchange reuse is not
+    guaranteed across branches). The fact is scanned and shuffled
+    exactly once; the window and final agg run over the pair-sized
+    relation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast(
+            "int"
+        ),
+    )
+    # one fact reduction to (order, supplier) pairs; per-order stats are
+    # window counts over this pair relation — no second fact pass
+    pair = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("late_lines"),
+    )
+    ow = Window.partitionBy("l_orderkey")
+    qual = (
+        pair.withColumn("n_supp", F.count(F.lit(1)).over(ow))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("late_lines") > 0).cast("int")).over(ow),
+        )
+        .filter(
+            (F.col("late_lines") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    return (
+        qual.groupBy("l_suppkey")
+        .agg(F.sum("late_lines").cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )

@@ -216,3 +216,40 @@ def test_pii_redaction_is_shuffle_free(spark, sf_dir):
 def test_int8_quantize_is_shuffle_free(spark, sf_dir):
     df = Q.QUERIES["embedding_int8_quantize"](spark, sf_dir)
     assert count_exchanges(df) == 0
+
+
+def test_q6_is_pure_scan_agg_with_pushdown(spark, sf_dir):
+    df = Q.QUERIES["forecast_revenue_q6"](spark, sf_dir)
+    # every predicate reaches the scan; only the single-row final agg
+    # crosses the wire
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_discount")
+    assert has_pushed_filter(df, "l_quantity")
+    # zero hash shuffles — only the SinglePartition gather of one partial
+    # row per task
+    assert count_exchanges(df) == 0
+
+
+def test_q21_scans_fact_once_no_expand(spark, sf_dir):
+    df = Q.QUERIES["sole_late_supplier_orders"](spark, sf_dir)
+    plan = physical_plan(df)
+    # windowed decorrelation: one lineitem scan, no COUNT(DISTINCT) expand
+    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" not in plan
+
+
+def test_q11_global_total_is_broadcast_not_recomputed(spark, sf_dir):
+    df = Q.QUERIES["important_part_revenue_share"](spark, sf_dir)
+    # the scalar total joins back as a broadcast, never per-row recompute
+    assert has_operator(df, "BroadcastNestedLoopJoin")
+    # the two agg branches are exchange-reuse-eligible: with static
+    # planning the second fact scan dedups to a ReusedExchange (under AQE
+    # the same dedup happens at runtime stage materialization)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = Q.QUERIES["important_part_revenue_share"](spark, sf_dir)
+        plan = physical_plan(df2)
+        assert "ReusedExchange" in plan
+        assert plan.count("lineitem.parquet") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
