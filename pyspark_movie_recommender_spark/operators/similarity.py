@@ -282,3 +282,62 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "sim", "rnk")
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroid_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd ASSIGNMENT step of k-means over an embedding column,
+    with centroids fixed to named corpus vectors (``centroid_ids``) so
+    the step is deterministic and cross-engine checkable.
+
+    Returns ``(id_col, cell, sim_ppm)`` — each vector's nearest
+    centroid by cosine (ties break to the lowest cell index) and the
+    similarity as exact ppm (``round(cos*1e6)`` BIGINT, so downstream
+    aggregation is integer arithmetic, immune to summation order).
+
+    Scale shape: the k centroid vectors are collected once (tiny
+    driver-side scalar, like ALS's RMSE) and shipped as a pandas-UDF
+    closure constant; assignment is one NumPy matmul per Arrow batch —
+    MAP-SIDE, zero shuffles, same regime as ``ivf_topk``'s cell
+    routing. Iterating Lloyd = re-calling this with recomputed means;
+    each round stays one scan + one tiny agg.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = (
+        corpus.filter(F.col(id_col).isin(*centroid_ids))
+        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()
+    )
+    # cell index = rank of the centroid's id in sorted order (0-based)
+    cmat = np.stack([np.asarray(r.cv, dtype=np.float64) for r in cent_rows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+
+    @pandas_udf("struct<cell: int, sim_ppm: bigint>")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"cell": [], "sim_ppm": []})
+        m = np.stack(vs.to_numpy())
+        sims = (m @ cmat.T) / (
+            np.linalg.norm(m, axis=1)[:, None] * cnorm[None, :]
+        )
+        # round BEFORE argmax so ties resolve identically to the oracle's
+        # ORDER BY sim_ppm DESC, cell ASC
+        ppm = np.round(sims * 1e6)
+        best = np.argmax(ppm, axis=1)  # first max = lowest cell on ties
+        return pd.DataFrame(
+            {
+                "cell": best.astype(np.int32),
+                "sim_ppm": ppm[np.arange(len(best)), best].astype(np.int64),
+            }
+        )
+
+    out = corpus.select(
+        F.col(id_col), _assign(_as_double(vec_col)).alias("a")
+    )
+    return out.select(id_col, F.col("a.cell").alias("cell"), F.col("a.sim_ppm").alias("sim_ppm"))

@@ -6926,3 +6926,201 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 12: LLM-data-pipeline additions — k-means routing over embeddings,
+# BPE-style merge-pair statistics, cross-source contamination audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kmeans_embedding_assign",
+    oracle="""
+    WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (
+        SELECT e AS ce,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        FROM s WHERE vec_id IN (3, 66, 129, 192, 255, 318, 381, 444)
+    ), scored AS (
+        SELECT s.vec_id, c.cell,
+               CAST(ROUND(list_cosine_similarity(s.e, c.ce) * 1e6) AS BIGINT)
+                   AS sim_ppm
+        FROM s CROSS JOIN c
+    ), best AS (
+        SELECT vec_id, cell, sim_ppm,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim_ppm DESC, cell) AS rn
+        FROM scored
+    )
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT)    AS n_vectors,
+           CAST(SUM(sim_ppm) AS BIGINT) AS sum_sim_ppm,
+           CAST(MIN(sim_ppm) AS BIGINT) AS min_sim_ppm
+    FROM best WHERE rn = 1
+    GROUP BY cell
+    """,
+)
+def kmeans_embedding_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means Lloyd ASSIGNMENT step (k=8, centroids pinned to named
+    corpus vectors so both engines compute the identical step) with
+    per-cell population stats in exact ppm integers.
+
+    The clustering layer of a curation pipeline: cells feed IVF
+    routing, diversity sampling, and per-cluster quota selection.
+    Iterating = recompute means per cell, re-call; each round is one
+    corpus scan + an 8-row agg.
+
+    Scale shape (operators/similarity.py `kmeans_assign`): centroids
+    are a collected 8-row closure constant; assignment is one NumPy
+    matmul per Arrow batch, MAP-SIDE — the only shuffle is the final
+    8-group agg of (cell, ppm) pairs. The oracle's CROSS JOIN + window
+    argmax is the spec; the engine never materializes corpus x k rows.
+    """
+    from pyspark_movie_recommender_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, [3, 66, 129, 192, 255, 318, 381, 444])
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("sim_ppm").cast("long").alias("sum_sim_ppm"),
+        F.min("sim_ppm").cast("long").alias("min_sim_ppm"),
+    )
+
+
+@query(
+    "bpe_pair_merge_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(length(tok) - 1, 0) + 1),
+                   i -> substring(tok, CAST(i AS INT), 2))) AS pair
+        FROM toks WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration's statistics: corpus-wide counts
+    of adjacent symbol pairs inside whitespace tokens, top-20 — what a
+    tokenizer trainer computes before each merge (the merge itself is
+    'pick row 1, rewrite, repeat').
+
+    Scale shape: pure map-side double explode (tokens, then in-token
+    positions) into a hash agg over a TINY key space (|alphabet|^2
+    pairs), so partial aggregation collapses everything before the
+    shuffle; top-20 is TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(tok) - 1, 0)),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "source_shingle_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+                        || ' ' || t[CAST(i AS INT) + 2])) AS gram
+        FROM toks
+    ), sz AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY source
+    ), shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM grams a JOIN grams b
+          ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, s.n_shared,
+           za.n_grams AS grams_a, zb.n_grams AS grams_b,
+           CAST(s.n_shared * 1000000 // LEAST(za.n_grams, zb.n_grams)
+                AS BIGINT) AS overlap_ppm
+    FROM shared s
+    JOIN sz za ON za.source = s.src_a
+    JOIN sz zb ON zb.source = s.src_b
+    """,
+)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: for every source pair, how
+    many distinct word 3-grams they share, plus the overlap
+    coefficient ``shared / min(|A|, |B|)`` in exact ppm — the
+    matrix a curation run reads before deciding which sources are
+    near-copies of each other.
+
+    Scale shape: the join key is the 3-gram and per-key fan-out is
+    bounded by |sources| (each gram appears once per source after the
+    DISTINCT), so the self-join can never go quadratic in documents —
+    worst case |distinct grams| x C(|sources|, 2) with tiny constant.
+    The distinct and the pair agg share the gram-keyed exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+                    " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                    " element_at(split(text, ' '), i + 1),"
+                    " element_at(split(text, ' '), i + 2)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sz = grams.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b"))
+    return (
+        shared.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "grams_a",
+            "grams_b",
+            F.expr("(n_shared * 1000000L) div least(grams_a, grams_b)")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )
