@@ -6468,8 +6468,13 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated pair relation BEFORE the ratio joins, pruning the long
     tail early.
     """
+    from pyspark_movie_recommender_spark.operators.cache import track
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # tracked persist: the (order, part) distinct is consumed FOUR ways
+    # (order-count scalar, item counts, both self-join sides) — without it
+    # each branch would redo the fact scan + distinct shuffle
+    items = track(li.select("l_orderkey", "l_partkey").distinct())
     n_orders = items.select("l_orderkey").distinct().count()  # driver scalar
     item_n = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -7124,3 +7129,78 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_ppm"),
         )
     )
+
+
+@query(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(DISTINCT x) FROM (
+                 SELECT u AS x FROM e UNION ALL SELECT v FROM e)) AS BIGINT)
+               AS n_nodes,
+           CAST((SELECT COUNT(*)
+                 FROM e e1
+                 JOIN e e2 ON e1.v = e2.u
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+               AS n_triangles
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts linked
+    when ≥2 orders contain both): the classic distributed graph metric
+    behind clustering coefficients and community strength.
+
+    Algorithm: orient each edge low-id→high-id, join e1(u,v)⋈e2(v,w)
+    to enumerate oriented wedges, then verify the closing edge (u,w) —
+    each triangle is counted exactly once. (At corpus scale, orient by
+    DEGREE instead of id — the wedge count is then bounded by
+    Σ min(deg)² which is the optimal join-based form; id-orientation
+    keeps the oracle dialect-shared here.)
+
+    Scale shape: the support-≥2 threshold caps edge degree before any
+    wedge forms (same role as the stop-shingle cap in n-gram dedup);
+    the edge relation is persisted once and re-read by all three join
+    roles instead of re-running the basket self-join; wedges shuffle on
+    the shared vertex only.
+    """
+    from pyspark_movie_recommender_spark.operators.cache import track
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = track(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    tris = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_nodes = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .agg(F.count_distinct("x").cast("long").alias("n_nodes"))
+    )
+    n_tris = tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_edges.crossJoin(n_nodes).crossJoin(n_tris)
