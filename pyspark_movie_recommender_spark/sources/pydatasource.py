@@ -23,7 +23,14 @@ the scan pipeline it feeds.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -90,3 +97,131 @@ class SyntheticDocsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(CounterStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# custom SINK: Python DataSource writer (jsonl files + commit manifest)
+# ---------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Per-partition task writer: stage to a uniquely-named file, report
+    it in the commit message; the driver-side ``commit`` publishes a
+    manifest naming exactly the committed files. Readers that honour the
+    manifest never see files from failed/speculative tasks — the same
+    two-phase contract as the builtin file sinks' _SUCCESS + file list.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` —
+    a pure-Python partitioned sink with a two-phase commit manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options)
+
+
+# ---------------------------------------------------------------------------
+# custom STREAMING source: offset-tracked deterministic counter stream
+# ---------------------------------------------------------------------------
+
+
+class _CounterStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed synthetic stream: each micro-batch emits the next
+    ``batchSize`` ids as (id, label) rows. Offsets are plain dicts the
+    engine checkpoints — a restart resumes exactly where the last commit
+    left off (exercised by the checkpoint-resume test).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.batch = int(options.get("batchSize", 10))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = lo + self.batch
+        return (iter([(i, _WORDS[i % len(_WORDS)]) for i in range(lo, hi)]),
+                {"next": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            (i, _WORDS[i % len(_WORDS)])
+            for i in range(int(start["next"]), int(end["next"]))
+        )
+
+
+COUNTER_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("label", StringType(), False),
+    ]
+)
+
+
+class CounterStreamDataSource(DataSource):
+    """``spark.readStream.format("counter_stream").option("batchSize", n)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "counter_stream"
+
+    def schema(self) -> StructType:
+        return COUNTER_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType):
+        return _CounterStreamReader(self.options)
