@@ -7204,3 +7204,102 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tris = tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return n_edges.crossJoin(n_nodes).crossJoin(n_tris)
+
+
+@query(
+    "union_by_name_evolution",
+    oracle="""
+    WITH old_feed AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), new_feed AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               NULL AS o_orderpriority FROM old_feed
+        UNION ALL
+        SELECT * FROM new_feed
+    )
+    SELECT o_orderstatus,
+           COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM unioned GROUP BY 1, 2
+    """,
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old feed missing a column unions with
+    the new feed by NAME (`unionByName(allowMissingColumns=True)`), the
+    missing column null-filled — the append-only ingestion pattern when
+    producers add fields over time. (Positional UNION would silently
+    misalign; the bag-semantics positional form is `union_all_bag`.)
+
+    Scale shape: both branches scan+filter map-side; the union is a
+    plan-level concat (no shuffle); one hash agg on the tiny
+    (status, priority) key space.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    old_feed = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new_feed = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    unioned = old_feed.unionByName(new_feed, allowMissingColumns=True)
+    return unioned.groupBy(
+        "o_orderstatus",
+        F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+@query(
+    "array_setops_suite",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split(text, ' '))) AS w,
+               list_sort(list_distinct(string_split(upper(text), ' '))) AS wu
+        FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(w, wu)) AS BIGINT)  AS n_common,
+           CAST(len(w) + len(list_filter(wu, x -> NOT list_contains(w, x)))
+                AS BIGINT)                              AS n_union,
+           CAST(len(list_filter(w, x -> NOT list_contains(wu, x)))
+                AS BIGINT)                              AS n_only_lower,
+           list_sort(list_intersect(w, wu))[1]          AS first_common
+    FROM t
+    """,
+)
+def array_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (`array_intersect`/`array_union`/
+    `array_except`) over per-doc token sets vs their uppercased twins —
+    counts and an order-stable witness element, all computed INSIDE the
+    row (no explode, no shuffle beyond the scan).
+
+    Cross-engine note: Spark and DuckDB order set-op results
+    differently, so the query compares SIZES plus a `sort->first`
+    witness — the dialect-stable projection of an unordered result.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    t = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("w"),
+        F.array_sort(F.array_distinct(F.split(F.upper("text"), " "))).alias("wu"),
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.array_intersect("w", "wu")).cast("long").alias("n_common"),
+        F.size(F.array_union("w", "wu")).cast("long").alias("n_union"),
+        F.size(F.array_except("w", "wu")).cast("long").alias("n_only_lower"),
+        F.try_element_at(F.array_sort(F.array_intersect("w", "wu")), F.lit(1)).alias(
+            "first_common"
+        ),
+    )

@@ -253,3 +253,38 @@ def test_q11_global_total_is_broadcast_not_recomputed(spark, sf_dir):
         assert plan.count("lineitem.parquet") == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """The 100-TB semi-join-reduction lever: with a selective dim filter
+    and a shuffle join, the optimizer injects a bloom-filter subquery on
+    the fact side (`might_contain(...)` above the scan) so non-matching
+    fact rows die before the shuffle. Local thresholds are loosened —
+    at real scan sizes the defaults trigger on their own."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in physical_plan(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
