@@ -7303,3 +7303,53 @@ def array_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_common"
         ),
     )
+
+
+@query(
+    "session_window_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)                            AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE       AS session_end,
+           CAST(COUNT(*) AS BIGINT)           AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN ``session_window`` aggregation run in batch mode,
+    oracle-checked against the classic gaps-and-islands SQL — proving
+    the native operator's session semantics (events merge when the gap
+    is <= 30 min, strictly-greater gaps split; window end = last event
+    + gap) coincide exactly with the lag+cumsum form
+    (`sessionize_events`). The same expression runs under
+    `streaming_session_window`; this twin is what makes that stream
+    job's semantics oracle-checkable.
+
+    Scale shape: one shuffle on user_id; session merging is the native
+    operator's sort-based pass, no window-function chain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -288,3 +288,23 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """The other big scan-elimination lever beside bloom filters: a fact
+    laid out with `partitionBy(key)` joined to a filtered dim plans a
+    `dynamicpruning` subquery on the partition column — whole partitions
+    of the fact are skipped at runtime based on the dim's surviving
+    keys, before any fact IO happens."""
+    fact_dir = str(tmp_path / "orders_by_priority")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2)], "prio string, rank int"
+    ).filter(F.col("rank") == 1)
+    j = fact.join(
+        F.broadcast(dim), fact.o_orderpriority == dim.prio
+    ).groupBy("prio").count()
+    assert "dynamicpruning" in physical_plan(j).lower()
