@@ -7042,6 +7042,7 @@ def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_shingle_overlap",
+    bench=True,
     oracle="""
     WITH toks AS (
         SELECT source, string_split(text, ' ') AS t FROM documents
@@ -7084,20 +7085,25 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst case |distinct grams| x C(|sources|, 2) with tiny constant.
     The distinct and the pair agg share the gram-keyed exchange.
     """
+    from pyspark_movie_recommender_spark.operators.cache import track
+
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select(
+    # tokenize ONCE per row into a column; the gram lambda then reads the
+    # materialized array (element_at inside the lambda over split(text)
+    # would re-split per element — ~3x gram count splits per doc)
+    toks = docs.select("source", F.split("text", " ").alias("t"))
+    grams = track(
+        toks.select(
             "source",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-                    " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-                    " element_at(split(text, ' '), i + 1),"
-                    " element_at(split(text, ' '), i + 2)))"
+                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1), element_at(t, i + 2)))"
                 )
             ).alias("gram"),
-        )
-        .distinct()
+        ).distinct()
+        # persisted: consumed three ways (per-source sizes + both join sides)
     )
     sz = grams.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
     a = grams.alias("a")

@@ -308,3 +308,39 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         F.broadcast(dim), fact.o_orderpriority == dim.prio
     ).groupBy("prio").count()
     assert "dynamicpruning" in physical_plan(j).lower()
+
+
+def test_parquet_aggregate_pushdown_count_min_max(spark, sf_dir):
+    """COUNT/MIN/MAX over a raw parquet scan can be answered from footer
+    statistics alone (DataSource V2 + aggregatePushdown): the scan node
+    carries PushedAggregation and no data pages are decoded. The
+    metadata-only answer to 'how big is this 100 TB table' — IO goes
+    from table-sized to footer-sized."""
+    saved = {
+        "spark.sql.parquet.aggregatePushdown": spark.conf.get(
+            "spark.sql.parquet.aggregatePushdown"
+        ),
+        "spark.sql.sources.useV1SourceList": spark.conf.get(
+            "spark.sql.sources.useV1SourceList"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        import os
+
+        df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("lo"),
+            F.max("l_orderkey").alias("hi"),
+        )
+        plan = physical_plan(agg)
+        assert "PushedAggregation" in plan
+        assert "count(*)" in plan.lower() or "COUNT(*)" in plan
+        # and the footer answer matches the data answer
+        row = agg.collect()[0]
+        assert row.n == df.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
