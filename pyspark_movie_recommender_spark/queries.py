@@ -224,11 +224,18 @@ def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (generalizes reference F1 NOT-IN to a relation).
+    """Left-anti join (generalizes reference F1 NOT-IN to a relation):
+    customers with no 1996 order. (Scoped to a year so the result is
+    NON-empty at every SF — every customer has some order in this data,
+    and a hash match on an empty result proves nothing.)
 
     The reference shipped a 10-element Python list in a closure
     (``recommender.py:144-146``); the relational form scales to an
@@ -237,7 +244,13 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.operators.relational import anti_join
 
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return anti_join(customer, orders, "c_custkey").select("c_custkey", "c_name")
 
 
@@ -2251,11 +2264,22 @@ def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct, the approximate-aggregation scale toolkit (rows-only:
     sketch results are engine-specific)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
-            "price_quantiles"
+            "q"
         ),
         F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+    )
+    # project the sketch's array to scalar columns: the driver's rows-only
+    # canonicalizer hashes values and cannot hash list cells (the r1
+    # multimodal failure mode)
+    return agg.select(
+        "l_returnflag",
+        F.element_at("q", 1).alias("q25"),
+        F.element_at("q", 2).alias("q50"),
+        F.element_at("q", 3).alias("q75"),
+        F.element_at("q", 4).alias("q99"),
+        "n_parts_approx",
     )
 
 
@@ -6807,7 +6831,7 @@ def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE p.p_name LIKE '%green%'
+        WHERE p.p_name LIKE '%red%'
           AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY l.l_partkey, l.l_suppkey
@@ -6824,18 +6848,18 @@ def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def promotable_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (availqty replaced by shipped quantity):
-    suppliers who moved >25% of a green part's 1996 volume — the
+    suppliers who moved >25% of a red part's 1996 volume — the
     nested correlated-threshold semi-join, decorrelated into
     agg -> agg-of-agg -> integer-inequality join.
 
-    Scale shape: green parts broadcast to prune the fact scan; one
+    Scale shape: red-part keys broadcast to prune the fact scan; one
     shuffle to (partkey, suppkey); the per-part total is an agg over
     the ALREADY-REDUCED relation (tiny second shuffle); supplier dim
     broadcasts onto the surviving pairs. Threshold is exact BIGINT
     ``4*qty > total`` — no float share.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     lo = F.lit("1996-01-01").cast("timestamp_ntz")
     hi = F.lit("1997-01-01").cast("timestamp_ntz")
