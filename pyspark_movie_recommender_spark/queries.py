@@ -7383,3 +7383,118 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "token_containment_pairs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+           CAST(len(a.w) AS BIGINT) AS n_small,
+           CAST(len(b.w) AS BIGINT) AS n_big
+    FROM t a JOIN t b
+      ON a.doc_id <> b.doc_id AND len(a.w) < len(b.w)
+    WHERE len(list_filter(a.w, x -> NOT list_contains(b.w, x))) = 0
+    """,
+)
+def token_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subdocument detection: pairs where the smaller doc's token SET is
+    fully contained in the larger doc's — the quote/excerpt/boilerplate
+    relation exact Jaccard misses (containment can be 100% while
+    Jaccard is tiny).
+
+    The oracle is the NAIVE all-pairs containment join; the engine side
+    prunes with the rarest-token block: if A ⊆ B then B must contain
+    A's globally rarest token, so candidate pairs come from an
+    equi-join on that ONE token instead of a cross join — hash equality
+    against the naive oracle proves the pruning LOSSLESS. Per-key
+    fan-out is bounded by the rarest token's document frequency (by
+    construction the smallest available), the standard prefix-filter
+    argument specialized to containment.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+    ).withColumn("sz", F.size("w"))
+    tok = t.select("doc_id", F.explode("w").alias("token"))
+    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # per doc: the token with the smallest (df, token) — its rarest
+    rarest = (
+        tok.join(F.broadcast(df_counts), "token")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("df", "token")).alias("m"))
+        .select("doc_id", F.col("m.token").alias("rare_token"))
+    )
+    a = (
+        t.join(rarest, "doc_id")
+        .select(
+            F.col("doc_id").alias("id_small"),
+            F.col("w").alias("wa"),
+            F.col("sz").alias("n_small"),
+            "rare_token",
+        )
+    )
+    b = tok.select(F.col("doc_id").alias("id_big"), F.col("token").alias("rare_token"))
+    cand = a.join(b, "rare_token").filter(F.col("id_small") != F.col("id_big"))
+    bw = t.select(
+        F.col("doc_id").alias("id_big"), F.col("w").alias("wb"), F.col("sz").alias("n_big")
+    )
+    return (
+        cand.join(bw, "id_big")
+        .filter(
+            (F.col("n_small") < F.col("n_big"))
+            & (F.size(F.array_except("wa", "wb")) == 0)
+        )
+        .select(
+            "id_small",
+            "id_big",
+            F.col("n_small").cast("long"),
+            F.col("n_big").cast("long"),
+        )
+    )
+
+
+@query(
+    "cdc_latest_state",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           ts        AS last_ts,
+           event_type AS last_op,
+           ROUND(value, 6) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction: materialize the latest state per key
+    from an append-only change stream — newest record wins on the total
+    (ts, event_id) order, and keys whose final record is a tombstone
+    ('error' here) drop out of the materialized view. The batch twin of
+    what `foreachBatch` upserts maintain incrementally.
+
+    Scale shape: one shuffle on the key; newest-wins is a
+    WindowGroupLimit-prunable row_number (per-partition top-1 pruned
+    BEFORE the exchange, so the shuffle carries one candidate row per
+    key per task, not the full history).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_op"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
