@@ -7498,3 +7498,64 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("last_value"),
         )
     )
+
+
+@query(
+    "covisit_item_recs",
+    oracle="""
+    WITH views AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract(props, '$.k') AS INT) AS item
+        FROM events WHERE event_type = 'view'
+    ), pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_covisits
+        FROM views a JOIN views b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT item_a, item_b, n_covisits,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item_a
+                        ORDER BY n_covisits DESC, item_b) AS BIGINT) AS rnk
+        FROM pairs
+    )
+    SELECT item_a, item_b, n_covisits, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def covisit_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation recommender: for every item, the top-5
+    items sharing the most viewers — the classic non-model recommender
+    that serves next to ALS (and the cold-start fallback for items ALS
+    drops). Item ids come out of the JSON props payload, so the query
+    also exercises the JSON-extract path inside a join pipeline.
+
+    Scale shape: the per-user distinct bounds pair fan-out by
+    C(items_per_user, 2) — never corpus-quadratic; pair counts hash-agg
+    map-side; the per-item top-5 is a rank window pruned by
+    WindowGroupLimit before its shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    a = views.alias("a")
+    b = views.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_covisits"))
+    )
+    w = Window.partitionBy("item_a").orderBy(F.desc("n_covisits"), F.asc("item_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )

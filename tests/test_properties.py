@@ -156,3 +156,53 @@ def test_jaro_winkler_udf_matches_duckdb_on_random_strings(spark, pairs):
     ]
     for g, w in zip(got, want):
         assert abs(g - w) < 1e-12
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10000)),  # (user, offset_s)
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_session_window_equals_gaps_and_islands(spark, events):
+    """The native session_window aggregation must agree with the classic
+    lag+cumsum islands algorithm for ANY event stream: same session
+    count per user and same (start, n_events) multiset, 30-min gap."""
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        [(u, o) for u, o in events], "user_id int, off int"
+    ).select(
+        "user_id",
+        (F.lit("2020-01-01 00:00:00").cast("timestamp") + F.col("off").cast(
+            "string"
+        ).cast("interval second")).alias("ts"),
+    )
+    native = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("session_window.start").alias("s"), "n")
+        .collect()
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    islands = (
+        df.withColumn(
+            "new_s",
+            F.when(
+                (us - F.lag(us).over(w) > 1800 * 1_000_000)
+                | F.lag("ts").over(w).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "s", "n")
+        .collect()
+    )
+    assert sorted((r.user_id, r.s, r.n) for r in native) == sorted(
+        (r.user_id, r.s, r.n) for r in islands
+    )
