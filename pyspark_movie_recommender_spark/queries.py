@@ -7559,3 +7559,44 @@ def covisit_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@query("als_implicit_covisits")
+def als_implicit_covisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS (Hu/Koren/Volinsky confidence weighting)
+    trained on per-(user, item) view COUNTS from the events stream —
+    the engagement-signal twin of the reference's explicit-rating ALS
+    (`recommender.py:61`): no ratings exist, so strength-of-interaction
+    becomes the confidence weight. Top-5 recs per user, exploded to
+    scalar columns (rows-only: factor initialization is
+    engine-internal, so values aren't oracle-comparable; pytest pins
+    shape + score monotonicity instead).
+
+    Scale shape: the training input is the pre-aggregated (user, item,
+    n) relation — events collapse map-side before ALS ever sees them;
+    recommendForAllUsers is the blocked factor cross-product with
+    per-user top-k inside each block.
+    """
+    from pyspark_movie_recommender_spark.recommend import _als
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").cast("int"),
+            F.get_json_object("props", "$.k").cast("int").alias("item_id"),
+        )
+        .groupBy("user_id", "item_id")
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    model = _als(8, implicit=True).fit(views)
+    recs = model.recommendForAllUsers(5)
+    return recs.select(
+        "user_id",
+        F.posexplode("recommendations").alias("pos", "rec"),
+    ).select(
+        "user_id",
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+        F.col("rec.item_id").cast("long").alias("item_id"),
+        F.round(F.col("rec.rating"), 4).alias("score"),
+    )

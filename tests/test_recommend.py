@@ -186,3 +186,22 @@ def test_text_classifier_recovers_dominant_group(spark, sf_dir):
     # must clearly beat the majority-class baseline and be mostly right
     assert correct / n > 0.75, (correct, n)
     assert correct > majority, (correct, majority)
+
+
+def test_implicit_als_recs_shape_and_ordering(spark, sf_dir):
+    """Implicit ALS over view counts: exactly <=5 recs per user, ranks
+    contiguous from 1, and scores non-increasing within a user (the
+    top-k contract recommendForAllUsers promises)."""
+    from pyspark_movie_recommender_spark import queries as Q
+
+    rows = Q.QUERIES["als_implicit_covisits"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.rnk, r.score))
+    for user, recs in by_user.items():
+        recs.sort()
+        assert 1 <= len(recs) <= 5
+        assert [k for k, _ in recs] == list(range(1, len(recs) + 1))
+        scores = [s for _, s in recs]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
