@@ -344,3 +344,44 @@ def test_parquet_aggregate_pushdown_count_min_max(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, observed in the FINAL adaptive plan: one
+    hot key owning ~90% of the left side gets its partition split
+    (SortMergeJoin tagged skew=true) instead of one straggler task
+    dragging the stage. Thresholds are shrunk to fire at local sizes —
+    at 100 TB the defaults (256 MB, 5x median) fire on real skew."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 10 == 0, F.col("id")).otherwise(0).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        j = left.join(right, "k")
+        j.collect()  # materialize THIS query execution so AQE finalizes it
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
