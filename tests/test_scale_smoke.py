@@ -85,3 +85,35 @@ def test_planted_dups_recovered_at_scale(spark):
     release_all()
     expected = n // 20 - 1
     assert planted >= 0.99 * expected, (planted, expected)
+
+
+def test_containment_rarest_token_blocking_is_subquadratic(spark):
+    """The containment join's rarest-token candidate count must grow
+    ~linearly in docs (unique-ish vocab ⇒ min-df stays O(1)); the naive
+    all-pairs form grows quadratically. Measured, not asserted from the
+    docstring: at 2x docs the candidate ratio must stay far below the
+    4x a quadratic shape would give."""
+
+    def candidates(n: int) -> int:
+        docs = _synth_docs(spark, n).select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+        )
+        tok = docs.select("doc_id", F.explode("w").alias("token"))
+        df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        rarest = (
+            tok.join(df_counts, "token")
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("df", "token")).alias("m"))
+            .select("doc_id", F.col("m.token").alias("token"))
+        )
+        return (
+            rarest.withColumnRenamed("doc_id", "id_a")
+            .join(tok.withColumnRenamed("doc_id", "id_b"), "token")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .count()
+        )
+
+    c1, c2 = candidates(4000), candidates(8000)
+    # linear shape: ratio ~2; quadratic would be ~4. Allow slack for the
+    # planted-dup fraction's shared tokens.
+    assert c2 < c1 * 3, (c1, c2)
