@@ -7600,3 +7600,83 @@ def als_implicit_covisits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item_id").cast("long").alias("item_id"),
         F.round(F.col("rec.rating"), 4).alias("score"),
     )
+
+
+@query(
+    "curation_end_to_end",
+    bench=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text, lang, n_chars,
+               string_split(text, ' ') AS t
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, text, lang, n_chars,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct
+        FROM toks
+        WHERE n_chars >= 50
+          AND len(t) > 0
+          AND len(list_distinct(t)) * 10 >= len(t) * 3
+    ), deduped AS (
+        SELECT * FROM (
+            SELECT q.*,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM quality q)
+        WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)            AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)       AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT)        AS total_chars,
+           CAST(SUM(n_tokens * 1000000) // SUM(n_chars) AS BIGINT)
+               AS tokens_per_kchar_ppk
+    FROM deduped GROUP BY lang
+    """,
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE lazy plan: rule-based quality
+    gate (length floor + type-token-ratio floor, integer arithmetic) →
+    exact content dedup (hash groupBy keep-first, no window sort) →
+    per-language corpus yield report with exact integer densities.
+    This is the query a training-data run executes nightly; each stage
+    is the library operator the standalone queries check in isolation,
+    composed here to prove they pipeline without materialization
+    barriers.
+
+    Scale shape: quality is map-side (no shuffle); dedup shuffles on
+    the content hash with map-side partial min; the report is a
+    |langs|-row agg. One fact scan end-to-end — Catalyst fuses the
+    stages into two exchanges total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    quality = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+    ).filter(
+        (F.col("n_chars") >= 50)
+        & (F.col("n_tokens") > 0)
+        & (F.col("n_distinct") * 10 >= F.col("n_tokens") * 3)
+    )
+    # exact dedup, groupBy-min form (same shape as operators/dedup.py
+    # exact_dedup_by_hash): cheapest keeper per content hash, no window
+    keeper = (
+        quality.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(keeper, "doc_id")
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr("(SUM(n_tokens) * 1000000) div SUM(n_chars)")
+        .cast("long")
+        .alias("tokens_per_kchar_ppk"),
+    )
