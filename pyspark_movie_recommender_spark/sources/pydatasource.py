@@ -225,3 +225,28 @@ class CounterStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):
         return _CounterStreamReader(self.options)
+
+
+def clean_uncommitted(path: str) -> list[str]:
+    """Remove data files the commit manifest does not name (leftovers
+    from failed or speculative task attempts) — the VACUUM step of the
+    sink's two-phase contract. Returns the removed paths. Raises if no
+    manifest exists: without one there is no committed set to trust,
+    and deleting anything would be guessing."""
+    import json
+    import os
+
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    with open(manifest_path) as f:
+        committed = set(json.load(f)["files"])
+    removed = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if (
+            name.startswith("part-")
+            and name.endswith(".jsonl")
+            and full not in committed
+        ):
+            os.remove(full)
+            removed.append(full)
+    return removed

@@ -291,3 +291,33 @@ def test_python_datasource_counter_stream_resumes_from_checkpoint(spark, tmp_pat
     both = {r.id for r in spark.read.json(out).collect()}
     # resumed: the second run appended the NEXT batch, no replay of 0-9
     assert both == set(range(20))
+
+
+def test_jsonl_sink_clean_uncommitted_orphans(spark, tmp_path):
+    """VACUUM for the custom sink: files not named by the commit
+    manifest (failed/speculative attempts) are removed; committed files
+    and their data survive untouched."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.sources import pydatasource
+
+    pydatasource.register_sink(spark)
+    out = str(tmp_path / "jsonl_vacuum")
+    spark.range(50).select("id").write.format("jsonl_sink").option(
+        "path", out
+    ).mode("append").save()
+    # plant an orphan that looks like a task file but was never committed
+    orphan = os.path.join(out, "part-deadbeef.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"id": 999999}\n')
+
+    removed = pydatasource.clean_uncommitted(out)
+    assert removed == [orphan]
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert all(os.path.exists(p) for p in manifest["files"])
+    back = spark.read.json(manifest["files"])
+    assert back.count() == 50
+    assert back.agg(F.max("id")).collect()[0][0] == 49
