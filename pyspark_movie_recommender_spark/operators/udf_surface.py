@@ -15,7 +15,11 @@ Forms:
   (see operators/multimodal.py decode_and_featurize);
 - ``udtf``                     — table function, one row in → N rows out;
 - cogrouped ``applyInPandas``  — two grouped DataFrames, per-key pair of
-  frames → DataFrame (``cogrouped_user_reconciliation``).
+  frames → DataFrame (``cogrouped_user_reconciliation``);
+- ``mapInArrow``               — per-partition RecordBatch iterator,
+  zero-copy Arrow-native (``arrow_doc_stats``);
+- grouped ``applyInArrow``     — per-group pyarrow Table → Table
+  (``arrow_grouped_lang_stats``).
 """
 
 from __future__ import annotations
@@ -224,5 +228,92 @@ def cogrouped_user_reconciliation(
                 "user_id long, n_events long, n_orders long, "
                 "event_cents long, order_cents long"
             ),
+        )
+    )
+
+
+def arrow_doc_stats(docs: DataFrame) -> DataFrame:
+    """``mapInArrow``: per-partition iterator of *pyarrow RecordBatches*
+    — the zero-copy tier below mapInPandas (no Arrow→pandas conversion,
+    no object boxing). The right boundary when the Python side is
+    itself Arrow-native (pyarrow.compute kernels, Arrow-backed
+    tokenizers, Lance/Vortex readers).
+
+    Computes per-doc token count (single-space split) and byte length
+    entirely with pyarrow.compute kernels — columnar in, columnar out,
+    value-identical to the SQL spec ``size(split(text,' '))`` /
+    ``octet_length(text)``, which is how the oracle gate verifies an
+    Arrow-native UDF's VALUES.
+
+    Scale shape: pure map-side — no shuffle, batches stream through
+    bounded memory; output schema is fixed so Catalyst can plan the
+    downstream agg normally.
+    """
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            toks = pc.split_pattern(text, pattern=" ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_tokens", "n_bytes"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        stats, schema="doc_id long, n_tokens long, n_bytes long"
+    )
+
+
+def arrow_grouped_lang_stats(docs: DataFrame) -> DataFrame:
+    """Grouped ``applyInArrow``: per-group *pyarrow Table* → Table —
+    the Arrow-native twin of applyInPandas for group-shaped Python
+    (per-language tokenizer fitting, per-source schema inference).
+
+    Aggregates per language with pyarrow.compute only: doc count,
+    total chars, total tokens. Exact integers → oracle-checkable.
+
+    Scale shape: one hash exchange on lang (identical to a groupBy);
+    each group must fit in one Arrow table — holds for per-language
+    corpus STATS here because the input is pre-projected to 3 narrow
+    columns, and the contract is documented, same as applyInPandas.
+    """
+
+    def per_lang(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(table.column("text"), pattern=" ")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [
+                    pc.sum(pc.binary_length(table.column("text"))).as_py()
+                ],
+                "total_tokens": [pc.sum(pc.list_value_length(toks)).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("total_chars", pa.int64()),
+                    ("total_tokens", pa.int64()),
+                ]
+            ),
+        )
+
+    return (
+        docs.select("lang", "text")
+        .groupBy("lang")
+        .applyInArrow(
+            per_lang,
+            schema="lang string, n_docs long, total_chars long, total_tokens long",
         )
     )

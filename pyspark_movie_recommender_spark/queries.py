@@ -7680,3 +7680,375 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_per_kchar_ppk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 22: interval-union coverage, data-mixture allocation, nucleus vocab
+# cutoff, cross-doc repeated-window scrub
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_coverage_user",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts)                        AS s_us,
+               epoch_us(ts) + 300 * 1000000        AS e_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, s_us, e_us,
+               CASE WHEN MAX(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                 OR s_us > MAX(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), islands AS (
+        SELECT user_id, s_us, e_us,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island_id
+        FROM flagged
+    ), per_island AS (
+        SELECT user_id, island_id,
+               MAX(e_us) - MIN(s_us) AS covered_us
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)                     AS n_islands,
+           CAST(SUM(covered_us) // 1000000 AS BIGINT)   AS covered_s
+    FROM per_island GROUP BY user_id
+    """,
+)
+def interval_coverage_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event claims [ts, ts+5min); report
+    per user how many disjoint coverage islands the union forms and the
+    total covered seconds.
+
+    Distinct from sessionization (gap-based grouping of POINTS): this is
+    the measure of the union of INTERVALS — the uptime/watch-time/
+    presence metric. Classic sweep: an interval starts a new island iff
+    its start exceeds the running max end of everything before it.
+
+    Scale shape: one shuffle on user_id; both windows and both
+    aggregations reuse the same partitioning, so the whole query is a
+    single exchange. All arithmetic in BIGINT microseconds — exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("s_us"),
+        (us + F.lit(300 * 1_000_000)).alias("e_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e_us") - F.min("s_us")).alias("covered_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.expr("SUM(covered_us) div 1000000").cast("long").alias("covered_s"),
+    )
+
+
+@query(
+    "source_mixture_allocation",
+    oracle="""
+    WITH per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), weighted AS (
+        -- temperature alpha=0.5 via integer sqrt: deterministic on both
+        -- engines (sqrt of one integer is correctly rounded IEEE; floor
+        -- of that is exact)
+        SELECT source, n_docs,
+               CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+        FROM per_src
+    ), shares AS (
+        SELECT source, n_docs, w,
+               SUM(w) OVER ()                         AS tot_w,
+               (1000 * w) // SUM(w) OVER ()           AS base,
+               (1000 * w) %  SUM(w) OVER ()           AS rem
+        FROM weighted
+    ), ranked AS (
+        SELECT source, n_docs, w, base,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk,
+               1000 - SUM(base) OVER ()                      AS deficit
+        FROM shares
+    )
+    SELECT source, n_docs,
+           CAST(w AS BIGINT)    AS weight,
+           CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_docs
+    FROM ranked
+    """,
+)
+def source_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture: allocate a 1000-doc sampling budget across
+    sources with temperature alpha=0.5 (weight = isqrt of doc count) via
+    the largest-remainder method — allocations sum EXACTLY to the
+    budget, every step BIGINT-exact, reproducible on any engine.
+
+    This is the data-mixing stage of an LLM corpus build (down-weight
+    huge crawls, up-weight small high-quality sources) reduced to
+    integer arithmetic so the gate can hash-verify it.
+
+    Scale shape: the fact scan collapses to |sources| rows in one
+    map-side-partial agg; everything after runs on that tiny relation
+    (single-partition windows over ~dozens of rows — bounded by the
+    source catalog, not the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    weighted = per_src.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long")
+    )
+    wall = Window.partitionBy()
+    shares = weighted.select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr("(1000 * w) div SUM(w) OVER ()").alias("base"),
+        (F.lit(1000) * F.col("w") % F.sum("w").over(wall)).alias("rem"),
+    )
+    ranked = shares.select(
+        "source",
+        "n_docs",
+        "w",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "source"))
+        .alias("rnk"),
+        (F.lit(1000) - F.sum("base").over(wall)).alias("deficit"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        F.col("w").cast("long").alias("weight"),
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_docs"),
+    )
+
+
+@query(
+    "vocab_nucleus_cutoff",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY lang, token
+    ), ranked AS (
+        SELECT lang, token, cnt,
+               SUM(cnt) OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, token
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY lang)        AS total
+        FROM counts
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                          AS vocab_total,
+           CAST(SUM(CASE WHEN (cum - cnt) * 100 < total * 99
+                         THEN 1 ELSE 0 END) AS BIGINT)       AS vocab_kept,
+           CAST(SUM(CASE WHEN (cum - cnt) * 100 < total * 99
+                         THEN cnt ELSE 0 END) * 1000000
+                // MAX(total) AS BIGINT)                     AS covered_ppm
+    FROM ranked GROUP BY lang
+    """,
+)
+def vocab_nucleus_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) vocabulary truncation per language: keep the
+    most frequent tokens until they cover 99% of the token mass, report
+    kept/total vocab size and the exact coverage in ppm.
+
+    The tokenizer-training decision (vocab size vs coverage) as a
+    query: a token survives iff the mass BEFORE it is under the 99%
+    line — pure BIGINT cumsum, no float thresholds.
+
+    Scale shape: the corpus explode collapses map-side into a
+    (lang, token) hash agg; the window runs over the VOCABULARY (not
+    the corpus), partitioned by lang, so the sort is bounded by
+    per-language vocab size. Final agg reuses the lang partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wlang = Window.partitionBy("lang")
+    worder = wlang.orderBy(F.col("cnt").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = counts.select(
+        "lang",
+        "cnt",
+        F.sum("cnt").over(worder).alias("cum"),
+        F.sum("cnt").over(wlang).alias("total"),
+    )
+    keep = (F.col("cum") - F.col("cnt")) * 100 < F.col("total") * 99
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("vocab_kept"),
+        F.expr(
+            "SUM(CASE WHEN (cum - cnt) * 100 < total * 99 THEN cnt ELSE 0 END)"
+            " * 1000000 div MAX(total)"
+        )
+        .cast("long")
+        .alias("covered_ppm"),
+    )
+
+
+@query(
+    "repeated_window_scrub",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               array_to_string(t[i * 3 + 1 : i * 3 + 3], ' ') AS chunk
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(0, (len(t) - 1) // 3)) AS i)
+    ), hot AS (
+        SELECT chunk FROM chunks
+        GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flagged AS (
+        SELECT c.doc_id, c.chunk_id, c.chunk,
+               (h.chunk IS NOT NULL) AS is_hot
+        FROM chunks c LEFT JOIN hot h ON c.chunk = h.chunk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                             AS n_chunks,
+           CAST(SUM(CASE WHEN is_hot THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_kept,
+           COALESCE(string_agg(CASE WHEN NOT is_hot THEN chunk END,
+                               ' ' ORDER BY chunk_id), '')      AS new_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def repeated_window_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-window removal (C4-style line dedup for
+    a corpus without newlines): split every document into consecutive
+    3-token windows, drop any window whose exact text occurs in >= 2
+    distinct documents, and reassemble the surviving windows in order.
+
+    This is the boilerplate-LINE scrub (nav bars, license headers,
+    cookie banners) that document-level dedup misses — the document
+    survives, the shared chunk inside it does not.
+
+    Scale shape: chunking is a map-side ``transform(sequence(...))``
+    over the token array (no posexplode of raw tokens — windows are
+    built in-row, then exploded once). The hot-window table is the
+    output of a hash agg bounded by corpus/cap and joins back on the
+    chunk text; reassembly groups by doc_id with an order-restoring
+    array_sort — no window-function sort over the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, (size(split(text, ' ')) - 1) div 3),"
+                " i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' '))"
+            )
+        ).alias("chunk_id", "chunk"),
+    ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("chunk", F.lit(True).alias("is_hot"))
+    )
+    flagged = chunks.join(hot, "chunk", "left").withColumn(
+        "is_hot", F.coalesce("is_hot", F.lit(False))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("is_hot"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "  CASE WHEN NOT is_hot THEN struct(chunk_id, chunk) END)),"
+            " s -> s.chunk), ' ')"
+        ).alias("new_text"),
+    )
+
+
+@query(
+    "arrow_map_doc_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(strlen(text) AS BIGINT)                 AS n_bytes
+    FROM documents
+    """,
+)
+def arrow_map_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface: per-doc token/byte counts computed with
+    pyarrow.compute kernels inside a RecordBatch iterator — the
+    zero-copy Arrow-native Python boundary (no pandas conversion). The
+    oracle verifies the Arrow kernel VALUES against the SQL spec.
+
+    Scale shape: pure map-side, no shuffle; see
+    operators/udf_surface.py arrow_doc_stats.
+    """
+    from pyspark_movie_recommender_spark.operators.udf_surface import arrow_doc_stats
+
+    return arrow_doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "arrow_grouped_lang_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT)                 AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def arrow_grouped_lang_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` surface: per-language corpus stats as a
+    pyarrow Table → Table function — the Arrow-native twin of
+    applyInPandas, completing the sanctioned Python-UDF surface
+    (scalar/UDAF/applyInPandas/mapInPandas/UDTF/cogroup/mapInArrow/
+    applyInArrow). Exact integer outputs → value-checked by the gate.
+
+    Scale shape: one lang exchange, same as a groupBy agg; see
+    operators/udf_surface.py arrow_grouped_lang_stats.
+    """
+    from pyspark_movie_recommender_spark.operators.udf_surface import (
+        arrow_grouped_lang_stats,
+    )
+
+    return arrow_grouped_lang_stats(load_table(spark, sf_dir, "documents"))

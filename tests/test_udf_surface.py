@@ -66,3 +66,48 @@ def test_udtf_explode_ngrams(spark):
     rows = [(r.pos, r.ngram) for r in df.orderBy("pos").collect()]
     assert rows == [(0, "a b"), (1, "b c"), (2, "c d")]
     assert all(r.doc_id == 42 for r in df.collect())
+
+
+def test_map_in_arrow_doc_stats_plan_and_values(spark, sf_dir):
+    """mapInArrow: values equal the SQL spec AND the plan is a pure
+    map-side MapInArrow node (no exchange before it)."""
+    from pyspark_movie_recommender_spark.operators.udf_surface import arrow_doc_stats
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = arrow_doc_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
+    got = {r.doc_id: (r.n_tokens, r.n_bytes) for r in out.collect()}
+    want = {
+        r.doc_id: (r.nt, r.nb)
+        for r in docs.selectExpr(
+            "doc_id",
+            "size(split(text, ' '))::long AS nt",
+            "octet_length(text)::long AS nb",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_apply_in_arrow_matches_groupby(spark, sf_dir):
+    from pyspark_movie_recommender_spark.operators.udf_surface import (
+        arrow_grouped_lang_stats,
+    )
+    from pyspark_movie_recommender_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {tuple(r) for r in arrow_grouped_lang_stats(docs).collect()}
+    want = {
+        tuple(r)
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.octet_length("text")).cast("long").alias("total_chars"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        )
+        .collect()
+    }
+    assert got == want
