@@ -8052,3 +8052,199 @@ def arrow_grouped_lang_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return arrow_grouped_lang_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# wave 23: mergeable-sketch tier (bitmap exact / theta / KLL) + positional
+# phrase search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bitmap_distinct_rollup",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL' AS grp,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM orders
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via roaring-style bitmaps:
+    per-priority bitmaps of customer keys, then a bitmap-OR merge to the
+    global count — the store-and-merge alternative to COUNT(DISTINCT)
+    rescans, and (unlike HLL) exact, so the gate hash-checks it.
+
+    Pattern: group by (grp, bitmap_bucket_number(key)) building one
+    32k-bit bitmap per bucket with ``bitmap_construct_agg``; per-group
+    distinct = SUM of ``bitmap_count`` over buckets; the rollup ORs the
+    per-group bucket bitmaps (``bitmap_or_agg``) BEFORE counting —
+    proving the bitmaps merge, which is the property that lets a 100 TB
+    pipeline keep per-partition bitmaps and union them at any grain.
+
+    Scale shape: one shuffle on (grp, bucket) with map-side partial
+    bitmap construction; the merge agg runs on |grps|x|buckets| bitmap
+    rows, never rescanning the fact.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_custkey"
+    )
+    buckets = orders.groupBy(
+        "grp", F.bitmap_bucket_number("o_custkey").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm")
+    )
+    per_grp = buckets.groupBy("grp").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_distinct_cust")
+    )
+    merged = (
+        buckets.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_distinct_cust"))
+        .select(F.lit("ALL").alias("grp"), "n_distinct_cust")
+    )
+    return per_grp.unionByName(merged)
+
+
+@query("theta_token_overlap")
+def theta_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over source vocabularies: per-source
+    distinct-token sketches, then UNION and INTERSECTION estimates
+    across source pairs — the sketch that (unlike HLL) supports
+    intersection/difference, i.e. the 100 TB answer to "how much does
+    crawl A overlap crawl B" without ever co-shuffling the corpora.
+
+    Rows-only by design (estimates); the exact twin is
+    ``source_shingle_overlap`` and tests/test_operators.py pins the
+    estimate within a tolerance band of the exact overlap.
+
+    Scale shape: one (source, token)-collapsing agg builds constant-size
+    sketches map-side; all set algebra runs on |sources|² sketch pairs,
+    corpus never rescanned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # distinct word BIGRAMS per source (the unigram vocab is tiny and
+    # fully shared; bigrams give a real partial-overlap signal) — built
+    # in-row, exploded once
+    toks = docs.filter(F.col("source").isin("src0", "src1", "src2")).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(split(text, ' ')[i - 1], ' ',"
+                "             split(text, ' ')[i]))"
+            )
+        ).alias("token"),
+    )
+    sk = toks.groupBy("source").agg(
+        F.theta_sketch_agg("token").alias("sk"),
+        F.count_distinct("token").cast("long").alias("exact_distinct"),
+    )
+    a = sk.alias("a")
+    b = sk.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source"))
+    return pairs.select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.exact_distinct").alias("distinct_a"),
+        F.col("b.exact_distinct").alias("distinct_b"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("a.sk"), F.col("b.sk"))
+        )
+        .cast("long")
+        .alias("union_est"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+        )
+        .cast("long")
+        .alias("intersect_est"),
+    )
+
+
+@query("kll_quantile_rollup")
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile-sketch rollup: per-priority sketches of order value,
+    MERGED to a global sketch — store-and-merge quantiles at any grain
+    (the sketch twin of exact_percentiles_by_flag, which is the gate's
+    exact check; tests pin the estimates inside a rank-error band).
+
+    Scale shape: constant-size sketches built with map-side partials;
+    the global quantile comes from merging |grps| sketches, not from a
+    second fact scan — at 100 TB that's the difference between a
+    metadata operation and a petabyte reshuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_grp = orders.groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(F.kll_sketch_agg_double("o_totalprice", F.lit(200)).alias("sk"))
+    grp_rows = per_grp.select(
+        "grp",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95_est"),
+    )
+    # no agg-form KLL merge in 4.1 — fold the |grps| sketches with the
+    # scalar pairwise merge (HOF over a collected array of 5 sketches)
+    merged = per_grp.agg(F.collect_list("sk").alias("sks")).select(
+        F.expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("sk")
+    ).select(
+        F.lit("ALL").alias("grp"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95_est"),
+    )
+    return grp_rows.unionByName(merged)
+
+
+@query(
+    "phrase_search_positional",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), postings AS (
+        SELECT doc_id, unnest(t) AS token,
+               CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+        FROM toks
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM postings a
+    JOIN postings b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = 'table' AND b.token = 'scan'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through a POSITIONAL inverted index: postings
+    are (token, doc_id, pos); a phrase match is an equi-join of the two
+    term posting lists on (doc_id, adjacent position). This is the IR
+    operator the tf-only inverted index cannot answer.
+
+    Scale shape: the postings relation is filtered to the QUERY TERMS
+    before any join — the join input is two posting lists, not the
+    corpus; the adjacency is an equi-join on (doc_id, pos+1), so no
+    range explosion. At 100 TB the index is built once, partitioned by
+    token, and each phrase query touches only its terms' partitions
+    (partition pruning on the token column).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+    a = postings.filter(F.col("token") == "table").alias("a")
+    b = postings.filter(F.col("token") == "scan").alias("b")
+    hits = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    )
+    return hits.groupBy(F.col("a.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min(F.col("a.pos")).cast("long").alias("first_pos"),
+    )

@@ -649,3 +649,68 @@ def test_als_recommend_parts_rec_contract(spark, sf_dir):
             by_user.setdefault(r[user_col], []).append(r[score_col])
         for scores in by_user.values():
             assert len(scores) <= 10
+
+
+def test_theta_overlap_estimates_near_exact(spark, sf_dir):
+    """Theta union/intersection estimates land within 5% of the exact
+    distinct-bigram overlap computed from the same corpus slice."""
+    from pyspark.sql import functions as F
+    from pyspark_movie_recommender_spark import queries as Q
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    rows = Q.QUERIES["theta_token_overlap"](spark, sf_dir).collect()
+    assert len(rows) == 3  # C(3,2) source pairs
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.filter(F.col("source").isin("src0", "src1", "src2")).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sets = {
+        s: {r.g for r in grams.filter(F.col("source") == s).collect()}
+        for s in ("src0", "src1", "src2")
+    }
+    for r in rows:
+        a, b = sets[r.source_a], sets[r.source_b]
+        assert r.distinct_a == len(a) and r.distinct_b == len(b)
+        assert abs(r.union_est - len(a | b)) <= 0.05 * len(a | b)
+        assert abs(r.intersect_est - len(a & b)) <= 0.05 * len(a | b)
+        # partial overlap is the point of the fixture: strict subset
+        assert len(a & b) < min(len(a), len(b))
+
+
+def test_kll_quantiles_within_rank_error(spark, sf_dir):
+    """KLL p50/p95 estimates (k=200 => ~1.3% rank error) correspond to
+    values whose true rank is within 3% of the target rank, per group
+    and for the merged ALL sketch."""
+    from pyspark.sql import functions as F
+    from pyspark_movie_recommender_spark import queries as Q
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    rows = {r.grp: r for r in Q.QUERIES["kll_quantile_rollup"](spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    vals_all = sorted(r.o_totalprice for r in orders.select("o_totalprice").collect())
+
+    def true_rank(vals, x):
+        import bisect
+
+        return bisect.bisect_right(vals, x) / len(vals)
+
+    for grp, r in rows.items():
+        vals = (
+            vals_all
+            if grp == "ALL"
+            else sorted(
+                x.o_totalprice
+                for x in orders.filter(F.col("o_orderpriority") == grp)
+                .select("o_totalprice")
+                .collect()
+            )
+        )
+        assert abs(true_rank(vals, r.p50_est) - 0.5) <= 0.03, (grp, r.p50_est)
+        assert abs(true_rank(vals, r.p95_est) - 0.95) <= 0.03, (grp, r.p95_est)
+    assert "ALL" in rows and len(rows) == 6
