@@ -8248,3 +8248,150 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.min(F.col("a.pos")).cast("long").alias("first_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 24: grid-blocked spatial proximity join + event-sequence pattern match
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "spatial_proximity_pairs",
+    oracle="""
+    -- oracle is the NAIVE all-pairs join: hash equality proves the
+    -- engine's grid blocking LOSSLESS (same trick as the prefix-filter
+    -- Jaccard join)
+    WITH cust AS (
+        SELECT c_custkey,
+               (c_custkey * 7919)   % 100000 AS x,
+               (c_custkey * 104729) % 100000 AS y
+        FROM customer
+    ), supp AS (
+        SELECT s_suppkey,
+               (s_suppkey * 6271)  % 100000 AS x,
+               (s_suppkey * 31337) % 100000 AS y
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST((c.x - s.x) * (c.x - s.x)
+              + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2_m2
+    FROM cust c, supp s
+    WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+          <= 2000 * 2000
+    """,
+)
+def spatial_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join with GRID BLOCKING: every customer paired
+    with every supplier within 2 km, on a synthetic 100x100 km plane
+    with deterministic integer-meter coordinates derived from the keys
+    (BIGINT throughout — squared distances compare exactly).
+
+    Engine shape: bucket both sides into r-sized grid cells; the
+    smaller side (suppliers) replicates into its 3x3 cell neighborhood
+    (in-row sequence explode, 9x a TINY relation); candidates come from
+    a cell equi-join; the exact squared-distance predicate verifies.
+    Any point within r of another must lie in one of its 9 cells, so
+    blocking is lossless — and the oracle PROVES it: the DuckDB side is
+    the naive all-pairs join.
+
+    Scale shape: never a cross join — the fact side is hashed on its
+    one cell, candidates are bounded by local density x 9, and the
+    verify is map-side integer arithmetic. At 100 TB the same plan
+    holds with cells sized to the radius and AQE handling dense-cell
+    skew.
+    """
+    r = 2000
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 100000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 100000).alias("y"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 6271) % 100000).alias("x"),
+        ((F.col("s_suppkey") * 31337) % 100000).alias("y"),
+    )
+    cust_cell = cust.withColumn(
+        "cell",
+        F.expr(f"(x div {r}) * 1000 + (y div {r})"),
+    )
+    # replicate the SMALL side into its 3x3 neighborhood; the big side
+    # keeps exactly one cell per row
+    supp_cells = supp.select(
+        "s_suppkey", F.col("x").alias("sx"), F.col("y").alias("sy")
+    ).select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx ->"
+                f" transform(sequence(-1, 1), dy ->"
+                f" ((sx div {r}) + dx) * 1000 + ((sy div {r}) + dy))))"
+            )
+        ).alias("cell"),
+    )
+    cand = cust_cell.join(F.broadcast(supp_cells), "cell")
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    return (
+        cand.filter(d2 <= r * r)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            d2.cast("long").alias("dist2_m2"),
+        )
+    )
+
+
+@query(
+    "event_pattern_funnels",
+    oracle="""
+    WITH journeys AS (
+        SELECT user_id,
+               string_agg(left(event_type, 1), '' ORDER BY ts, event_id)
+                   AS journey
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(strlen(journey) AS BIGINT)  AS journey_len,
+           CAST(len(regexp_extract_all(journey, 'v[ce]*p')) AS BIGINT)
+               AS n_funnels
+    FROM journeys
+    """,
+)
+def event_pattern_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over event streams (MATCH_RECOGNIZE
+    lite): encode each user's journey as an ordered string of event
+    initials, then count non-overlapping matches of the funnel regex
+    ``v[ce]*p`` (a view, any clicks/errors, then a purchase). Regex
+    over an encoded sequence turns order-sensitive funnel mining into
+    one scalar expression — no self-joins per step.
+
+    The conditional-MIN funnel (``event_funnel_ordered``) answers "did
+    the user EVER convert"; this answers "how MANY times", with
+    arbitrary-pattern expressiveness.
+
+    Scale shape: one user_id exchange for the ordered concat (order
+    restored in-row by array_sort — no window sort); the regex is
+    map-side on |users| short strings. Journey strings are bounded by
+    per-user activity — the same per-key-fits-in-memory contract as
+    every grouped aggregate here.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    journeys = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ts, event_id, c))),"
+            " s -> s.c), '')"
+        ).alias("journey")
+    )
+    return journeys.select(
+        "user_id",
+        F.length("journey").cast("long").alias("journey_len"),
+        F.size(F.regexp_extract_all("journey", F.lit("v[ce]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_funnels"),
+    )

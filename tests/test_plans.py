@@ -385,3 +385,42 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cbo_stats_drive_join_strategy(spark, tmp_path):
+    """Cost-based optimizer wiring: ANALYZE TABLE ... COMPUTE STATISTICS
+    FOR ALL COLUMNS on a managed table puts rowCount into the optimized
+    plan's statistics, and a join against the small analyzed table plans
+    as BroadcastHashJoin WITHOUT a broadcast hint — table-level stats,
+    not just file sizes, feed the planner. On a real warehouse this is
+    what makes join ORDER decisions survive views and filters that hide
+    file-size estimates.
+    """
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    try:
+        spark.range(0, 50).selectExpr(
+            "id AS k", "concat('name-', id) AS name"
+        ).write.saveAsTable("cbo_dim")
+        spark.range(0, 100000).selectExpr(
+            "id AS pk", "id % 50 AS k", "id * 3 AS v"
+        ).write.saveAsTable("cbo_fact")
+        spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS")
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            df = spark.sql(
+                "SELECT f.pk, d.name FROM cbo_fact f JOIN cbo_dim d ON f.k = d.k"
+            )
+            optimized = (
+                df._jdf.queryExecution().optimizedPlan().stats().toString()
+            )
+            assert "rowCount" in optimized, optimized
+            plan = physical_plan(df)
+            assert "BroadcastHashJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_dim")
+        spark.sql("DROP TABLE IF EXISTS cbo_fact")
