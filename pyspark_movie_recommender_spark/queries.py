@@ -8395,3 +8395,123 @@ def event_pattern_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_funnels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 25: corrupt-tolerant ingestion audit + BPE-ish regex tokenizer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "robust_json_ingest",
+    oracle="""
+    WITH feed AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0 THEN substr(props, 2)
+                    ELSE props END AS raw
+        FROM events
+    ), parsed AS (
+        SELECT event_type, raw,
+               CASE WHEN json_valid(raw)
+                    THEN json_extract_string(raw, '$.k') IS NOT NULL
+                    ELSE FALSE END AS ok
+        FROM feed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                          AS n_rows,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_valid,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(CASE WHEN ok
+                    THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+                    ELSE 0 END) AS BIGINT)                   AS k_sum
+    FROM parsed GROUP BY event_type
+    """,
+)
+def robust_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant ingestion: a feed where every 7th record's JSON
+    payload is truncated (deterministically, so the oracle sees the
+    same corruption). The engine classifies each record as
+    valid/corrupt WITHOUT failing the job — the dead-letter audit every
+    production ingest needs: per-type row counts, corruption counts,
+    and the typed sum over only the valid records.
+
+    This is the error-handling contract at 100 TB: one malformed
+    record must cost one null, not a task retry storm; the corrupt
+    count IS the dead-letter queue's size, computed in the same pass.
+
+    Scale shape: pure map-side parse + one small hash agg; no Python,
+    no second scan for the audit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.expr("substr(props, 2)")
+        )
+        .otherwise(F.col("props"))
+        .alias("raw"),
+    )
+    # NOTE: Spark's try_parse_json is lenient about trailing content (a
+    # scalar prefix parses), so the dead-letter criterion is "the record
+    # yields the required typed field" -- the contract a downstream
+    # consumer actually needs -- not mere parseability.
+    parsed = feed.withColumn(
+        "ok", F.get_json_object("raw", "$.k").isNotNull()
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("ok"), F.get_json_object("raw", "$.k").cast("long")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("k_sum"),
+    )
+
+
+@query(
+    "bpe_regex_token_counts",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(string_split(text || ' v2.0-rc!', ' '))) AS BIGINT)
+               AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text || ' v2.0-rc!',
+                ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +'))) AS BIGINT)
+               AS bpe_tokens,
+           CAST(SUM(strlen(text || ' v2.0-rc!')) AS BIGINT) AS n_bytes
+    FROM documents GROUP BY lang
+    """,
+)
+def bpe_regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (SURVEY text-analysis): whitespace split
+    vs a BPE-ish pretokenizer regex (GPT-2-style letter/digit/symbol
+    runs with attached leading space, restricted to the RE2 ∩ Java
+    common dialect — no lookahead). A deterministic ``' v2.0-rc!'``
+    suffix exercises the digit/symbol branches the plain-word corpus
+    lacks: the regex yields 7 subword-ish tokens where whitespace sees
+    1 — the divergence that makes pretokenizer choice a real budget
+    decision when pricing a corpus in tokens.
+
+    Scale shape: both counts are map-side scalar expressions fused into
+    one scan; the agg is |langs| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(F.col("text"), F.lit(" v2.0-rc!"))
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(t, " "))).cast("long").alias("ws_tokens"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    t, F.lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"), F.lit(0)
+                )
+            )
+        )
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.sum(F.octet_length(t)).cast("long").alias("n_bytes"),
+    )

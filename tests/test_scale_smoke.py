@@ -117,3 +117,40 @@ def test_containment_rarest_token_blocking_is_subquadratic(spark):
     # linear shape: ratio ~2; quadratic would be ~4. Allow slack for the
     # planted-dup fraction's shared tokens.
     assert c2 < c1 * 3, (c1, c2)
+
+
+def test_spatial_grid_candidates_are_subquadratic(spark):
+    """The grid-blocked radius join's CANDIDATE count (cell co-residents
+    before the distance verify) must scale with local density x 9, not
+    with n x m: at 20k x 1k points on the 100 km plane with r=2 km, the
+    naive pair space is 20M while the grid candidates stay under ~2% of
+    it, and doubling the fact side roughly doubles (not quadruples) the
+    candidates."""
+    r = 2000
+
+    def cand_count(n_cust: int, n_supp: int) -> int:
+        cust = spark.range(n_cust).select(
+            ((F.col("id") * 7919) % 100000).alias("x"),
+            ((F.col("id") * 104729) % 100000).alias("y"),
+        ).withColumn("cell", F.expr(f"(x div {r}) * 1000 + (y div {r})"))
+        supp = spark.range(n_supp).select(
+            ((F.col("id") * 6271) % 100000).alias("sx"),
+            ((F.col("id") * 31337) % 100000).alias("sy"),
+        ).select(
+            "sx", "sy",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(-1, 1), dx ->"
+                    f" transform(sequence(-1, 1), dy ->"
+                    f" ((sx div {r}) + dx) * 1000 + ((sy div {r}) + dy))))"
+                )
+            ).alias("cell"),
+        )
+        return cust.join(supp, "cell").count()
+
+    c1 = cand_count(10_000, 1_000)
+    c2 = cand_count(20_000, 1_000)
+    naive2 = 20_000 * 1_000
+    assert c2 < 0.05 * naive2, (c2, naive2)
+    growth = c2 / max(c1, 1)
+    assert 1.5 <= growth <= 2.5, (c1, c2, growth)
