@@ -8515,3 +8515,90 @@ def bpe_regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bpe_tokens"),
         F.sum(F.octet_length(t)).cast("long").alias("n_bytes"),
     )
+
+
+@query(
+    "negative_sampling_pairs",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), nparts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part
+    ), cand AS (
+        SELECT c.c_custkey AS user_id,
+               CAST(j AS BIGINT) AS j,
+               (c.c_custkey * 2654435761 + j * 40503) % np.n AS item_id
+        FROM customer c
+        CROSS JOIN nparts np
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+    ), negs AS (
+        SELECT cd.user_id, cd.j, cd.item_id,
+               ROW_NUMBER() OVER (PARTITION BY cd.user_id ORDER BY cd.j)
+                   AS rnk
+        FROM cand cd
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p
+            WHERE p.user_id = cd.user_id AND p.item_id = cd.item_id)
+    )
+    SELECT user_id, j, CAST(item_id AS BIGINT) AS neg_item
+    FROM negs WHERE rnk <= 4
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every user, 8 multiplicative-hash candidate items, anti-joined
+    against the user's TRUE positives (parts they actually ordered),
+    first 4 survivors kept by candidate index. No rand() — the sample
+    is reproducible, growth-stable, and recomputable on any engine,
+    which is what lets the gate hash-check a SAMPLER.
+
+    This is the (user, pos, neg) triple factory of every two-tower /
+    contrastive recsys and embedding pipeline; the reference's ALS
+    implicitly samples negatives inside MLlib, here the engine owns it.
+
+    Scale shape: candidates are a map-side explode (|users| x 8 narrow
+    rows); the anti-join shuffles on (user_id, item_id) against the
+    distinct positives; the per-user top-4 window rides the same user
+    partitioning — WindowGroupLimit prunes to 4 per task. Positives
+    are pre-collapsed by DISTINCT before the join, so the anti-join
+    probe side is bounded by the user-item graph, not raw order lines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    pos = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    nparts = part.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cand = (
+        customer.select(F.col("c_custkey").alias("user_id"))
+        .crossJoin(F.broadcast(nparts))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"),
+            F.col("n"),
+        )
+        .select(
+            "user_id",
+            F.col("j").cast("long").alias("j"),
+            (
+                (F.col("user_id") * F.lit(2654435761) + F.col("j") * 40503)
+                % F.col("n")
+            ).alias("item_id"),
+        )
+    )
+    negs = cand.join(pos, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("j")
+    return (
+        negs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .select("user_id", "j", F.col("item_id").cast("long").alias("neg_item"))
+    )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -162,9 +163,62 @@ class _JsonlWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """STREAMING twin of the jsonl writer: same stage-then-publish
+    protocol per MICRO-BATCH. Each epoch's tasks stage uniquely-named
+    files; the driver-side ``commit(messages, batchId)`` publishes
+    ``_MANIFEST-<batchId>.json`` naming exactly that epoch's committed
+    files. Replayed batches (restart after a crash between sink commit
+    and engine checkpoint) overwrite the SAME manifest id — readers that
+    union manifests see each batch exactly once, which is how a
+    file-based streaming sink upgrades at-least-once task execution to
+    exactly-once publication.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "batch": batchId,
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+        ) as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class JsonlSinkDataSource(DataSource):
     """``df.write.format("jsonl_sink").option("path", dir).save()`` —
-    a pure-Python partitioned sink with a two-phase commit manifest."""
+    a pure-Python partitioned sink with a two-phase commit manifest.
+    Also registers the STREAMING writer: ``df.writeStream.format(
+    "jsonl_sink")`` publishes one manifest per micro-batch."""
 
     @classmethod
     def name(cls) -> str:
@@ -172,6 +226,11 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _JsonlWriter(self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        return _JsonlStreamWriter(self.options)
 
 
 # ---------------------------------------------------------------------------

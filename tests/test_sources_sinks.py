@@ -321,3 +321,64 @@ def test_jsonl_sink_clean_uncommitted_orphans(spark, tmp_path):
     back = spark.read.json(manifest["files"])
     assert back.count() == 50
     assert back.agg(F.max("id")).collect()[0][0] == 49
+
+
+def test_python_datasource_streaming_sink_manifests_per_batch(spark, tmp_path):
+    """Custom STREAMING sink via DataSourceStreamWriter: the counter
+    stream written through jsonl_sink publishes one manifest per
+    micro-batch naming exactly the committed files; the union of
+    manifest files holds each emitted id exactly once."""
+    import json
+    import os
+
+    from pyspark_movie_recommender_spark.sources import pydatasource
+
+    pydatasource.register_stream(spark)
+    pydatasource.register_sink(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("counter_stream")
+            .option("batchSize", 7)
+            .load()
+            .writeStream.format("jsonl_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+
+    run_once()
+    run_once()  # second epoch appends; checkpoint prevents replay
+
+    manifests = sorted(
+        f for f in os.listdir(out) if f.startswith("_MANIFEST-")
+    )
+    assert len(manifests) >= 2, manifests
+    seen: list[int] = []
+    total_rows = 0
+    for mf in manifests:
+        with open(os.path.join(out, mf)) as f:
+            m = json.load(f)
+        total_rows += m["rows"]
+        for path in m["files"]:
+            with open(path) as fh:
+                seen += [json.loads(line)["id"] for line in fh]
+    assert sorted(seen) == list(range(14))
+    assert total_rows == 14
+    # every committed file exists and no uncommitted data file remains
+    committed = {
+        p
+        for mf in manifests
+        for p in json.load(open(os.path.join(out, mf)))["files"]
+    }
+    on_disk = {
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.startswith("part-") and f.endswith(".jsonl")
+    }
+    assert on_disk == committed
