@@ -206,3 +206,64 @@ def dedup_keepers(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every vertex whose degree (within the surviving subgraph) is < k
+    until none remains — the fixpoint is the maximal subgraph where
+    every vertex has >= k neighbors. The standard graph-densification
+    primitive (community cores, spam-farm detection, robust dedup
+    clusters that survive losing a member).
+
+    Returns (node, degree) for the surviving core, degree measured
+    WITHIN the core. Deterministic: simultaneous deletion each round,
+    so the fixpoint is unique and engine-independent — an unrolled
+    SQL replay of the same rounds reaches the same set.
+
+    Scale shape (same contract as connected_components): one degree
+    aggregation + one semi-join per round over a NODE-keyed relation
+    (edges are never rewritten, only filtered through the live-node
+    semi-joins); rounds are O(peeling depth), capped by ``max_rounds``
+    with a loud failure rather than silently-wrong cores. Lineage is
+    truncated per round — reliable ``checkpoint_dir`` on clusters,
+    ``localCheckpoint`` locally.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ckpt = _checkpointer(e, checkpoint_dir)
+    live = ckpt(
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    prev = live.count()
+    for _ in range(max_rounds):
+        alive_edges = e.join(
+            live.withColumnRenamed("n", "u"), "u", "left_semi"
+        ).join(live.withColumnRenamed("n", "v"), "v", "left_semi")
+        deg = (
+            alive_edges.select(F.col("u").alias("n"))
+            .unionAll(alive_edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        # vertices with NO alive edge have degree 0 and die implicitly:
+        # deg only lists endpoints of alive edges
+        survivors = ckpt(deg.filter(F.col("d") >= k))
+        cur = survivors.count()  # one action/round; ckpt already ran the job
+        live = survivors.select("n")
+        if cur == prev:
+            return survivors.select(
+                "n", F.col("d").cast("long").alias("degree")
+            )
+        prev = cur
+    raise RuntimeError(
+        f"k-core did not converge within {max_rounds} rounds"
+    )

@@ -8602,3 +8602,142 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 4)
         .select("user_id", "j", F.col("item_id").cast("long").alias("neg_item"))
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 13) -> str:
+    """Unrolled peeling oracle for the k-core query: DuckDB's recursive
+    CTEs disallow the per-round aggregate, so the bounded peel is
+    unrolled (same device as the PageRank oracle). ``rounds`` exceeds
+    the observed sf0.01 convergence depth (11); once the node set is
+    stable, extra rounds are no-ops, and the ENGINE raises if its own
+    loop ever needs more than its cap — the gate would surface any
+    divergence as a hash mismatch."""
+    parts = [
+        """
+    WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b2.l_partkey AS v
+        FROM b a JOIN b b2
+          ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    n0 AS MATERIALIZED (SELECT u AS n FROM edges UNION SELECT v FROM edges)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    deg{i} AS MATERIALIZED (
+        SELECT nn, COUNT(*) AS d FROM (
+            SELECT e.u AS nn FROM edges e
+            JOIN n{i - 1} x ON e.u = x.n JOIN n{i - 1} y ON e.v = y.n
+            UNION ALL
+            SELECT e.v AS nn FROM edges e
+            JOIN n{i - 1} x ON e.u = x.n JOIN n{i - 1} y ON e.v = y.n
+        ) GROUP BY nn),
+    n{i} AS MATERIALIZED (SELECT nn AS n FROM deg{i} WHERE d >= {k})"""
+        )
+    parts.append(
+        f"""
+    SELECT nn AS part_id, CAST(d AS BIGINT) AS core_degree
+    FROM deg{rounds} WHERE d >= {k}"""
+    )
+    return "".join(parts)
+
+
+@query("kcore_copurchase", oracle=_kcore_oracle())
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph (edges = part pairs bought
+    together in >= 2 orders): the maximal subgraph where every part has
+    >= 3 co-purchase partners — the dense-community primitive beside
+    PageRank (importance), connected components (reachability), and
+    triangle counting (local density). Peeling has a genuinely
+    different iteration structure: vertices DELETED per round, not
+    labels propagated, with a unique engine-independent fixpoint the
+    unrolled-SQL oracle replays exactly.
+
+    Scale shape: see operators/graph.py kcore_nodes — per round one
+    degree agg + two semi-joins on the live-node relation; edges are
+    filtered, never rewritten; per-round checkpoint truncation.
+    """
+    from pyspark_movie_recommender_spark.operators.graph import kcore_nodes
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    core = kcore_nodes(edges, k=3)
+    return core.select(
+        F.col("n").alias("part_id"), F.col("degree").alias("core_degree")
+    )
+
+
+@query(
+    "auc_order_status_price",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS rnk
+        FROM orders
+    ), agg AS (
+        SELECT CAST(SUM(label) AS BIGINT)                       AS n_pos,
+               CAST(COUNT(*) - SUM(label) AS BIGINT)            AS n_neg,
+               CAST(SUM(CASE WHEN label = 1 THEN rnk END) AS BIGINT)
+                   AS pos_rank_sum
+        FROM scored
+    )
+    SELECT n_pos, n_neg,
+           CAST((pos_rank_sum - n_pos * (n_pos + 1) // 2) * 1000000
+                // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+)
+def auc_order_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC as a query: does order value rank 'F' (fulfilled)
+    orders above the rest? AUC via the Mann-Whitney rank-sum identity
+    — rank every row once by (score, key), sum positive ranks, and
+    AUC = (S - n_pos(n_pos+1)/2) / (n_pos * n_neg), reported in exact
+    ppm BIGINT arithmetic. The model-evaluation metric (ranking
+    quality of a scorer) computed engine-side with zero floats — the
+    eval loop of the quality-classifier components made gate-checkable.
+
+    Scale shape: one global row_number — Spark's range-partitioned
+    sort (sampled boundaries, no single-reducer bottleneck) — then a
+    scalar agg. Ties broken deterministically by (score, o_orderkey)
+    so the rank sum is engine-exact; for approximate AUC at extreme
+    scale, bucket scores and interpolate — kept exact here because the
+    gate hashes values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    scored = orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    agg = scored.agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("label") == 1, F.col("rnk"))).cast("long").alias(
+            "pos_rank_sum"
+        ),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "(pos_rank_sum - n_pos * (n_pos + 1) div 2) * 1000000"
+            " div (n_pos * n_neg)"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )

@@ -280,7 +280,7 @@ def test_python_datasource_counter_stream_resumes_from_checkpoint(spark, tmp_pat
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        q.awaitTermination(120)
         q.stop()
 
     run_once()
@@ -349,7 +349,7 @@ def test_python_datasource_streaming_sink_manifests_per_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
+        q.awaitTermination(120)
         q.stop()
 
     run_once()
