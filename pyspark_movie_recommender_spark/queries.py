@@ -8741,3 +8741,200 @@ def auc_order_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 28: embedding-truncation retrieval eval, drift audit, k-anonymity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "matryoshka_overlap_at_k",
+    oracle="""
+    WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    probes AS (SELECT * FROM s WHERE vec_id < 10),
+    full_rank AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(p.e, c.e), 6)
+                                DESC, c.vec_id) AS rnk
+            FROM probes p JOIN s c ON c.vec_id <> p.vec_id)
+        WHERE rnk <= 10
+    ), trunc_rank AS (
+        SELECT probe_id, neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    p.e[1:16], c.e[1:16]), 6)
+                                DESC, c.vec_id) AS rnk
+            FROM probes p JOIN s c ON c.vec_id <> p.vec_id)
+        WHERE rnk <= 10
+    )
+    SELECT f.probe_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS overlap_at_10
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON t.probe_id = f.probe_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.probe_id
+    """,
+)
+def matryoshka_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation retrieval eval (matryoshka embeddings): how
+    many of each probe's exact top-10 neighbours survive when cosine
+    runs on only the FIRST 16 of 64 dimensions? The overlap@k number
+    that decides whether truncated vectors (4x cheaper to store, scan,
+    and shuffle) are good enough for first-stage retrieval — the
+    quantization question asked about width instead of precision
+    (see embedding_int8_quantize for the depth version).
+
+    Scale shape: two broadcast-probe rank-limited scans (same plan as
+    cosine_topk — corpus never shuffled), joined on (probe, neighbor)
+    top-k rows only: |probes| x k rows into the final join, corpus
+    touched exactly twice.
+    """
+    from pyspark_movie_recommender_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    full = cosine_topk_bruteforce(emb, probes, "embedding", "vec_id", k=10)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    probes16 = emb16.filter(F.col("vec_id") < 10)
+    trunc = cosine_topk_bruteforce(emb16, probes16, "embedding", "vec_id", k=10)
+    f = full.select("probe_id", "neighbor_id")
+    t = trunc.select(
+        F.col("probe_id").alias("tp"), F.col("neighbor_id").alias("tn")
+    )
+    return (
+        f.join(
+            t,
+            (F.col("tp") == F.col("probe_id")) & (F.col("tn") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(F.count("tn").cast("long").alias("overlap_at_10"))
+    )
+
+
+@query(
+    "chi2_drift_events",
+    oracle="""
+    WITH slices AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS o_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS o_b
+        FROM events GROUP BY event_type
+    ), tot AS (
+        SELECT SUM(o_a) AS n_a, SUM(o_b) AS n_b FROM slices
+    )
+    SELECT s.event_type, s.o_a, s.o_b,
+           CAST(ROUND(
+               (s.o_a - (s.o_a + s.o_b) * t.n_a / (t.n_a + t.n_b))
+             * (s.o_a - (s.o_a + s.o_b) * t.n_a / (t.n_a + t.n_b))
+             / ((s.o_a + s.o_b) * t.n_a / (t.n_a + t.n_b))
+             + (s.o_b - (s.o_a + s.o_b) * t.n_b / (t.n_a + t.n_b))
+             * (s.o_b - (s.o_a + s.o_b) * t.n_b / (t.n_a + t.n_b))
+             / ((s.o_a + s.o_b) * t.n_b / (t.n_a + t.n_b)),
+             6) * 1000000 AS BIGINT) AS chi2_contrib_ppm
+    FROM slices s CROSS JOIN tot t
+    """,
+)
+def chi2_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: chi-square contributions of each event
+    type between two population slices (homogeneity test) — the
+    monitoring primitive behind train/serve skew alarms and canary
+    analyses. Contributions are reported in exact-integer ppm (the
+    double arithmetic is written identically on both engines, each
+    op correctly rounded, then scaled and truncated to BIGINT), so
+    drift magnitude is hash-checkable per category; the alert sums
+    the contributions.
+
+    Scale shape: the fact collapses to |event_types| rows in one
+    map-side-partial agg; everything downstream is arithmetic on that
+    tiny relation with the totals broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    slices = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("o_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("o_b"),
+    )
+    tot = slices.agg(
+        F.sum("o_a").alias("n_a"), F.sum("o_b").alias("n_b")
+    )
+    joined = slices.crossJoin(F.broadcast(tot))
+    contrib = F.expr(
+        "CAST(ROUND("
+        "  (o_a - (o_a + o_b) * n_a / (n_a + n_b))"
+        "* (o_a - (o_a + o_b) * n_a / (n_a + n_b))"
+        "/ ((o_a + o_b) * n_a / (n_a + n_b))"
+        "+ (o_b - (o_a + o_b) * n_b / (n_a + n_b))"
+        "* (o_b - (o_a + o_b) * n_b / (n_a + n_b))"
+        "/ ((o_a + o_b) * n_b / (n_a + n_b)),"
+        "  6) * 1000000 AS BIGINT)"
+    )
+    return joined.select(
+        "event_type", "o_a", "o_b", contrib.alias("chi2_contrib_ppm")
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(*) AS grp_n
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                                  AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) * 1000000
+                // SUM(grp_n) AS BIGINT)                             AS risky_ppm
+    FROM qi
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment, $1000 balance band): how many QI groups have fewer than
+    k=5 members — the rows a release would have to suppress or
+    generalize because their QI combination re-identifies them. The
+    measurement half of the privacy surface, beside the GDPR erasure
+    audit's enforcement half.
+
+    Scale shape: one hash agg on the QI key (map-side partials), then
+    a scalar agg over group counts — the fact is scanned once and
+    never leaves the executors.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    risky = F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)
+    return qi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_groups"),
+        F.sum(risky).cast("long").alias("n_risky_rows"),
+        F.expr(
+            "SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) * 1000000"
+            " div SUM(grp_n)"
+        )
+        .cast("long")
+        .alias("risky_ppm"),
+    )
