@@ -7690,6 +7690,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "interval_coverage_user",
+    bench=True,
     oracle="""
     WITH iv AS (
         SELECT user_id, event_id,
@@ -7928,6 +7929,7 @@ def vocab_nucleus_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "repeated_window_scrub",
+    bench=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -424,3 +424,22 @@ def test_cbo_stats_drive_join_strategy(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_dim")
         spark.sql("DROP TABLE IF EXISTS cbo_fact")
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Strategy hints override the planner's default pick: the same
+    equi-join plans as SortMergeJoin under MERGE, ShuffledHashJoin
+    under SHUFFLE_HASH, and BroadcastHashJoin under BROADCAST — the
+    manual override lever when statistics mislead (skewed builds,
+    memory-tight executors)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def plan_with(hint: str) -> str:
+        return physical_plan(
+            orders.join(customer.hint(hint), orders.o_custkey == customer.c_custkey)
+        )
+
+    assert "SortMergeJoin" in plan_with("MERGE")
+    assert "ShuffledHashJoin" in plan_with("SHUFFLE_HASH")
+    assert "BroadcastHashJoin" in plan_with("BROADCAST")

@@ -382,3 +382,74 @@ def test_python_datasource_streaming_sink_manifests_per_batch(spark, tmp_path):
         if f.startswith("part-") and f.endswith(".jsonl")
     }
     assert on_disk == committed
+
+
+def test_dynamic_partition_overwrite_preserves_others(spark, sf_dir, tmp_path):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic replaces
+    ONLY the partitions present in the incoming batch — the idempotent
+    daily-reload pattern (re-run yesterday without clobbering history).
+    Static mode (the default) would truncate the whole table."""
+    import os
+
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    path = str(tmp_path / "orders_part")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    n_urgent_before = before.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # reload ONLY the urgent partition, halving its rows
+        replacement = (
+            before.filter(F.col("o_orderpriority") == "1-URGENT")
+            .filter(F.col("o_orderkey") % 2 == 0)
+        )
+        replacement.write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = spark.read.parquet(path)
+    n_urgent_after = after.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert 0 < n_urgent_after < n_urgent_before
+    # every other partition untouched
+    assert (
+        after.filter(F.col("o_orderpriority") != "1-URGENT").count()
+        == n_before - n_urgent_before
+    )
+    # partition dirs still exist on disk for other priorities
+    assert len([d for d in os.listdir(path) if d.startswith("o_orderpriority=")]) == 5
+
+
+def test_metadata_columns_expose_file_lineage(spark, sf_dir, tmp_path):
+    """The hidden _metadata struct gives row-level file lineage
+    (file_path, row_index) without any bookkeeping columns — the
+    debugging/backfill surface for 'which input file produced this
+    row'."""
+    path = str(tmp_path / "li")
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).repartition(4).write.parquet(path)
+    df = spark.read.parquet(path).select(
+        "l_orderkey",
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.row_index").alias("ridx"),
+    )
+    per_file = df.groupBy("fname").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ridx").alias("max_idx")
+    )
+    rows = per_file.collect()
+    assert len(rows) == 4
+    # row_index is 0-based within each file: max index == count - 1
+    assert all(r.max_idx == r.n - 1 for r in rows)
