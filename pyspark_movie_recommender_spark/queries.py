@@ -8940,3 +8940,182 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("risky_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 30: nested scaling samples, length-bucketed batching, incremental
+# view maintenance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nested_scaling_samples",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               (doc_id * 2654435761) % 4294967296 AS hv
+        FROM documents
+    ), tagged AS (
+        SELECT lang, n_tokens,
+               CASE WHEN hv * 100 < 4294967296 * 1  THEN 'p01'
+                    WHEN hv * 100 < 4294967296 * 10 THEN 'p10'
+                    ELSE 'rest' END AS tier
+        FROM h
+    )
+    SELECT lang, tier,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY lang, tier
+    """,
+)
+def nested_scaling_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested subsampling for scaling-law runs: 1% / 10% / 100% corpus
+    subsets that are NESTED BY CONSTRUCTION — one multiplicative hash,
+    two thresholds on the same value, so every doc in the 1% tier is in
+    the 10% tier is in the full set. Train the small runs on strict
+    subsets of the big run's data (the scaling-law protocol) without a
+    sample table or rand(); membership is recomputable map-side on any
+    engine, which is also what the gate hash-checks.
+
+    Scale shape: pure projection + one (lang, tier) hash agg; no
+    shuffle before the agg, no sample materialization ever.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hv = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    tier = (
+        F.when(hv * 100 < F.lit(4294967296) * 1, "p01")
+        .when(hv * 100 < F.lit(4294967296) * 10, "p10")
+        .otherwise("rest")
+    )
+    return (
+        docs.select(
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            tier.alias("tier"),
+        )
+        .groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "length_bucketed_batches",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), bucketed AS (
+        SELECT doc_id, n_tokens,
+               CAST(n_tokens // 16 AS BIGINT) AS bucket,
+               CAST((ROW_NUMBER() OVER (PARTITION BY n_tokens // 16
+                                        ORDER BY doc_id) - 1) // 8 AS BIGINT)
+                   AS batch_id
+        FROM d
+    )
+    SELECT bucket, batch_id,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)  AS token_sum,
+           CAST(MAX(n_tokens) AS BIGINT)  AS max_len,
+           CAST((MAX(n_tokens) * COUNT(*) - SUM(n_tokens)) * 1000000
+                // (MAX(n_tokens) * COUNT(*)) AS BIGINT) AS pad_waste_ppm
+    FROM bucketed GROUP BY bucket, batch_id
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: docs grouped into 16-token
+    length buckets, then numbered into batches of 8 inside each bucket;
+    per batch, the padding-waste ppm — the fraction of a padded
+    (max_len x batch) tensor that is padding. THE serving-cost metric
+    that bucketed batching exists to minimize: random batching pads
+    every sequence to the global max, bucketing pads only to the
+    bucket-local max.
+
+    Scale shape: one shuffle on the length bucket; the row_number
+    window and the (bucket, batch) agg share that partitioning. Bucket
+    population is corpus/|buckets| — no per-key blowup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    ).withColumn("bucket", F.expr("n_tokens div 16").cast("long"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    b = d.withColumn(
+        "batch_id", F.expr(f"(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) div 8").cast("long")
+    )
+    return b.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("token_sum"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.expr(
+            "(MAX(n_tokens) * COUNT(*) - SUM(n_tokens)) * 1000000"
+            " div (MAX(n_tokens) * COUNT(*))"
+        )
+        .cast("long")
+        .alias("pad_waste_ppm"),
+    )
+
+
+@query(
+    "incremental_view_maintenance",
+    oracle="""
+    -- the oracle recomputes the view FROM SCRATCH over all rows;
+    -- the engine merges a base aggregate with a CDC delta — hash
+    -- equality proves merge == rescan
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer revenue view is
+    maintained by MERGING yesterday's materialized aggregate with
+    today's delta batch — never rescanning the base. Here the fact is
+    deterministically split into base (o_orderkey % 97 != 0) and a
+    late-arriving delta (% 97 == 0); the engine aggregates each side
+    and full-outer merges with coalesced partial sums. The oracle
+    recomputes the view from scratch over everything — hash equality
+    IS the IVM correctness proof (aggregate merge == rescan), the
+    property that lets a 100 TB nightly view absorb a 10 GB delta in
+    delta-sized time.
+
+    Scale shape: both partial aggs are map-side-combined hash aggs on
+    the view key; the merge join shares the same key partitioning, so
+    the whole maintenance step is one delta-scan + one co-partitioned
+    join against the stored view.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+
+    def agg_view(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+
+    base_view = agg_view(orders.filter(F.col("o_orderkey") % 97 != 0))
+    delta_view = agg_view(orders.filter(F.col("o_orderkey") % 97 == 0)).select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("n_orders").alias("d_n"),
+        F.col("revenue_cents").alias("d_cents"),
+    )
+    merged = base_view.join(
+        delta_view, base_view.o_custkey == delta_view.d_custkey, "full_outer"
+    )
+    return merged.select(
+        F.coalesce("o_custkey", "d_custkey").alias("o_custkey"),
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (
+            F.coalesce("revenue_cents", F.lit(0))
+            + F.coalesce("d_cents", F.lit(0))
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
