@@ -9119,3 +9119,155 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+@query(
+    "entity_resolution_pipeline",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand
+         AND split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+         AND a.p_partkey < b.p_partkey
+        WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.84
+    ), bi AS (
+        SELECT key_a AS u, key_b AS v FROM pairs
+        UNION SELECT key_b, key_a FROM pairs
+    ), reach(id, label) AS (
+        SELECT DISTINCT u AS id, u AS label FROM bi
+        UNION
+        SELECT bi.u, r.label FROM reach r JOIN bi ON bi.v = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS entity_id FROM reach GROUP BY id
+    )
+    SELECT c.entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN c.id = c.entity_id THEN p.p_name END)
+               AS canonical_name
+    FROM comp c JOIN part p ON p.p_partkey = c.id
+    GROUP BY c.entity_id
+    """,
+)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution as ONE composed plan: blocked
+    Jaro-Winkler candidate scoring (the cross-engine value-checked
+    UDF) → connected components over the >= 0.84 match graph →
+    per-entity rollup with the canonical record (min-key member's
+    name). The match/cluster/survivorship pipeline every MDM system
+    runs, built from this engine's own verified operators — like
+    curation_end_to_end, the composition is the check that the pieces
+    pipeline without materialization barriers.
+
+    Covers multi-member entities (singletons never enter the pair
+    graph — the identity entity is a left-anti complement if needed).
+
+    Scale shape: blocking equi-join bounds the UDF shortlist; CC runs
+    O(diameter) rounds on the match edges only (name-match graphs are
+    unions of small cliques); the rollup joins part on the component
+    members, nation-sized, broadcast-eligible.
+    """
+    from pyspark_movie_recommender_spark.operators.graph import connected_components
+
+    pairs = QUERIES["jaro_winkler_name_pairs"](spark, sf_dir).select(
+        "key_a", "key_b"
+    )
+    comp = connected_components(pairs, src="key_a", dst="key_b")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), "p_name"
+    )
+    members = comp.join(part, "id")
+    return members.groupBy(F.col("component").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(
+            F.when(F.col("id") == F.col("component"), F.col("p_name"))
+        ).alias("canonical_name"),
+    )
+
+
+@query(
+    "blocking_quality_report",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM part),
+    cand AS (
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand
+         AND split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+         AND a.p_partkey < b.p_partkey
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN jw >= 0.84 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matches
+        FROM cand
+    )
+    SELECT n.n_rows,
+           CAST(n.n_rows * (n.n_rows - 1) // 2 AS BIGINT)
+               AS n_possible_pairs,
+           a.n_candidates,
+           a.n_matches,
+           CAST(1000000
+                - a.n_candidates * 1000000
+                  // (n.n_rows * (n.n_rows - 1) // 2)
+                AS BIGINT)                         AS reduction_ppm,
+           CAST(a.n_matches * 1000000 // a.n_candidates AS BIGINT)
+               AS precision_ppm
+    FROM n CROSS JOIN agg a
+    """,
+)
+def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality metrics for the entity-resolution pipeline:
+    reduction ratio (how much of the quadratic pair space the blocking
+    key eliminates) and candidate precision (what fraction of
+    surviving candidates actually match at >= 0.84) — the two numbers
+    that justify a blocking scheme before anyone pays for the scorer.
+    Exact ppm integers, single scan for the corpus count, blocking
+    join reused from the ER pipeline.
+
+    Scale shape: the report runs the same bounded blocking join as the
+    pipeline plus one count — no new quadratic anything; the naive
+    pair count is arithmetic on a scalar.
+    """
+    from pyspark_movie_recommender_spark.operators.udf_surface import jaro_winkler
+
+    part = load_table(spark, sf_dir, "part")
+    n = part.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    cand = (
+        a.join(b, ["brand", "noun"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("jw", jaro_winkler(F.col("name_a"), F.col("name_b")))
+    )
+    agg = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("jw") >= 0.84, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+    )
+    return n.crossJoin(F.broadcast(agg)).select(
+        "n_rows",
+        F.expr("n_rows * (n_rows - 1) div 2")
+        .cast("long")
+        .alias("n_possible_pairs"),
+        "n_candidates",
+        "n_matches",
+        F.expr(
+            "CAST(1000000 - n_candidates * 1000000"
+            " div (n_rows * (n_rows - 1) div 2) AS BIGINT)"
+        ).alias("reduction_ppm"),
+        F.expr("n_matches * 1000000 div n_candidates")
+        .cast("long")
+        .alias("precision_ppm"),
+    )
