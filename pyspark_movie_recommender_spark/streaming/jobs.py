@@ -339,3 +339,42 @@ def stream_stream_interval_join(
              "purchase_value")
     _run_to_table(joined, query_name, "append")
     return spark.table(query_name)
+
+
+def ingest_audit_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "ingest_audit"
+) -> None:
+    """Streaming twin of the ``robust_json_ingest`` batch query: the
+    event stream's JSON payloads (with the same deterministic 1-in-7
+    truncation) classified valid/corrupt per micro-batch, dead-letter
+    counts aggregated per event type in complete mode. The corruption
+    audit a production ingest runs CONTINUOUSLY, not nightly — same
+    map-side classification expression as the batch query, so the
+    stream inherits its oracle-checked semantics via the equivalence
+    test.
+    """
+    ev = _events_stream(spark, sf_dir)
+    feed = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.expr("substr(props, 2)")
+        )
+        .otherwise(F.col("props"))
+        .alias("raw"),
+    )
+    parsed = feed.withColumn(
+        "ok", F.get_json_object("raw", "$.k").isNotNull()
+    )
+    agg = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("ok"), F.get_json_object("raw", "$.k").cast("long")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("k_sum"),
+    )
+    _run_to_table(agg, query_name, "complete")

@@ -443,3 +443,96 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "SortMergeJoin" in plan_with("MERGE")
     assert "ShuffledHashJoin" in plan_with("SHUFFLE_HASH")
     assert "BroadcastHashJoin" in plan_with("BROADCAST")
+
+
+def test_observe_metrics_ride_the_job(spark, sf_dir):
+    """df.observe(): data-quality metrics (row count, sum, null count)
+    collected DURING the real job — no second scan, no extra action.
+    The on-the-fly audit lever for production writes; values must equal
+    a direct aggregation."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_audit")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "cents"
+        ),
+        F.sum(F.col("o_custkey").isNull().cast("int")).alias("null_keys"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "cents"
+        ),
+    ).collect()[0]
+    got = obs.get
+    assert got["n"] == direct["n"]
+    assert got["cents"] == direct["cents"]
+    assert got["null_keys"] == 0
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """AQE re-plans with RUNTIME sizes: a join whose build side is a
+    shuffled aggregate (static size unknown → SortMergeJoin planned)
+    becomes a BroadcastHashJoin in the final adaptive plan once the
+    actual shuffle output turns out tiny — the third AQE lever pinned
+    here beside partition coalescing and skew splitting."""
+    prev_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_adaptive = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    # static planner: never broadcast; AQE: broadcast from RUNTIME sizes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        dim = orders.groupBy("o_orderpriority").agg(
+            F.avg("o_totalprice").alias("avg_price")
+        )
+        joined = orders.join(dim, "o_orderpriority").select(
+            "o_orderkey", "avg_price"
+        )
+        initial = physical_plan(joined)
+        assert "SortMergeJoin" in initial, initial
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_static)
+        if prev_adaptive:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_adaptive
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_sql_scripting_control_flow(spark, sf_dir):
+    """Spark 4 SQL scripting: BEGIN/DECLARE/WHILE control flow executes
+    server-side and the script's final SELECT is the result — the
+    procedural surface for migration-style logic without a driver
+    round-trip per statement."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        out = spark.sql(
+            """
+            BEGIN
+              DECLARE total BIGINT DEFAULT 0;
+              DECLARE i INT DEFAULT 0;
+              WHILE i < 3 DO
+                SET total = total + i;
+                SET i = i + 1;
+              END WHILE;
+              SELECT total AS looped_sum;
+            END
+            """
+        ).collect()
+        assert out[0].looped_sum == 3
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)

@@ -229,3 +229,22 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     cols = ["view_id", "purchase_id", "user_id", "view_ts", "purchase_ts",
             "purchase_value"]
     assert rows(stream.select(*cols)) == rows(batch.select(*cols))
+
+
+def test_ingest_audit_stream_equals_batch(spark, sf_dir):
+    """The streaming corruption audit lands on exactly the batch
+    query's oracle-checked numbers — same classification expression,
+    so stream == batch == DuckDB."""
+    from pyspark_movie_recommender_spark import queries as Q
+    from pyspark_movie_recommender_spark.streaming.jobs import ingest_audit_stream
+
+    ingest_audit_stream(spark, sf_dir, query_name="ingest_audit_eq")
+    got = {
+        r.event_type: (r.n_rows, r.n_valid, r.n_corrupt, r.k_sum)
+        for r in spark.sql("SELECT * FROM ingest_audit_eq").collect()
+    }
+    want = {
+        r.event_type: (r.n_rows, r.n_valid, r.n_corrupt, r.k_sum)
+        for r in Q.QUERIES["robust_json_ingest"](spark, sf_dir).collect()
+    }
+    assert got == want
