@@ -9271,3 +9271,79 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("precision_ppm"),
     )
+
+
+_MODERN_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_fulfilled,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS fulfilled_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """
+
+
+@query("sql_modern_syntax", oracle=_MODERN_SQL)
+def sql_modern_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern ANSI surface through the shared-dialect entry point: one
+    string using GROUP BY ALL, aggregate FILTER clauses, and ORDER BY
+    ALL runs verbatim on both Catalyst and DuckDB — the
+    convenience syntax an analyst actually writes, pinned compatible.
+    FILTER is the pre-aggregate predicate form (cleaner than
+    CASE-in-SUM and planner-visible); GROUP BY ALL derives the keys
+    from the non-aggregate select list.
+
+    Scale shape: identical to the CASE-in-SUM forms — one map-side
+    partial hash agg; exact cents BIGINT.
+    """
+    from pyspark_movie_recommender_spark.sources import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_MODERN_SQL)
+
+
+@query(
+    "null_safe_join_events",
+    oracle="""
+    WITH a AS (
+        SELECT event_id, NULLIF(event_type, 'error') AS k
+        FROM events WHERE event_id % 2 = 0
+    ), b AS (
+        SELECT event_id, NULLIF(event_type, 'error') AS k
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT COALESCE(a.k, '<null>') AS join_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+)
+def null_safe_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: ``<=>`` join keys treat NULL as a VALUE
+    (NULL matches NULL), unlike plain ``=`` which drops every
+    null-keyed row from an inner join — the semantics CDC merge keys
+    and nullable dimension keys actually need. Spark plans
+    ``eqNullSafe`` as a hashable join key (no fallback to nested-loop),
+    which is the part worth pinning at scale.
+
+    The fixture NULLIFs one event type so both sides carry real null
+    keys; output counts pairs per (coalesced) key.
+
+    Scale shape: standard hash equi-join on the null-safe key — same
+    single shuffle as ``=``; the null bucket is one more key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("ka")
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("kb")
+    )
+    joined = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+    return joined.groupBy(
+        F.coalesce("ka", F.lit("<null>")).alias("join_key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))

@@ -536,3 +536,12 @@ def test_sql_scripting_control_flow(spark, sf_dir):
         assert out[0].looped_sum == 3
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+def test_null_safe_join_is_hash_join_not_bnlj(spark, sf_dir):
+    """eqNullSafe keys stay HASHABLE: the null-safe join plans as a
+    hash/sort-merge equi-join, never a nested-loop — nullable merge
+    keys don't cost O(n*m)."""
+    plan = physical_plan(Q.QUERIES["null_safe_join_events"](spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan), plan

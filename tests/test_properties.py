@@ -206,3 +206,102 @@ def test_session_window_equals_gaps_and_islands(spark, events):
     assert sorted((r.user_id, r.s, r.n) for r in native) == sorted(
         (r.user_id, r.s, r.n) for r in islands
     )
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)),  # (user, start_s)
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_interval_coverage_laws(spark, events):
+    """Interval-union laws for ANY point set: per user,
+    1 <= islands <= n_events; total coverage between one interval's
+    width and n_events * width; coverage == python reference union."""
+    from pyspark.sql.window import Window as W
+
+    width = 300
+    df = spark.createDataFrame(
+        [(u, s, i) for i, (u, s) in enumerate(events)],
+        "user_id int, s_us long, event_id int",
+    ).withColumn("e_us", F.col("s_us") + width)
+    w = W.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max = F.max("e_us").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "ni", F.when(prev_max.isNull() | (F.col("s_us") > prev_max), 1).otherwise(0)
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per = (
+        islands.groupBy("user_id", "island")
+        .agg((F.max("e_us") - F.min("s_us")).alias("cov"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_islands"), F.sum("cov").alias("covered"))
+        .collect()
+    )
+    # python reference: exact union length per user
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for u, s in events:
+        by_user[u].append((s, s + width))
+    for r in per:
+        ivs = sorted(by_user[r.user_id])
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        assert r.n_islands == len(merged)
+        assert r.covered == sum(e - s for s, e in merged)
+        assert 1 <= r.n_islands <= len(ivs)
+
+
+@given(
+    counts=st.lists(st.integers(1, 10_000), min_size=1, max_size=12),
+    budget=st.integers(1, 5_000),
+)
+@settings(**SETTINGS)
+def test_largest_remainder_allocation_laws(spark, counts, budget):
+    """Largest-remainder allocation for ANY weights: allocations sum
+    EXACTLY to the budget, and each differs from the exact quota by
+    less than 1 (the classic quota property)."""
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        [(f"s{i:02d}", int(c)) for i, c in enumerate(counts)],
+        "source string, n long",
+    )
+    wall = W.partitionBy()
+    shares = df.select(
+        "source",
+        "n",
+        F.expr(f"({budget} * n) div SUM(n) OVER ()").alias("base"),
+        (F.lit(budget) * F.col("n") % F.sum("n").over(wall)).alias("rem"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+    ranked = shares.select(
+        "source",
+        "n",
+        "base",
+        "tot",
+        F.row_number().over(W.orderBy(F.col("rem").desc(), "source")).alias("rnk"),
+        (F.lit(budget) - F.sum("base").over(wall)).alias("deficit"),
+    )
+    rows = ranked.select(
+        "source",
+        "n",
+        "tot",
+        (
+            F.col("base") + F.when(F.col("rnk") <= F.col("deficit"), 1).otherwise(0)
+        ).alias("alloc"),
+    ).collect()
+    total = sum(r.alloc for r in rows)
+    assert total == budget
+    for r in rows:
+        quota = budget * r.n / r.tot
+        assert quota - 1 < r.alloc < quota + 1
