@@ -49,6 +49,46 @@ def content_hash_dedup(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def shingle_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+):
+    """Shared candidate machinery for the exact-Jaccard family: returns
+    (shared, sizes) where ``shared`` is (id_a, id_b, n_shared) from the
+    shingle self-equi-join (df-capped when ``max_shingle_df`` is set)
+    and ``sizes`` is (id, n_shingles) over the SAME filtered sets.
+    Used by ngram_jaccard_pairs and the threshold-sweep report so both
+    run the identical candidate pass."""
+    base = df.select(
+        F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    exploded = base.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        keep = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(keep, "shingle").select("id", "shingle")
+        sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    else:
+        sizes = base.select("id", F.size("shingles").alias("n_shingles"))
+
+    a = exploded.select(F.col("id").alias("id_a"), "shingle")
+    b = exploded.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -78,29 +118,8 @@ def ngram_jaccard_pairs(
     At 100 TB the uncapped exact form is for verification/sampling; LSH
     (``minhash_lsh_pairs``) is the candidate generator.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    exploded = base.select("id", F.explode("shingles").alias("shingle"))
-    if max_shingle_df is not None:
-        keep = (
-            exploded.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_shingle_df)
-            .select("shingle")
-        )
-        exploded = exploded.join(keep, "shingle").select("id", "shingle")
-        sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    else:
-        sizes = base.select("id", F.size("shingles").alias("n_shingles"))
-
-    a = exploded.select(F.col("id").alias("id_a"), "shingle")
-    b = exploded.select(F.col("id").alias("id_b"), "shingle")
-    shared = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    shared, sizes = shingle_candidates(
+        df, text_col, id_col, n=n, max_shingle_df=max_shingle_df
     )
     out = (
         shared.join(sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a")), "id_a")

@@ -7984,10 +7984,12 @@ def repeated_window_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_id", "chunk"),
     ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
+    # df >= 2 distinct docs  <=>  min(doc_id) != max(doc_id): a single
+    # hash agg with map-side partials — no count-distinct Expand pass
     hot = (
         chunks.groupBy("chunk")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
         .select("chunk", F.lit(True).alias("is_hot"))
     )
     flagged = chunks.join(hot, "chunk", "left").withColumn(
@@ -9347,3 +9349,191 @@ def null_safe_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.coalesce("ka", F.lit("<null>")).alias("join_key")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH sub AS (
+        SELECT doc_id, trim(text) AS tx FROM documents WHERE doc_id % 25 = 0
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   list_transform(range(1, greatest(length(tx) - 2, 1) + 1),
+                                  i -> substring(tx, CAST(i AS INT), 3)),
+                   g -> length(g) > 0)) AS shingles
+        FROM sub
+    ), nonempty AS (
+        SELECT * FROM sh WHERE len(shingles) > 0
+    ), ex0 AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM nonempty
+    ), keep AS (
+        SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= 15
+    ), ex AS (
+        SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), j AS (
+        SELECT n_shared, sa.sz + sb.sz - n_shared AS un
+        FROM shared
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+    ), bands(thr_permille) AS (
+        SELECT unnest([300, 400, 500, 600, 700, 800, 900])
+    )
+    SELECT CAST(b.thr_permille AS BIGINT) AS thr_permille,
+           CAST(SUM(CASE WHEN j.n_shared * 1000 >= b.thr_permille * j.un
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+    FROM bands b CROSS JOIN j
+    GROUP BY b.thr_permille
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup operating-point selection: cumulative near-dup pair counts
+    at Jaccard thresholds 0.3-0.9 from ONE candidate-generation pass —
+    the sweep that picks a production threshold (too low = collapse
+    distinct docs, too high = keep near-copies). All comparisons are
+    the integer cross-product form ``1000*shared >= thr*union`` — no
+    float boundary can flip a band.
+
+    Scale shape: the shared-shingle join (df-capped) runs ONCE; the
+    sweep is a 7-band conditional aggregation over the pair counts —
+    adding operating points costs nothing.
+    """
+    from pyspark_movie_recommender_spark.operators.dedup import shingle_candidates
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    shared, sizes = shingle_candidates(
+        docs, "text", "doc_id", n=3, max_shingle_df=15
+    )
+    j = (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("szb")),
+            "id_b",
+        )
+        .select(
+            "n_shared",
+            (F.col("sza") + F.col("szb") - F.col("n_shared")).alias("un"),
+        )
+    )
+    bands = spark.createDataFrame(
+        [(t,) for t in (300, 400, 500, 600, 700, 800, 900)], "thr_permille long"
+    )
+    return (
+        F.broadcast(bands)
+        .crossJoin(j)
+        .groupBy("thr_permille")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_shared") * 1000 >= F.col("thr_permille") * F.col("un"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+
+
+@query(
+    "dedup_impact_report",
+    oracle="""
+    WITH RECURSIVE sub AS (
+        SELECT doc_id, trim(text) AS tx FROM documents WHERE doc_id % 25 = 0
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   list_transform(range(1, greatest(length(tx) - 2, 1) + 1),
+                                  i -> substring(tx, CAST(i AS INT), 3)),
+                   g -> length(g) > 0)) AS shingles
+        FROM sub
+    ), nonempty AS (
+        SELECT * FROM sh WHERE len(shingles) > 0
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM nonempty
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN (SELECT doc_id, len(shingles) AS sz FROM nonempty) sa ON sa.doc_id = id_a
+        JOIN (SELECT doc_id, len(shingles) AS sz FROM nonempty) sb ON sb.doc_id = id_b
+        WHERE n_shared * 1.0 / (sa.sz + sb.sz - n_shared) >= 0.5
+    ), bi AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, label) AS (
+        SELECT DISTINCT u AS id, u AS label FROM bi
+        UNION
+        SELECT bi.u, r.label FROM reach r JOIN bi ON bi.v = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS component FROM reach GROUP BY id
+    ), removed AS (
+        SELECT id FROM comp WHERE id <> component
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_subset,
+           CAST(SUM(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(CASE WHEN r.id IS NOT NULL
+                    THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+               AS tokens_removed
+    FROM (SELECT * FROM documents WHERE doc_id % 25 = 0) d
+    LEFT JOIN removed r ON r.id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup actually costs the corpus: exact-Jaccard pairs →
+    connected components → min-id keepers, then the per-language
+    removal bill — docs dropped and tokens lost. The report a data
+    lead reads before approving a dedup config (the threshold sweep
+    picks the operating point; this shows its consequences).
+
+    Composition #3 (after curation_end_to_end and
+    entity_resolution_pipeline): pairs, clustering, survivorship, and
+    reporting pipeline from verified operators in one lazy plan.
+
+    Scale shape: pair generation is the df-capped shingle join on a
+    sampled subset; CC rounds on pair edges only; the final report is
+    a broadcast-eligible join of the (tiny) removed-id set back onto
+    the subset scan.
+    """
+    from pyspark_movie_recommender_spark.operators.dedup import ngram_jaccard_pairs
+    from pyspark_movie_recommender_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    comp = connected_components(pairs)
+    removed = comp.filter(F.col("id") != F.col("component")).select("id")
+    flagged = docs.join(
+        F.broadcast(removed.withColumnRenamed("id", "doc_id").withColumn(
+            "is_removed", F.lit(True)
+        )),
+        "doc_id",
+        "left",
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_subset"),
+        F.sum(F.when(F.col("is_removed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("is_removed"), F.size(F.split("text", " "))
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tokens_removed"),
+    )
