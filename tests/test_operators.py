@@ -714,3 +714,33 @@ def test_kll_quantiles_within_rank_error(spark, sf_dir):
         assert abs(true_rank(vals, r.p50_est) - 0.5) <= 0.03, (grp, r.p50_est)
         assert abs(true_rank(vals, r.p95_est) - 0.95) <= 0.03, (grp, r.p95_est)
     assert "ALL" in rows and len(rows) == 6
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Empty-relation hardening: the operator library must return
+    empty results (right schema), not crash, when a filter upstream
+    leaves nothing — the 3 a.m. failure mode of any pipeline stage."""
+    from pyspark_movie_recommender_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+        ngram_jaccard_pairs,
+    )
+    from pyspark_movie_recommender_spark.operators.graph import (
+        connected_components,
+        kcore_nodes,
+    )
+    from pyspark_movie_recommender_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, n_chars long"
+    )
+    assert ngram_jaccard_pairs(empty_docs, "text", "doc_id", n=3, threshold=0.5).count() == 0
+    assert blocked_levenshtein_pairs(empty_docs).count() == 0
+
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_edges).count() == 0
+    assert kcore_nodes(empty_edges, k=2, src="id_a", dst="id_b").count() == 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_topk_bruteforce(empty_vecs, empty_vecs, "embedding", "vec_id").count() == 0

@@ -545,3 +545,20 @@ def test_null_safe_join_is_hash_join_not_bnlj(spark, sf_dir):
     plan = physical_plan(Q.QUERIES["null_safe_join_events"](spark, sf_dir))
     assert "NestedLoop" not in plan, plan
     assert ("HashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_reused_exchange_dedups_identical_subplans(spark, sf_dir):
+    """Identical subplans referenced twice (self-union of one shuffled
+    aggregate) plan ONE exchange plus a ReusedExchange — Spark's
+    common-subplan dedup, the reason a report can reference the same
+    rollup many times without paying for it twice."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "cents"
+        )
+    )
+    both = agg.unionAll(agg)
+    both.collect()
+    final = both._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
