@@ -9537,3 +9537,129 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 36: A/B readout, TTL forward-fill, trending stream twin
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_experiment_readout",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN (user_id * 2654435761) % 100 < 50
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT)        AS n_users,
+           CAST(SUM(converted) AS BIGINT)  AS n_converted,
+           CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT)
+               AS conv_ppm
+    FROM assigned GROUP BY arm
+    """,
+)
+def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic 50/50 hash assignment of
+    users to arms (the SAME multiplicative hash family as the
+    train/test splitter — assignment is reproducible, growth-stable,
+    and auditable), then per-arm user counts and conversion in exact
+    ppm. The experimentation-platform primitive: no assignment table,
+    no rand(), any engine recomputes the same arms.
+
+    Scale shape: per-user conversion collapses map-side into the
+    user_id agg; arm assignment is arithmetic on the group key; the
+    readout is a 2-row agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(
+            (F.col("user_id") * 2654435761) % 100 < 50, "control"
+        )
+        .otherwise("treatment")
+        .alias("arm"),
+        "converted",
+    )
+    return assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("SUM(converted) * 1000000 div COUNT(*)")
+        .cast("long")
+        .alias("conv_ppm"),
+    )
+
+
+@query(
+    "locf_with_ttl",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE user_id < 30
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY user_id
+    ), grid AS (
+        SELECT b.user_id, CAST(gs.g AS BIGINT) AS day
+        FROM bounds b, LATERAL (
+            SELECT unnest(generate_series(b.lo, b.hi)) AS g) gs
+    ), joined AS (
+        SELECT g.user_id, g.day, d.cents
+        FROM grid g LEFT JOIN daily d
+          ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id, day,
+           COALESCE(cents,
+               LAST_VALUE(cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING),
+               0) AS filled_cents
+    FROM joined
+    """,
+)
+def locf_with_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill WITH EXPIRY: gap-filled per-user daily spend where
+    a missing day carries the last observation forward at most 3 days
+    (RANGE frame on the day axis), then falls to 0 — the sensor/
+    feature-store freshness contract ('stale after N days') that plain
+    LOCF silently violates. Exact BIGINT cents.
+
+    Scale shape: same grid-explode + co-partitioned left join as
+    forward_fill_user_value; the TTL is free — the RANGE frame bound
+    replaces the unbounded-preceding frame, same single exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    daily = ev.groupBy(
+        "user_id", F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000").cast("long").alias("day")
+    ).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("cents")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-3, -1)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce(
+            "cents", F.last("cents", ignorenulls=True).over(w), F.lit(0)
+        ).alias("filled_cents"),
+    )

@@ -378,3 +378,29 @@ def ingest_audit_stream(
         .alias("k_sum"),
     )
     _run_to_table(agg, query_name, "complete")
+
+
+def trending_counts_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "trending_counts"
+) -> None:
+    """Streaming half of the trending-items pipeline: per (1-hour
+    tumbling window, item) VIEW counts with a 30-minute watermark,
+    append mode. Top-k ranking runs DOWNSTREAM on the materialized
+    count relation (window functions don't exist on streams — the
+    standard split is: stream maintains the counts, batch ranks), so
+    the streaming job's output is exactly the batch twin's
+    pre-ranking relation.
+    """
+    ev = _events_stream(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "ts", F.get_json_object("props", "$.k").cast("long").alias("item_id")
+    )
+    agg = (
+        views.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "item_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_views"))
+        .select(
+            F.col("w.start").alias("window_start"), "item_id", "n_views"
+        )
+    )
+    _run_to_table(agg, query_name, "append")

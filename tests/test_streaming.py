@@ -248,3 +248,57 @@ def test_ingest_audit_stream_equals_batch(spark, sf_dir):
         for r in Q.QUERIES["robust_json_ingest"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_trending_stream_counts_equal_batch_and_rank_downstream(spark, sf_dir):
+    """The streamed (window, item) view counts equal the batch
+    aggregation exactly, and the downstream batch rank over the
+    streamed table yields the same per-window top-3 as ranking the
+    batch twin — the stream-maintains-counts / batch-ranks split."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        trending_counts_stream,
+    )
+
+    trending_counts_stream(spark, sf_dir, query_name="trending_eq")
+    streamed = spark.sql("SELECT * FROM trending_eq")
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "item_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_views"))
+        .select(F.col("w.start").alias("window_start"), "item_id", "n_views")
+    )
+    # append mode emits only CLOSED windows: a window is final once the
+    # watermark (max event time - 30 min) passes its end — the last
+    # in-flight window is withheld by design. Compare on closed windows.
+    max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(minutes=30)
+    closed_batch = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff)
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in closed_batch.collect()}
+    assert got == want and got
+    batch = closed_batch
+
+    def top3(df):
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("n_views"), F.asc("item_id")
+        )
+        return {
+            tuple(r)
+            for r in df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .collect()
+        }
+
+    assert top3(streamed) == top3(batch)
