@@ -9663,3 +9663,86 @@ def locf_with_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents", F.last("cents", ignorenulls=True).over(w), F.lit(0)
         ).alias("filled_cents"),
     )
+
+
+@query(
+    "binary_codec_suite",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN base64(props::BLOB) = base64(props::BLOB)
+                          AND from_base64(base64(props::BLOB)) = props::BLOB
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_b64_roundtrip,
+           min(base64(props::BLOB))                    AS min_b64,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT)                             AS k_sum_json
+    FROM events GROUP BY event_type
+    """,
+)
+def binary_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: base64 encode/decode roundtrip over the
+    raw payload bytes (the wire format for binary columns in JSON/REST
+    hand-offs), cross-checked VALUE-wise — DuckDB computes its own
+    base64 of the same bytes and the gate compares the strings — plus
+    the JSON-extracted control sum. Every row must survive the
+    encode→decode roundtrip bit-for-bit.
+
+    Scale shape: pure map-side codecs fused into one scan; |types|-row
+    agg. Base64 inflates bytes 4/3 — the docstring-level reminder that
+    payload columns should ship as binary, not base64 text, between
+    engine stages.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.encode(F.col("props"), "UTF-8")
+    b64 = F.base64(raw)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.unbase64(b64) == raw, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_b64_roundtrip"),
+        F.min(b64).alias("min_b64"),
+        F.sum(F.get_json_object("props", "$.k").cast("long"))
+        .cast("long")
+        .alias("k_sum_json"),
+    )
+
+
+@query(
+    "xml_shred_events",
+    oracle="""
+    -- the oracle never parses XML: it extracts k from the ORIGINAL
+    -- JSON. The engine round-trips the value through to_xml/from_xml,
+    -- so equality proves the XML codec preserves the data.
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def xml_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest surface: each event's payload re-serialized as an
+    XML document (``to_xml`` of a struct) and shredded back with
+    ``from_xml`` + an explicit schema — the Spark 4 native-XML path
+    (no spark-xml package). The oracle reads the value from the
+    ORIGINAL JSON, so hash equality proves the to_xml→from_xml
+    round-trip is lossless — the same source-of-truth trick as the
+    Arrow-kernel and base64 checks.
+
+    Scale shape: map-side serialize+parse fused into the scan; one
+    small agg. XML parse is the costliest codec here — fine for
+    ingest-boundary columns, not for hot-loop re-parsing (shred once,
+    as with VARIANT).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    xml = F.to_xml(F.struct(k.alias("k")), {"rootTag": "r"})
+    parsed = F.from_xml(xml, "k LONG")
+    return ev.select("event_type", parsed.alias("p")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.col("p.k")).cast("long").alias("k_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
