@@ -9746,3 +9746,117 @@ def xml_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p.k")).cast("long").alias("k_sum"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "preference_pairs_by_quality",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) // 20 AS BIGINT) AS len_band,
+               CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+                    // len(string_split(text, ' ')) AS BIGINT) AS quality_ppm
+        FROM documents
+    )
+    SELECT lang, len_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(quality_ppm * 10000000 + doc_id) % 10000000 AS BIGINT)
+               AS chosen_id,
+           CAST(MIN(quality_ppm * 10000000 + doc_id) % 10000000 AS BIGINT)
+               AS rejected_id,
+           CAST(MAX(quality_ppm * 10000000 + doc_id) // 10000000
+              - MIN(quality_ppm * 10000000 + doc_id) // 10000000 AS BIGINT)
+               AS margin_ppm
+    FROM scored GROUP BY lang, len_band
+    HAVING COUNT(*) >= 2
+    """,
+)
+def preference_pairs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training:
+    within each (language, length-band) group, pair the highest-quality
+    document (chosen) with the lowest (rejected) and report the quality
+    margin — the data factory that turns a scored corpus into
+    comparison training rows. Quality = distinct-token ratio in exact
+    ppm; argmax/argmin are the packed integer ``score*K + id`` trick
+    (single aggregate, deterministic tie-break by id, no window sort).
+
+    Scale shape: one scan, one (lang, band) hash agg with map-side
+    partials — the min/max packing replaces two rank windows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("size(split(text, ' ')) div 20").cast("long").alias("len_band"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000"
+            " div size(split(text, ' '))"
+        )
+        .cast("long")
+        .alias("quality_ppm"),
+    )
+    packed = F.col("quality_ppm") * 10000000 + F.col("doc_id")
+    return (
+        scored.groupBy("lang", "len_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.max(packed) % 10000000).cast("long").alias("chosen_id"),
+            (F.min(packed) % 10000000).cast("long").alias("rejected_id"),
+            (
+                F.expr("MAX(quality_ppm * 10000000 + doc_id) div 10000000")
+                - F.expr("MIN(quality_ppm * 10000000 + doc_id) div 10000000")
+            )
+            .cast("long")
+            .alias("margin_ppm"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "token_dropout_augment",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(list_filter(
+                list_transform(range(1, len(toks) + 1),
+                               i -> CASE WHEN i % 7 <> 0 THEN toks[i] END),
+                x -> x IS NOT NULL)) AS BIGINT) AS n_dropped,
+           array_to_string(list_filter(
+               list_transform(range(1, len(toks) + 1),
+                              i -> CASE WHEN i % 7 <> 0 THEN toks[i] END),
+               x -> x IS NOT NULL), ' ') AS aug_text
+    FROM t
+    """,
+)
+def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data augmentation: word dropout that removes every
+    7th token (position-based, so the augmentation is reproducible and
+    hash-checkable — the seeded-random equivalent for a gate that
+    compares engines). Produces the augmented text plus drop
+    accounting; the training pipeline unions augmented rows with
+    originals at a chosen rate.
+
+    Scale shape: pure in-row array transform+filter — zero shuffles,
+    no explode; the corpus is rewritten map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_tokens"),
+        F.expr(
+            "size(split(text, ' ')) - size(filter("
+            " transform(split(text, ' '), (x, i) ->"
+            "  CASE WHEN (i + 1) % 7 != 0 THEN x END), x -> x IS NOT NULL))"
+        )
+        .cast("long")
+        .alias("n_dropped"),
+        F.expr(
+            "array_join(filter(transform(split(text, ' '), (x, i) ->"
+            " CASE WHEN (i + 1) % 7 != 0 THEN x END), x -> x IS NOT NULL), ' ')"
+        ).alias("aug_text"),
+    )
