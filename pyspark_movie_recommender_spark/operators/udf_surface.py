@@ -19,7 +19,9 @@ Forms:
 - ``mapInArrow``               — per-partition RecordBatch iterator,
   zero-copy Arrow-native (``arrow_doc_stats``);
 - grouped ``applyInArrow``     — per-group pyarrow Table → Table
-  (``arrow_grouped_lang_stats``).
+  (``arrow_grouped_lang_stats``);
+- polymorphic ``udtf``         — output schema computed per call site
+  by the static ``analyze`` hook (``make_kv_columns_udtf``).
 """
 
 from __future__ import annotations
@@ -317,3 +319,49 @@ def arrow_grouped_lang_stats(docs: DataFrame) -> DataFrame:
             schema="lang string, n_docs long, total_chars long, total_tokens long",
         )
     )
+
+
+def make_kv_columns_udtf():
+    """POLYMORPHIC UDTF: the output schema is computed per CALL SITE by
+    the static ``analyze`` hook from a constant argument — here, a
+    comma-separated key list becomes one LONG column per key. The
+    Spark 4 table-function tier above the fixed-schema UDTF: schema
+    decided at plan time, rows produced at run time (the shape behind
+    dynamic pivots / configurable feature extractors).
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class KvColumns:
+        @staticmethod
+        def analyze(json_str: AnalyzeArgument, keys: AnalyzeArgument):
+            if not keys.isConstantExpression:
+                raise Exception("keys must be a constant string")
+            schema = StructType()
+            for k in str(keys.value).split(","):
+                schema = schema.add(k.strip(), LongType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self, analyze_result=None):
+            self._keys = (
+                [f.name for f in analyze_result.schema.fields]
+                if analyze_result is not None
+                else None
+            )
+
+        def eval(self, json_str: str, keys: str):
+            import json as _json
+
+            ks = self._keys or [k.strip() for k in keys.split(",")]
+            try:
+                d = _json.loads(json_str or "{}")
+            except ValueError:
+                d = {}
+            yield tuple(
+                int(d[k]) if isinstance(d.get(k), (int, float)) else None
+                for k in ks
+            )
+
+    return KvColumns

@@ -562,3 +562,27 @@ def test_reused_exchange_dedups_identical_subplans(spark, sf_dir):
     both.collect()
     final = both._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
+
+
+def test_preference_pairs_single_agg_no_window(spark, sf_dir):
+    """The packed argmax/argmin aggregate replaces two rank windows:
+    exactly one pass of partial+final HashAggregate, zero Window
+    operators."""
+    df = Q.QUERIES["preference_pairs_by_quality"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert count_exchanges(df) == 1, plan
+
+
+def test_token_dropout_is_shuffle_free(spark, sf_dir):
+    df = Q.QUERIES["token_dropout_augment"](spark, sf_dir)
+    assert count_exchanges(df) == 0, physical_plan(df)
+
+
+def test_spatial_join_broadcasts_replicated_dim_no_cartesian(spark, sf_dir):
+    """The grid join must be a broadcast hash join on the cell key —
+    never a cartesian/nested-loop — with the 9x replication confined
+    to the small side."""
+    plan = physical_plan(Q.QUERIES["spatial_proximity_pairs"](spark, sf_dir))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

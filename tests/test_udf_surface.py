@@ -111,3 +111,23 @@ def test_apply_in_arrow_matches_groupby(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_polymorphic_udtf_schema_from_argument(spark):
+    """The analyze() hook derives one LONG column per requested key at
+    PLAN time; rows shred accordingly at run time."""
+    from pyspark_movie_recommender_spark.operators.udf_surface import (
+        make_kv_columns_udtf,
+    )
+
+    KvColumns = make_kv_columns_udtf()
+    spark.udtf.register("kv_columns", KvColumns)
+    df = spark.sql(
+        """SELECT t.* FROM kv_columns('{"a": 1, "b": 2}', 'a,b,missing') t"""
+    )
+    assert df.columns == ["a", "b", "missing"]
+    row = df.collect()[0]
+    assert (row.a, row.b, row.missing) == (1, 2, None)
+    # different call site, different schema — same registration
+    df2 = spark.sql("""SELECT t.* FROM kv_columns('{"x": 9}', 'x') t""")
+    assert df2.columns == ["x"] and df2.collect()[0].x == 9
