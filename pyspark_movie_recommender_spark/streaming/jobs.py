@@ -404,3 +404,51 @@ def trending_counts_stream(
         )
     )
     _run_to_table(agg, query_name, "append")
+
+
+def stream_stream_left_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_left_interval_join",
+) -> None:
+    """LEFT OUTER stream-stream interval join: every view, matched to
+    purchases within 30 minutes — and views that never convert emit a
+    NULL-padded row once the watermark proves no match can still
+    arrive. The unmatched-left rows are the churn signal the inner
+    join can't produce, and their delayed emission (only after
+    view_ts + 30 min + watermark passes) is the semantics that makes
+    outer stream joins correct instead of eager-and-wrong.
+
+    Same bounded-state shape as the inner variant: both sides
+    watermarked, equality key + time range bound the buffers.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND "
+            "purchase_ts >= view_ts AND "
+            "purchase_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    ).select("view_id", "user_id", "view_ts", "purchase_id", "purchase_ts")
+    _run_to_table(joined, query_name, "append")

@@ -302,3 +302,70 @@ def test_trending_stream_counts_equal_batch_and_rank_downstream(spark, sf_dir):
         }
 
     assert top3(streamed) == top3(batch)
+
+
+def test_left_outer_stream_join_emits_nulls_after_watermark(spark, sf_dir):
+    """Left-outer stream-stream join: matched rows equal the batch left
+    join's matches; unmatched views emit NULL rows only once the
+    watermark proves no purchase can arrive — compare the null set on
+    the closed region and require both kinds of rows to exist."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark_movie_recommender_spark.sources import load_table
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        stream_stream_left_interval_join,
+    )
+
+    stream_stream_left_interval_join(spark, sf_dir, query_name="left_ij_eq")
+    streamed = spark.sql("SELECT * FROM left_ij_eq")
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= view_ts AND "
+            "purchase_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    ).select("view_id", "user_id", "view_ts", "purchase_id", "purchase_ts")
+
+    got_matched = {
+        tuple(r) for r in streamed.filter(F.col("purchase_id").isNotNull()).collect()
+    }
+    want_matched = {
+        tuple(r) for r in batch.filter(F.col("purchase_id").isNotNull()).collect()
+    }
+    assert got_matched == want_matched and got_matched
+
+    # null rows: only emittable once the JOIN watermark — min of the
+    # two sides' (max event time - 30 min) — passes view_ts + 30 min;
+    # compare strictly inside the region closed for BOTH engines
+    max_view = views.agg(F.max("view_ts")).collect()[0][0]
+    max_purch = purchases.agg(F.max("purchase_ts")).collect()[0][0]
+    cutoff = min(max_view, max_purch) - datetime.timedelta(minutes=61)
+    got_nulls = {
+        tuple(r)
+        for r in streamed.filter(
+            F.col("purchase_id").isNull() & (F.col("view_ts") <= F.lit(cutoff))
+        ).collect()
+    }
+    want_nulls = {
+        tuple(r)
+        for r in batch.filter(
+            F.col("purchase_id").isNull() & (F.col("view_ts") <= F.lit(cutoff))
+        ).collect()
+    }
+    assert got_nulls == want_nulls and got_nulls
