@@ -744,3 +744,25 @@ def test_operators_tolerate_empty_inputs(spark):
 
     empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert cosine_topk_bruteforce(empty_vecs, empty_vecs, "embedding", "vec_id").count() == 0
+
+
+def test_kcore_raises_loudly_on_round_cap(spark):
+    """Peeling depth is O(chain length) on path graphs — a planted
+    60-edge chain with k=2 peels 2 endpoints per round and MUST hit
+    the round cap with a loud RuntimeError, never return wrong cores
+    silently. (The honest contract: k-core has no log-round rewrite;
+    budget rounds for the topology or pre-filter degree-1 chains.)"""
+    from pyspark_movie_recommender_spark.operators.graph import kcore_nodes
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "u long, v long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_nodes(chain, k=2, max_rounds=10)
+    # a cycle IS its own 2-core: converges in one round, no raise
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], "u long, v long"
+    )
+    out = kcore_nodes(cycle, k=2, max_rounds=5)
+    assert out.count() == 12
+    assert all(r.degree == 2 for r in out.collect())

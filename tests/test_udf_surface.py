@@ -131,3 +131,61 @@ def test_polymorphic_udtf_schema_from_argument(spark):
     # different call site, different schema — same registration
     df2 = spark.sql("""SELECT t.* FROM kv_columns('{"x": 9}', 'x') t""")
     assert df2.columns == ["x"] and df2.collect()[0].x == 9
+
+
+def test_cogroup_apply_in_arrow_matches_pandas_twin(spark, sf_dir):
+    """cogroup().applyInArrow — the Arrow-native two-sided per-key
+    form: same reconciliation as the pandas cogroup, computed from
+    pyarrow Tables, value-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import functions as F
+    from pyspark_movie_recommender_spark.operators.udf_surface import (
+        cogrouped_user_reconciliation,
+    )
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def recon_arrow(ev: pa.Table, od: pa.Table) -> pa.Table:
+        def cents(t: pa.Table, col: str) -> int:
+            if t.num_rows == 0:
+                return 0
+            scaled = pc.add(pc.multiply(pc.cast(t.column(col), pa.float64()), 100.0), 0.5)
+            return int(pc.sum(pc.cast(pc.floor(scaled), pa.int64())).as_py())
+
+        uid = (
+            ev.column("user_id")[0].as_py()
+            if ev.num_rows
+            else od.column("user_id")[0].as_py()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_events": pa.array([ev.num_rows], pa.int64()),
+                "n_orders": pa.array([od.num_rows], pa.int64()),
+                "event_cents": pa.array([cents(ev, "value")], pa.int64()),
+                "order_cents": pa.array([cents(od, "o_totalprice")], pa.int64()),
+            }
+        )
+
+    ev_side = events.select("user_id", "value")
+    od_side = orders.select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    arrow_out = (
+        ev_side.groupBy("user_id")
+        .cogroup(od_side.groupBy("user_id"))
+        .applyInArrow(
+            recon_arrow,
+            schema=(
+                "user_id long, n_events long, n_orders long, "
+                "event_cents long, order_cents long"
+            ),
+        )
+    )
+    got = {tuple(r) for r in arrow_out.collect()}
+    want = {
+        tuple(r) for r in cogrouped_user_reconciliation(events, orders).collect()
+    }
+    assert got == want and got
