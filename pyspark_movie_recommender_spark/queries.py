@@ -9860,3 +9860,139 @@ def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CASE WHEN (i + 1) % 7 != 0 THEN x END), x -> x IS NOT NULL), ' ')"
         ).alias("aug_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 42: split-leakage audit + cross-source dedup ownership
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_leakage_audit",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, sha256(text) AS h,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), by_hash AS (
+        SELECT h,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                                AS n_hashes,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked_hashes,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS n_leaked_docs
+    FROM by_hash
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: documents whose EXACT content
+    appears in more than one split — the evaluation-hygiene bug that
+    silently inflates held-out metrics (decontamination's n-gram check
+    catches paraphrase overlap with EXTERNAL eval sets; this catches
+    exact duplicates straddling the pipeline's OWN split boundaries).
+    Splits come from the deterministic multiplicative hash (80/10/10),
+    so the audit is reproducible anywhere.
+
+    The clean protocol — dedup BEFORE splitting, or split by content
+    hash instead of doc id — makes this report all zeros; run it as a
+    release gate.
+
+    Scale shape: one scan → (hash) hash-agg with map-side partials →
+    scalar rollup; no joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when((F.col("doc_id") * 2654435761) % 100 < 80, "train")
+        .when((F.col("doc_id") * 2654435761) % 100 < 90, "val")
+        .otherwise("test")
+    )
+    assigned = docs.select(F.sha2("text", 256).alias("h"), split.alias("split"))
+    by_hash = assigned.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("split").alias("n_splits"),
+    )
+    return by_hash.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaked_hashes"),
+        F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("n_leaked_docs"),
+    )
+
+
+@query(
+    "cross_source_dedup_ownership",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source, sha256(text) AS h FROM documents
+    ), keepers AS (
+        SELECT h, MIN(doc_id) AS keeper_id FROM hashed GROUP BY h
+    ), judged AS (
+        SELECT d.source,
+               CASE WHEN d.doc_id = k.keeper_id THEN 0 ELSE 1 END AS lost,
+               CASE WHEN d.doc_id <> k.keeper_id
+                     AND kd.source <> d.source THEN 1 ELSE 0 END
+                   AS lost_to_other_source
+        FROM hashed d
+        JOIN keepers k ON k.h = d.h
+        JOIN hashed kd ON kd.doc_id = k.keeper_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+           CAST(SUM(lost) AS BIGINT)                AS n_lost,
+           CAST(SUM(lost_to_other_source) AS BIGINT)
+               AS n_lost_to_other_source
+    FROM judged GROUP BY source
+    """,
+)
+def cross_source_dedup_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ownership across sources: when identical content exists in
+    several crawls, min-id survivorship decides which SOURCE keeps the
+    canonical copy — and every other source's copy is 'lost', possibly
+    to a competitor crawl. The per-source bill (docs lost, docs lost to
+    ANOTHER source) is the negotiation table for mixture weights after
+    dedup: a source whose content is always owned elsewhere contributes
+    nothing to the final corpus.
+
+    Scale shape: hash → keeper agg (map-side partials), then two
+    co-partitioned joins keyed on the hash / keeper id; no quadratic
+    anything — the keeper relation is |distinct hashes|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", F.sha2("text", 256).alias("h")
+    )
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    keeper_src = hashed.select(
+        F.col("doc_id").alias("keeper_id"), F.col("source").alias("keeper_source")
+    )
+    judged = (
+        hashed.join(keepers, "h")
+        .join(keeper_src, "keeper_id")
+        .select(
+            "source",
+            F.when(F.col("doc_id") == F.col("keeper_id"), 0)
+            .otherwise(1)
+            .alias("lost"),
+            F.when(
+                (F.col("doc_id") != F.col("keeper_id"))
+                & (F.col("keeper_source") != F.col("source")),
+                1,
+            )
+            .otherwise(0)
+            .alias("lost_to_other_source"),
+        )
+    )
+    return judged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("lost").cast("long").alias("n_lost"),
+        F.sum("lost_to_other_source").cast("long").alias("n_lost_to_other_source"),
+    )
