@@ -9996,3 +9996,392 @@ def cross_source_dedup_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lost").cast("long").alias("n_lost"),
         F.sum("lost_to_other_source").cast("long").alias("n_lost_to_other_source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 43: weighted sampling, sorted-neighborhood blocking, isotonic fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_sample_parts",
+    oracle="""
+    WITH keyed AS (
+        SELECT p_partkey, p_retailprice,
+               ROUND(ln(((p_partkey * 2654435761) % 1000000007 + 1)
+                         / 1000000009.0) / p_retailprice, 9) AS skey
+        FROM part
+    )
+    SELECT p_partkey, ROUND(p_retailprice, 2) AS weight, skey
+    FROM keyed
+    ORDER BY skey DESC, p_partkey
+    LIMIT 50
+    """,
+)
+def weighted_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    A-ES exponential-key trick: each row gets key = ln(u) / w (u a
+    uniform in (0,1), w the row weight); the k LARGEST keys are an
+    exact weighted sample. Replacing the usual random u with a
+    deterministic multiplicative-hash uniform makes the sample
+    reproducible anywhere and lets two engines agree bit-for-bit —
+    the seeded-sampling analogue this gate can hash-check (keys are
+    rounded to 9 decimals before ranking so libm noise in ``ln`` can
+    never flip an ordering).
+
+    Scale shape: the key is computed map-side; ``ORDER BY key LIMIT k``
+    lowers to TakeOrderedAndProject — per-partition top-k heaps, only
+    k rows per partition reach the driver-side merge; the corpus is
+    never globally sorted. This is how you draw a 10M-doc weighted
+    subcorpus from 100 TB in one pass.
+    """
+    part = load_table(spark, sf_dir, "part")
+    u = ((F.col("p_partkey") * F.lit(2654435761)) % F.lit(1000000007) + 1) / F.lit(
+        1000000009.0
+    )
+    keyed = part.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("weight"),
+        F.round(F.ln(u) / F.col("p_retailprice"), 9).alias("skey"),
+    )
+    return keyed.orderBy(F.col("skey").desc(), F.col("p_partkey")).limit(50)
+
+
+@query(
+    "sorted_neighborhood_parts",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_partkey, p_brand, p_retailprice,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY p_retailprice, p_partkey) AS BIGINT) AS rn
+        FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           ROUND(b.p_retailprice - a.p_retailprice, 6) AS price_gap,
+           CAST(CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS BIGINT)
+               AS same_brand,
+           CAST(b.rn - a.rn AS BIGINT) AS dist
+    FROM ranked a
+    JOIN ranked b ON b.rn IN (a.rn + 1, a.rn + 2)
+    """,
+)
+def sorted_neighborhood_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic entity-resolution
+    alternative to hash blocking): order the corpus by a fuzzy numeric
+    key and emit candidate pairs within rank distance <= 2 — O(n*w)
+    candidates instead of O(n^2). Pairs carry the price gap and a
+    same-brand flag, the features a downstream match scorer consumes.
+
+    The interesting part is HOW the global rank is computed: NOT via a
+    single-partition ``Window.orderBy`` (the 1-task scale cliff Spark
+    itself warns about) but via ``operators.rank.distributed_global_rank``
+    — range-bucketed parallel windows plus a prefix-sum offset map, so
+    no task ever sorts more than one bucket. The neighbor join is a
+    pure EQUI-join (left side explodes rn+1, rn+2), no range predicate,
+    no cross product. DuckDB's single-node ROW_NUMBER is the oracle
+    proving the two-pass rank is exactly the global rank.
+    """
+    from pyspark_movie_recommender_spark.operators.rank import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    pairs = sorted_neighborhood_pairs(
+        part, key_col="p_retailprice", id_col="p_partkey", window=2
+    )
+    return pairs.select(
+        F.col("p_partkey_a").alias("id_a"),
+        F.col("p_partkey_b").alias("id_b"),
+        F.round(F.col("p_retailprice_b") - F.col("p_retailprice_a"), 6).alias(
+            "price_gap"
+        ),
+        F.when(F.col("p_brand_a") == F.col("p_brand_b"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("same_brand"),
+        "dist",
+    )
+
+
+@query("isotonic_fit_quantity_price")
+def isotonic_fit_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of mean extended price as a
+    function of quantity, per return flag — weighted PAV on the
+    x-level aggregate (see ``operators/calibrate.py``). Rows-only by
+    design: PAV's pooling is an iterative fixpoint no single SQL
+    expression computes; its laws (monotone output, exact weighted-mean
+    preservation, pool values = block means) are pinned in
+    ``tests/test_operators.py`` instead.
+
+    Scale shape: JVM hash-agg (map-side partials) shrinks the fact
+    table to one row per (flag, quantity) BEFORE Python sees it; the
+    Arrow-batched PAV then costs |distinct quantities| per group.
+    """
+    from pyspark_movie_recommender_spark.operators.calibrate import isotonic_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fit = isotonic_fit(
+        li, group_col="l_returnflag", x_col="l_quantity", y_col="l_extendedprice"
+    )
+    return fit.select(
+        "l_returnflag",
+        "l_quantity",
+        "w",
+        F.round("y_mean", 6).alias("y_mean"),
+        F.round("y_hat", 6).alias("y_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 44: content-defined chunking, JL projection, KS drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(t) AS tok,
+               CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+        FROM toks
+    ), hashed AS (
+        SELECT doc_id, pos, tok,
+               ascii(tok) * 8191 + length(tok) * 131 AS h
+        FROM tok
+    ), rolled AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN pos >= 4 AND
+                    (7 * lag(h, 3) OVER w + 5 * lag(h, 2) OVER w
+                     + 3 * lag(h, 1) OVER w + h) % 16 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM hashed
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), chunked AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(SUM(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_idx
+        FROM rolled
+    ), chunks AS (
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               sha256(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        FROM chunked GROUP BY doc_id, chunk_idx
+    )
+    SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_hash,
+           CAST(d.n_docs AS BIGINT) AS n_docs_sharing
+    FROM chunks c
+    JOIN (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+          FROM chunks GROUP BY chunk_hash) d USING (chunk_hash)
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS-style) + corpus chunk dedup:
+    split every document where a rolling hash of the last 4 tokens hits
+    0 mod 16, so chunk boundaries are CONTENT-anchored — insert a token
+    at the front of a document and the downstream boundaries do not
+    shift (fixed-size chunking would re-chunk the whole tail). Each
+    chunk is content-hashed and joined against the corpus-wide chunk
+    census, giving sub-document dedup: how many documents share each
+    exact chunk. This is the storage/transfer dedup primitive (and the
+    passage-level twin of whole-doc hash dedup).
+
+    All hash arithmetic is integer and shared verbatim with the oracle,
+    so the gate checks boundary placement bit-for-bit.
+
+    Scale shape: posexplode → per-doc windows (partitioned by doc_id,
+    never global) → hash-agg to chunks → one hash-keyed self-agg join.
+    No quadratic anything; chunking is embarrassingly parallel per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "tok",
+        (F.ascii("tok") * 8191 + F.length("tok") * 131).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    rolled = tok.withColumn(
+        "boundary",
+        F.when(
+            (F.col("pos") >= 4)
+            & (
+                (
+                    7 * F.lag("h", 3).over(w)
+                    + 5 * F.lag("h", 2).over(w)
+                    + 3 * F.lag("h", 1).over(w)
+                    + F.col("h")
+                )
+                % 16
+                == 0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    chunked = rolled.withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum("boundary").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ),
+            256,
+        ).alias("chunk_hash"),
+    )
+    census = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs_sharing")
+    )
+    return chunks.join(census, "chunk_hash").select(
+        "doc_id", "chunk_idx", "n_tokens", "chunk_hash", "n_docs_sharing"
+    )
+
+
+@query(
+    "jl_random_projection",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding FROM embeddings
+    ), flat AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+               unnest(embedding) AS v
+        FROM e
+    )
+    SELECT f.vec_id, CAST(js.j AS BIGINT) AS dim,
+           ROUND(SUM(f.v * CASE WHEN ((f.i * 1315423911 + js.j * 2654435761)
+                                      % 97) % 2 = 0
+                                THEN 1.0 ELSE -1.0 END), 6) AS value
+    FROM flat f
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
+    GROUP BY f.vec_id, js.j
+    """,
+)
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims with a
+    DETERMINISTIC +/-1 sign matrix: sign(i, j) = parity of a
+    multiplicative hash of (input dim i, output dim j), so the
+    projection needs no stored matrix, is identical on every executor
+    and every engine, and the gate hash-checks the projected values.
+    The sparse/sign JL family (Achlioptas) preserves pairwise distances
+    within (1 +/- eps) — the cheap pre-step before clustering or ANN
+    when 100-TB embeddings don't fit the index.
+
+    Scale shape: entirely map-side JVM higher-order functions
+    (zip_with + aggregate inside whole-stage codegen) — zero shuffles,
+    zero Python, each row rewritten in place; posexplode only shapes
+    the gate-friendly (vec_id, dim, value) output.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        F.expr(
+            """
+            transform(sequence(0, 7), j -> round(
+              aggregate(
+                zip_with(embedding, sequence(0, size(embedding) - 1),
+                  (v, i) -> v * CASE WHEN pmod(CAST(i AS BIGINT) * 1315423911
+                                              + CAST(j AS BIGINT)
+                                                * 2654435761, 97) % 2 = 0
+                                     THEN CAST(1.0 AS DOUBLE)
+                                     ELSE CAST(-1.0 AS DOUBLE) END),
+                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 6))
+            """
+        ).alias("p"),
+    )
+    return proj.select(
+        "vec_id", F.posexplode("p").alias("dim", "value")
+    ).select(F.col("vec_id"), F.col("dim").cast("long"), F.col("value"))
+
+
+@query(
+    "ks_drift_view_purchase",
+    oracle="""
+    WITH binned AS (
+        SELECT ROUND(value, 2) AS bin,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY bin
+    ), cum AS (
+        SELECT bin,
+               SUM(na) OVER (ORDER BY bin) AS ca,
+               SUM(nb) OVER (ORDER BY bin) AS cb,
+               (SELECT SUM(na) FROM binned) AS ta,
+               (SELECT SUM(nb) FROM binned) AS tb
+        FROM binned
+    )
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_view,
+           CAST(MAX(tb) AS BIGINT) AS n_purchase,
+           ROUND(MAX(ABS(ca * 1.0 / ta - cb * 1.0 / tb)), 6) AS ks
+    FROM cum
+    """,
+)
+def ks_drift_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the value
+    distributions of 'view' and 'purchase' events — the CONTINUOUS
+    drift detector beside the categorical chi-square audit
+    (`chi2_drift_events`): KS = max vertical gap between the two
+    empirical CDFs, evaluated on a 0.01-wide binned grid (binning makes
+    the ECDF support bounded and both engines bit-agree on integer
+    cumulative counts; the statistic is exact for the binned
+    distributions).
+
+    Scale shape: the fact table collapses to one row per bin in a
+    map-side-partial hash-agg FIRST; the single ordered cumulative
+    window then runs over |bins| rows (thousands), not |events| — the
+    pre-shrink that keeps an unpartitioned window legal at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    binned = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.round("value", 2).alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "nb"
+            ),
+        )
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    totals = binned.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    cum = binned.withColumn("ca", F.sum("na").over(wcum)).withColumn(
+        "cb", F.sum("nb").over(wcum)
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("ta").cast("long").alias("n_view"),
+            F.max("tb").cast("long").alias("n_purchase"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") * 1.0 / F.col("ta")
+                        - F.col("cb") * 1.0 / F.col("tb")
+                    )
+                ),
+                6,
+            ).alias("ks"),
+        )
+    )

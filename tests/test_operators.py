@@ -766,3 +766,84 @@ def test_kcore_raises_loudly_on_round_cap(spark):
     out = kcore_nodes(cycle, k=2, max_rounds=5)
     assert out.count() == 12
     assert all(r.degree == 2 for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# wave 43: distributed global rank + isotonic PAV laws
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_global_rank_equals_single_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from pyspark_movie_recommender_spark.operators.rank import (
+        distributed_global_rank,
+    )
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    two_pass = distributed_global_rank(
+        part, "p_retailprice", "p_partkey", n_buckets=7
+    )
+    w = Window.orderBy(F.col("p_retailprice").asc(), F.col("p_partkey").asc())
+    one_task = part.withColumn("rn_ref", F.row_number().over(w).cast("long"))
+    joined = two_pass.join(one_task, ["p_partkey", "p_retailprice"])
+    assert joined.filter(F.col("rn") != F.col("rn_ref")).count() == 0
+    n = part.count()
+    assert two_pass.agg(F.min("rn"), F.max("rn")).first() == (1, n)
+
+
+def test_sorted_neighborhood_pair_count(spark):
+    from pyspark_movie_recommender_spark.operators.rank import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i * 3 % 17)) for i in range(40)], "id long, key double"
+    )
+    w = 3
+    pairs = sorted_neighborhood_pairs(df, "key", "id", window=w, n_buckets=4)
+    # every rank r pairs with r+1..r+w except near the end: n*w - w(w+1)/2
+    assert pairs.count() == 40 * w - w * (w + 1) // 2
+    assert pairs.filter(F.col("dist") > w).count() == 0
+
+
+def test_pav_laws(spark):
+    from pyspark_movie_recommender_spark.operators.calibrate import (
+        _pav,
+        isotonic_fit,
+    )
+    import numpy as np
+
+    # stack PAV equals the textbook definition on a hand case
+    y = np.array([1.0, 3.0, 2.0, 2.0, 5.0])
+    w = np.array([1.0, 1.0, 1.0, 1.0, 1.0])
+    fit = _pav(y, w)
+    assert np.all(np.diff(fit) >= -1e-12)
+    assert abs(float((fit * w).sum() - (y * w).sum())) < 1e-9
+    assert np.allclose(fit, [1.0, 7 / 3, 7 / 3, 7 / 3, 5.0])
+
+    rows = [
+        ("a", 1.0, 10.0),
+        ("a", 1.0, 14.0),
+        ("a", 2.0, 9.0),
+        ("a", 3.0, 30.0),
+        ("b", 1.0, 5.0),
+        ("b", 2.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = isotonic_fit(df, "g", "x", "y").orderBy("g", "x").collect()
+    # monotone within each group
+    for g in ("a", "b"):
+        seq = [r["y_hat"] for r in out if r["g"] == g]
+        assert all(b >= a - 1e-12 for a, b in zip(seq, seq[1:]))
+    # weighted mean preserved per group
+    for g in ("a", "b"):
+        grp = [r for r in out if r["g"] == g]
+        fit_mean = sum(r["y_hat"] * r["w"] for r in grp)
+        obs_mean = sum(r["y_mean"] * r["w"] for r in grp)
+        assert abs(fit_mean - obs_mean) < 1e-9
+    # group a: x=1 mean 12 (w=2) > x=2 mean 9 (w=1) -> pooled to 11; x=3 stays 30
+    a = {r["x"]: r["y_hat"] for r in out if r["g"] == "a"}
+    assert abs(a[1.0] - 11.0) < 1e-9 and abs(a[2.0] - 11.0) < 1e-9
+    assert abs(a[3.0] - 30.0) < 1e-9
