@@ -267,3 +267,53 @@ def kcore_nodes(
     raise RuntimeError(
         f"k-core did not converge within {max_rounds} rounds"
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_hops: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Breadth-first shortest hop counts from the minimum vertex id.
+
+    Frontier-expansion BFS over an undirected edge list (stored one
+    direction, expanded to both): round h joins the hop-(h-1) frontier
+    to the edges, anti-joins out already-visited nodes, and tags
+    survivors with hop h — first visit IS the minimum hop count, so no
+    per-node min needs recomputing. Driver-coordinated loop like the
+    CC/PageRank operators: one join per round, O(max_hops) rounds,
+    lineage truncated per round (reliable ``checkpoint_dir`` on real
+    clusters, ``localCheckpoint`` locally), early exit when a frontier
+    empties.
+
+    Scale shape: each round shuffles only frontier ∪ edges on the
+    vertex key; ``visited`` grows monotonically but stays (node, hops)
+    narrow. The oracle twin is DuckDB's recursive CTE with UNION-dedup
+    termination.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    ckpt = _checkpointer(und, checkpoint_dir)
+
+    seed = und.agg(F.min("u")).first()[0]  # driver-side scalar, O(1)
+    visited = und.sparkSession.createDataFrame(
+        [(int(seed), 0)], "node long, hops long"
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(und["v"].alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+        )
+        nxt = ckpt(nxt)
+        if nxt.isEmpty():
+            break
+        visited = ckpt(visited.union(nxt))
+        frontier = nxt
+    return visited

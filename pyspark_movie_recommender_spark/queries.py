@@ -10385,3 +10385,136 @@ def ks_drift_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 45: BFS shortest hops + integer-exact quantile normalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bfs_copurchase_hops",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), e AS (
+        SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), walk(node, hops) AS (
+        SELECT (SELECT MIN(u) FROM e), 0
+        UNION
+        SELECT e.v, w.hops + 1
+        FROM walk w JOIN e ON e.u = w.node
+        WHERE w.hops < 4
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest hop counts over the part co-purchase graph (edges =
+    parts sharing >= 2 orders) from the minimum part id — the reach /
+    influence-radius primitive beside PageRank (importance), k-core
+    (cohesion) and CC (membership). First visit = minimum hops, so the
+    frontier loop needs no per-node min; the DuckDB oracle is the
+    recursive-CTE fixpoint with UNION-dedup termination, making this an
+    ORACLE-CHECKED iterative graph algorithm, not rows-only.
+
+    Scale shape (see ``operators/graph.py bfs_hops``): support->=2
+    threshold caps degree before any traversal; one vertex-keyed join
+    per round, O(max_hops) rounds, per-round lineage truncation.
+    """
+    from pyspark_movie_recommender_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return bfs_hops(edges, "u", "v", max_hops=4)
+
+
+@query(
+    "quantile_normalize_sources",
+    oracle="""
+    WITH g AS (
+        SELECT n_chars,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS grn
+        FROM documents
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), s AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS rs,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        FROM documents
+    )
+    SELECT s.doc_id, s.source, s.n_chars, g.n_chars AS norm_chars
+    FROM s
+    JOIN tot ON TRUE
+    JOIN g ON g.grn = ((s.rs - 1) * (tot.n - 1)) // GREATEST(s.ns - 1, 1) + 1
+    """,
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (the batch-effect
+    correction standard in bioinformatics, applied to corpus length
+    bias): each source's document-length distribution is mapped onto
+    the GLOBAL length distribution by rank, so after normalization
+    every source has the same length profile — the principled
+    alternative to per-source truncation when mixing crawls whose
+    length distributions disagree.
+
+    The rank-to-rank mapping is INTEGER-EXACT: target global rank =
+    (r-1)(N-1) // (n_s-1) + 1 — no float percentiles, no interpolation
+    noise, so both engines agree bit-for-bit.
+
+    Scale shape: the global rank comes from
+    ``operators/rank.py distributed_global_rank`` (range-bucketed
+    parallel windows — never a 1-task global window); per-source ranks
+    are ordinarily partitioned windows; the final mapping is one
+    hash-keyed equi-join on the computed rank.
+    """
+    from pyspark_movie_recommender_spark.operators.rank import (
+        distributed_global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    g = distributed_global_rank(docs, "n_chars", "doc_id", out_col="grn").select(
+        F.col("n_chars").alias("g_chars"), "grn"
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).cast("long").alias("rs"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("ns"),
+    )
+    mapped = s.crossJoin(F.broadcast(tot)).withColumn(
+        "grn",
+        F.expr("((rs - 1) * (n - 1)) div greatest(ns - 1, 1) + 1"),
+    )
+    return mapped.join(g, "grn").select(
+        "doc_id", "source", "n_chars", F.col("g_chars").alias("norm_chars")
+    )

@@ -847,3 +847,14 @@ def test_pav_laws(spark):
     a = {r["x"]: r["y_hat"] for r in out if r["g"] == "a"}
     assert abs(a[1.0] - 11.0) < 1e-9 and abs(a[2.0] - 11.0) < 1e-9
     assert abs(a[3.0] - 30.0) < 1e-9
+
+
+def test_bfs_hops_on_known_graph(spark):
+    from pyspark_movie_recommender_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5-6 plus a shortcut 1-4: hop counts must take the shortcut
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 4)], "u long, v long"
+    )
+    got = {r.node: r.hops for r in bfs_hops(edges, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2, 6: 3}

@@ -586,3 +586,25 @@ def test_spatial_join_broadcasts_replicated_dim_no_cartesian(spark, sf_dir):
     plan = physical_plan(Q.QUERIES["spatial_proximity_pairs"](spark, sf_dir))
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-ES weighted sampling must lower to per-partition top-k heaps
+    (TakeOrderedAndProject), never a global sort."""
+    df = Q.QUERIES["weighted_sample_parts"](spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_jl_projection_is_shuffle_free(spark, sf_dir):
+    """JL sign projection is a pure map-side rewrite: zero exchanges."""
+    df = Q.QUERIES["jl_random_projection"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_sorted_neighborhood_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The rank-window neighbor join must stay a hash equi-join (left
+    side explodes rn+1..rn+w) — a range predicate would nested-loop."""
+    df = Q.QUERIES["sorted_neighborhood_parts"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
