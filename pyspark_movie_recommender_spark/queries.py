@@ -10518,3 +10518,236 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.join(g, "grn").select(
         "doc_id", "source", "n_chars", F.col("g_chars").alias("norm_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 46: Kaplan-Meier survival, Zipf fit, deterministic-DP counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kaplan_meier_signup_purchase",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS buy_ts
+        FROM events GROUP BY user_id
+    ), horizon AS (
+        SELECT MAX(ts) AS max_ts FROM events
+    ), durations AS (
+        SELECT CASE WHEN buy_ts IS NOT NULL AND buy_ts >= signup_ts
+                    THEN date_diff('day', signup_ts, buy_ts)
+                    ELSE date_diff('day', signup_ts, max_ts) END AS t_days,
+               CASE WHEN buy_ts IS NOT NULL AND buy_ts >= signup_ts
+                    THEN 1 ELSE 0 END AS event
+        FROM per_user, horizon
+        WHERE signup_ts IS NOT NULL
+    ), km AS (
+        SELECT CAST(t_days AS BIGINT) AS t_days,
+               CAST(SUM(event) AS BIGINT) AS d_events,
+               CAST(COUNT(*) AS BIGINT) AS n_here
+        FROM durations GROUP BY t_days
+    ), risk AS (
+        SELECT t_days, d_events,
+               CAST((SELECT COUNT(*) FROM durations)
+                    - COALESCE(SUM(n_here) OVER (
+                        ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM km
+    )
+    SELECT t_days, n_risk, d_events,
+           CASE WHEN MAX(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t_days) = 1
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(
+                         CASE WHEN d_events < n_risk AND d_events > 0
+                              THEN ln(1.0 - d_events * 1.0 / n_risk)
+                              ELSE 0.0 END) OVER (ORDER BY t_days)), 6)
+           END AS survival
+    FROM risk
+    """,
+)
+def kaplan_meier_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup -> first purchase with
+    right-censoring at the corpus horizon: S(t) = prod_{t'<=t}
+    (1 - d/n). The estimator runs as EXP of a cumulative SUM of
+    ln(1 - d/n) — a single ordered window — with the d=n absorbing
+    state handled by a cumulative flag instead of ln(0). Survival /
+    time-to-conversion is the retention primitive product analytics
+    adds beside funnels and cohorts.
+
+    Scale shape: the fact table collapses to one row per user
+    (hash-agg), then to one row per distinct duration — the windows run
+    over |distinct days| rows (hundreds), never |events|; the horizon
+    and total are broadcast scalars.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "buy_ts"
+        ),
+    )
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    converted = F.col("buy_ts").isNotNull() & (F.col("buy_ts") >= F.col("signup_ts"))
+    durations = (
+        per_user.filter(F.col("signup_ts").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(converted, F.datediff("buy_ts", "signup_ts"))
+            .otherwise(F.datediff("max_ts", "signup_ts"))
+            .cast("long")
+            .alias("t_days"),
+            F.when(converted, 1).otherwise(0).alias("event"),
+        )
+    )
+    km = durations.groupBy("t_days").agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.count(F.lit(1)).cast("long").alias("n_here"),
+    )
+    total = durations.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wprev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        km.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("n_here").over(wprev), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("n_total", "n_here")
+    )
+    absorbed = F.max(
+        F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(wcum)
+    logsum = F.sum(
+        F.when(
+            (F.col("d_events") < F.col("n_risk")) & (F.col("d_events") > 0),
+            F.log(1.0 - F.col("d_events") * 1.0 / F.col("n_risk")),
+        ).otherwise(0.0)
+    ).over(wcum)
+    return risk.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        F.when(absorbed == 1, 0.0)
+        .otherwise(F.round(F.exp(logsum), 6))
+        .alias("survival"),
+    )
+
+
+@query(
+    "zipf_fit_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM toks GROUP BY token
+        ORDER BY freq DESC, token
+        LIMIT 1000
+    ), ranked AS (
+        SELECT freq,
+               CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+                   AS rnk
+        FROM vocab
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(regr_slope(ln(freq), ln(rnk)), 6) AS slope,
+           ROUND(regr_intercept(ln(freq), ln(rnk)), 6) AS intercept,
+           ROUND(regr_r2(ln(freq), ln(rnk)), 6) AS r2
+    FROM ranked
+    """,
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 vocabulary: OLS slope of
+    ln(freq) against ln(rank) (natural corpora sit near slope -1; a
+    synthetic or templated corpus shows up instantly as a flat or
+    kinked fit — a one-row corpus-health gate beside the heavy-hitter
+    list).
+
+    Scale shape: explode -> map-side-partial hash-agg to the vocab,
+    TakeOrderedAndProject for the top-1000 cut, then the rank window
+    and regression aggregate run over exactly 1000 rows — the
+    "pre-shrink before any unpartitioned window" pattern again.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(1000)
+    )
+    ranked = vocab.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("token")))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.expr("regr_slope(ln(freq), ln(rnk))"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(ln(freq), ln(rnk))"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(ln(freq), ln(rnk))"), 6).alias("r2"),
+    )
+
+
+@query(
+    "dp_noisy_counts_segments",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM customer GROUP BY c_mktsegment
+    ), seeded AS (
+        SELECT segment, true_count,
+               ((ascii(segment) * 31 + length(segment)) * 2654435761
+                % 1000003 + 1) / 1000005.0 AS u
+        FROM seg
+    )
+    SELECT segment, true_count,
+           ROUND(true_count
+                 + (-2.0) * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count
+    FROM seeded
+    """,
+)
+def dp_noisy_counts_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release primitive: per-segment counts with
+    Laplace(sensitivity/epsilon = 1/0.5 = 2) noise drawn by INVERSE-CDF
+    from a deterministic per-key uniform — the seeded twin of a real DP
+    mechanism, so the gate can hash-check the noise arithmetic
+    bit-for-bit (a production release would swap the hash uniform for a
+    secure RNG; ``true_count`` is emitted here only because the gate
+    compares engines — a DP release would drop it). Noise composes
+    map-side after the aggregate: one hash-agg, then pure per-row math.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    seg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    u = (
+        (F.ascii("segment") * 31 + F.length("segment")) * F.lit(2654435761)
+        % 1000003
+        + 1
+    ) / F.lit(1000005.0)
+    seeded = seg.withColumn("u", u)
+    noise = (
+        F.lit(-2.0)
+        * F.when(F.col("u") >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(F.col("u") - 0.5))
+    )
+    return seeded.select(
+        "segment",
+        "true_count",
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+    )
