@@ -10751,3 +10751,191 @@ def dp_noisy_counts_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 47: one-scan k-fold cross-validation + multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kfold_price_model",
+    oracle="""
+    WITH folded AS (
+        SELECT (l_orderkey * 2654435761 + l_linenumber * 40503) % 5 AS fold,
+               CAST(l_quantity AS DOUBLE) AS x,
+               l_extendedprice AS y
+        FROM lineitem
+    ), stats AS (
+        SELECT fold,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM folded GROUP BY fold
+    ), tot AS (
+        SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+               SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+        FROM stats
+    ), models AS (
+        SELECT s.fold, s.n AS n_test,
+               ((t.n - s.n) * (t.sxy - s.sxy) - (t.sx - s.sx) * (t.sy - s.sy))
+               / ((t.n - s.n) * (t.sxx - s.sxx)
+                  - (t.sx - s.sx) * (t.sx - s.sx)) AS b,
+               s.sx AS sx, s.sy AS sy, s.sxx AS sxx, s.sxy AS sxy,
+               s.syy AS syy,
+               (t.sy - s.sy) AS csy, (t.sx - s.sx) AS csx,
+               (t.n - s.n) AS cn
+        FROM stats s, tot t
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_test,
+           ROUND(b, 3) AS slope,
+           ROUND((csy - b * csx) / cn, 3) AS intercept,
+           ROUND(SQRT(GREATEST(
+               (syy - 2 * ((csy - b * csx) / cn) * sy - 2 * b * sxy
+                + 2 * ((csy - b * csx) / cn) * b * sx
+                + ((csy - b * csx) / cn) * ((csy - b * csx) / cn) * n_test
+                + b * b * sxx) / n_test, 0)), 3) AS rmse
+    FROM models
+    """,
+)
+def kfold_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the linear price model y = a + b·x
+    (extended price on quantity) in ONE scan of the fact table: the
+    scan produces per-fold sufficient statistics (n, Σx, Σy, Σx²,
+    Σxy, Σy²); each fold's TRAINING stats are the algebraic complement
+    (total − fold), its coefficients come from the normal equations on
+    those complements, and its held-out RMSE expands from the fold's
+    OWN stats — E[(y−a−bx)²] is a polynomial in the six sums. No
+    per-fold rescans, no 5× data movement: cross-validation cost =
+    one aggregate, the way model selection has to work at 100 TB.
+    Folds are deterministic multiplicative-hash assignments.
+
+    Scale shape: one map-side-partial hash-agg to 5 rows; everything
+    after is constant-size arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    folded = li.select(
+        ((F.col("l_orderkey") * 2654435761 + F.col("l_linenumber") * 40503) % 5)
+        .alias("fold"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    stats = folded.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = stats.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("syy").alias("tsyy"),
+    )
+    m = stats.crossJoin(F.broadcast(tot))
+    cn = F.col("tn") - F.col("n")
+    csx = F.col("tsx") - F.col("sx")
+    csy = F.col("tsy") - F.col("sy")
+    csxx = F.col("tsxx") - F.col("sxx")
+    csxy = F.col("tsxy") - F.col("sxy")
+    b = (cn * csxy - csx * csy) / (cn * csxx - csx * csx)
+    a = (csy - b * csx) / cn
+    mse = (
+        F.col("syy")
+        - 2 * a * F.col("sy")
+        - 2 * b * F.col("sxy")
+        + 2 * a * b * F.col("sx")
+        + a * a * F.col("n")
+        + b * b * F.col("sxx")
+    ) / F.col("n")
+    return m.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").alias("n_test"),
+        F.round(b, 3).alias("slope"),
+        F.round(a, 3).alias("intercept"),
+        F.round(F.sqrt(F.greatest(mse, F.lit(0.0))), 3).alias("rmse"),
+    )
+
+
+@query(
+    "linear_attribution_purchases",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), touches AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click')
+    ), joined AS (
+        SELECT p.event_id, p.value, t.event_type AS channel
+        FROM purchases p LEFT JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND t.ts > p.ts - INTERVAL 3 DAY
+    ), credited AS (
+        SELECT event_id, value,
+               COALESCE(channel, 'unattributed') AS channel,
+               COUNT(channel) OVER (PARTITION BY event_id) AS k
+        FROM joined
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(CASE WHEN k = 0 THEN value ELSE value / k END), 6)
+               AS credited_value
+    FROM credited
+    GROUP BY channel
+    """,
+)
+def linear_attribution_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value is split
+    equally across the user's view/click touches in the 3 days before
+    it; purchases with no touches report as 'unattributed'. The
+    credited-value-per-channel table is how marketing/traffic sources
+    get budgeted — and the same pattern attributes training-corpus
+    value back to acquisition pipelines.
+
+    Scale shape: the touch join is a user-keyed EQUI-join with a
+    residual time-range predicate (never a cross join); the per-purchase
+    touch count comes from a window partitioned by purchase id —
+    bounded by touches-per-purchase, no global window; final channel
+    rollup is a tiny hash-agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 3 DAY")),
+        "left",
+    )
+    wk = Window.partitionBy("event_id")
+    credited = joined.select(
+        "event_id",
+        "value",
+        F.coalesce(F.col("channel"), F.lit("unattributed")).alias("channel"),
+        F.count("channel").over(wk).alias("k"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(
+            F.sum(
+                F.when(F.col("k") == 0, F.col("value")).otherwise(
+                    F.col("value") / F.col("k")
+                )
+            ),
+            6,
+        ).alias("credited_value"),
+    )
