@@ -10939,3 +10939,246 @@ def linear_attribution_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("credited_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 48: SemDedup cells, temperature mixture, curriculum interleave
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semdedup_embedding_cells",
+    oracle="""
+    WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (
+        SELECT e AS ce,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        FROM s WHERE vec_id IN (3, 66, 129, 192, 255, 318, 381, 444)
+    ), scored AS (
+        SELECT s.vec_id, s.e, c.cell,
+               CAST(ROUND(list_cosine_similarity(s.e, c.ce) * 1e6) AS BIGINT)
+                   AS sim_ppm
+        FROM s CROSS JOIN c
+    ), best AS (
+        SELECT vec_id, e, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim_ppm DESC, cell) AS rn
+        FROM scored
+    ), assigned AS (
+        SELECT vec_id, e, cell FROM best WHERE rn = 1
+    ), pair_stats AS (
+        SELECT a.cell,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN
+                    CAST(ROUND(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT)
+                    >= 450000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+               MAX(CAST(ROUND(list_cosine_similarity(a.e, b.e) * 1e6) AS BIGINT))
+                   AS max_cos_ppm
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        GROUP BY a.cell
+    )
+    SELECT CAST(v.cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           COALESCE(MAX(p.n_pairs), 0) AS n_pairs,
+           COALESCE(MAX(p.n_dups), 0) AS n_dups,
+           COALESCE(MAX(p.max_cos_ppm), -1) AS max_cos_ppm
+    FROM assigned v LEFT JOIN pair_stats p ON p.cell = v.cell
+    GROUP BY v.cell
+    """,
+)
+def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023) shape: semantic near-duplicate
+    detection BLOCKED by k-means cells — pairwise cosine runs only
+    WITHIN a cell, so the quadratic term is bounded by cluster size,
+    never corpus size. Emitted as the per-cell dedup report (vector
+    count, pairs scored, pairs over the 0.45-cosine dup threshold, max
+    similarity) — the report form is what a curation run reviews before
+    committing deletions, and it is never empty even on a corpus with
+    no near-dups (this synthetic one's max pairwise cosine is ~0.51).
+
+    Cosine is compared in exact ppm BIGINTs (round(cos*1e6)) so
+    cross-engine float noise cannot flip an aggregate.
+
+    Scale shape: assignment is the map-side NumPy matmul of
+    ``kmeans_assign``; the within-cell self-join shuffles on the cell
+    key only; per-cell pair counts bound memory. At 100 TB you raise k
+    so cells stay ~1e4 vectors (SemDedup's own regime).
+    """
+    from pyspark_movie_recommender_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(
+        emb, centroid_ids=[3, 66, 129, 192, 255, 318, 381, 444]
+    ).select("vec_id", "cell")
+    vec = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).join(assigned, "vec_id")
+    a = vec.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+    )
+    b = vec.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+    )
+    cos_ppm = F.expr(
+        """
+        CAST(ROUND(
+          aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+                    (acc, x) -> acc + x)
+          / (sqrt(aggregate(transform(ea, x -> x * x), CAST(0.0 AS DOUBLE),
+                            (acc, x) -> acc + x))
+             * sqrt(aggregate(transform(eb, x -> x * x), CAST(0.0 AS DOUBLE),
+                              (acc, x) -> acc + x))) * 1e6) AS BIGINT)
+        """
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell", cos_ppm.alias("cos_ppm"))
+    )
+    pair_stats = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("cos_ppm") >= 450000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dups"),
+        F.max("cos_ppm").alias("max_cos_ppm"),
+    )
+    cells = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        cells.join(pair_stats, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vectors",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+            F.coalesce("max_cos_ppm", F.lit(-1)).alias("max_cos_ppm"),
+        )
+    )
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM documents GROUP BY source
+    ), z AS (
+        SELECT SUM(POW(n_chars_total, 0.7)) AS z FROM s
+    )
+    SELECT source, n_docs, n_chars_total,
+           ROUND(POW(n_chars_total, 0.7) / z, 6) AS weight,
+           CAST(ROUND(POW(n_chars_total, 0.7) / z * 100000) AS BIGINT)
+               AS quota_chars_e5
+    FROM s, z
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-sampling
+    formula from mBERT/XLM-R, alpha = 0.7): per-source sampling weight
+    proportional to size^alpha, which up-weights small sources and
+    tempers head domination — THE standard knob for balancing crawl
+    mixtures before training. Emits the weight and a concrete quota for
+    a 100k-char budget.
+
+    Scale shape: one map-side-partial hash-agg to |sources| rows, a
+    broadcast scalar normalizer, then per-row math. The pow/divide runs
+    on identical inputs in both engines so rounding at 1e-6 is stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+    z = s.agg(F.sum(F.pow("n_chars_total", 0.7)).alias("z"))
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars_total",
+            F.round(F.pow("n_chars_total", 0.7) / F.col("z"), 6).alias("weight"),
+            F.round(F.pow("n_chars_total", 0.7) / F.col("z") * 100000)
+            .cast("long")
+            .alias("quota_chars_e5"),
+        )
+    )
+
+
+@query(
+    "curriculum_interleave_order",
+    oracle="""
+    WITH src AS (
+        SELECT source,
+               CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+        FROM (SELECT DISTINCT source FROM documents)
+    ), nsrc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k FROM src
+    ), ranked AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rs
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rs * n.k + s.sidx AS position
+    FROM ranked r JOIN src s USING (source) CROSS JOIN nsrc n
+    """,
+)
+def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: a GLOBAL training order that (a) feeds
+    higher-quality documents first within each source (quality proxy:
+    length) and (b) round-robins across sources so no contiguous run of
+    steps sees one source — position = within-source-rank * n_sources +
+    source-index, a collision-free integer interleave computed without
+    ever globally sorting the corpus. This is how you lay out a 100-TB
+    epoch: per-source windows (parallel) plus pure arithmetic, then
+    write sorted-within-partitions by position.
+
+    Scale shape: one partitioned window per source + a broadcast
+    |sources|-row index map; no global window, no shuffle beyond the
+    source partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    src = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1)
+            .cast("long")
+            .alias("sidx"),
+        )
+    )
+    k = src.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("rs"),
+    )
+    return (
+        ranked.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rs") * F.col("k") + F.col("sidx")).alias("position"),
+        )
+    )
