@@ -11182,3 +11182,206 @@ def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rs") * F.col("k") + F.col("sidx")).alias("position"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 49: join-size estimation, referential integrity, Benford audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_size_estimate",
+    oracle="""
+    WITH exact AS (
+        SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS exact_pairs
+        FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) a
+        JOIN (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) b
+          USING (k)
+    ), sa AS (
+        SELECT o_custkey AS k FROM orders
+        WHERE (o_orderkey * 2654435761) % 100 < 10
+    ), sb AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE (c_custkey * 40503) % 100 < 50
+    ), est AS (
+        SELECT CAST(COUNT(*) * 100 / 10 * 100 / 50 AS BIGINT) AS est_pairs
+        FROM sa JOIN sb USING (k)
+    )
+    SELECT exact_pairs, est_pairs,
+           CAST(ROUND(ABS(est_pairs - exact_pairs) * 1000000.0
+                      / exact_pairs) AS BIGINT) AS err_ppm
+    FROM exact, est
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by deterministic Bernoulli sampling —
+    the statistic a cost-based optimizer needs before picking a join
+    strategy: |A ⋈ B| estimated from a 10% sample of the fact side and
+    a 50% sample of the dim side, scaled by 1/(p·q), next to the exact
+    count (per-key count-product aggregate, never a materialized join)
+    and the relative error in ppm. Deterministic multiplicative-hash
+    samples make the estimate reproducible and gate-checkable.
+
+    Scale shape: the exact side is two hash-aggs + a key join on
+    pre-aggregated counts (|keys| rows, not |rows|); the sampled side
+    filters map-side THEN joins — both asymptotically cheaper than the
+    join being estimated.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    exact = a.join(b, "k").agg(
+        F.sum(F.col("n_a") * F.col("n_b")).cast("long").alias("exact_pairs")
+    )
+    sa = orders.filter((F.col("o_orderkey") * 2654435761) % 100 < 10).select(
+        F.col("o_custkey").alias("k")
+    )
+    sb = cust.filter((F.col("c_custkey") * 40503) % 100 < 50).select(
+        F.col("c_custkey").alias("k")
+    )
+    est = sa.join(sb, "k").agg(
+        (F.count(F.lit(1)) * 100 / 10 * 100 / 50).cast("long").alias("est_pairs")
+    )
+    return exact.crossJoin(est).select(
+        "exact_pairs",
+        "est_pairs",
+        F.round(
+            F.abs(F.col("est_pairs") - F.col("exact_pairs"))
+            * 1000000.0
+            / F.col("exact_pairs")
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS n_orphans,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each FK
+    edge, how many child rows reference a missing parent — the
+    cross-TABLE data-quality gate beside the per-column
+    `profile_orders_columns` / expectations reports. Run it after every
+    ingest; a nonzero count means an upstream extractor dropped parents
+    or the load raced.
+
+    Scale shape: each FK check is a LEFT ANTI join (Catalyst lowers the
+    NOT EXISTS to the same) that shuffles only the key column; parent
+    sides are dims (broadcast) except orders, which co-partitions with
+    lineitem on the order key. Four checks union into one 4-row report.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def audit(fk_name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(fk_name).alias("fk"), "n_orphans", "n_rows"
+        )
+
+    return (
+        audit("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+        .unionByName(
+            audit("lineitem.l_orderkey->orders", li, "l_orderkey", orders,
+                  "o_orderkey")
+        )
+        .unionByName(
+            audit("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey")
+        )
+        .unionByName(
+            audit("customer.c_nationkey->nation", cust, "c_nationkey", nation,
+                  "n_nationkey")
+        )
+    )
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                          1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ), tot AS (
+        SELECT SUM(n) AS t FROM counts
+    )
+    SELECT d, n,
+           ROUND(n * 1.0 / t, 6) AS observed,
+           ROUND(log10(1.0 + 1.0 / d), 6) AS expected,
+           ROUND((n * 1.0 / t - log10(1.0 + 1.0 / d))
+                 * (n * 1.0 / t - log10(1.0 + 1.0 / d))
+                 / log10(1.0 + 1.0 / d), 6) AS chi2_term
+    FROM counts, tot
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit frequencies against the log10(1+1/d) law, with
+    per-digit chi-square terms. Natural multiplicative data follows
+    Benford; synthetic/fabricated/truncated data deviates loudly — a
+    one-scan forensic gate for ingested numeric columns (this corpus's
+    uniform-ish synthetic prices deviate by construction, which is
+    exactly what the audit should report).
+
+    Scale shape: leading digit extracted map-side from the integer
+    part; one hash-agg to <=9 rows; constants thereafter.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    obs = F.col("n") * 1.0 / F.col("t")
+    exp = F.log10(1.0 + 1.0 / F.col("d"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(obs, 6).alias("observed"),
+        F.round(exp, 6).alias("expected"),
+        F.round((obs - exp) * (obs - exp) / exp, 6).alias("chi2_term"),
+    )
