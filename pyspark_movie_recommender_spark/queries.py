@@ -11385,3 +11385,253 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 6).alias("expected"),
         F.round((obs - exp) * (obs - exp) / exp, 6).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 50: collocation mining, RFM segmentation, nearest-event as-of
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pmi_bigram_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    ), uc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), tot AS (
+        SELECT SUM(c) AS n FROM uc
+    ), bi AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM (
+            SELECT t[g.i] AS a, t[g.i + 1] AS b
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+        ) GROUP BY a, b HAVING COUNT(*) >= 5
+    )
+    SELECT a, b, c_ab, ROUND(ln((CAST(c_ab AS DOUBLE) * n) / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+    FROM bi JOIN uc ua ON ua.w = bi.a JOIN uc ub ON ub.w = bi.b, tot
+    ORDER BY (CAST(c_ab AS DOUBLE) * n) / (CAST(ua.c AS DOUBLE) * ub.c) DESC, a, b
+    LIMIT 20
+    """,
+)
+def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token bigram collocations by pointwise mutual
+    information, min support 5 — the phrase-mining pass (tokenizer merge
+    candidates, stopword-phrase discovery) over the corpus.
+
+    PMI = ln(c(ab)·N / (c(a)·c(b))) with N = total token occurrences.
+    Ordering is done on the raw double ratio (pure IEEE mul/div of exact
+    BIGINTs — engine-identical), not the rounded log, so the top-k is
+    stable across engines; ties break on the token pair.
+
+    Scale shape: bigrams enumerated map-side inside the row (transform
+    over sequence — no self-join, no shuffle to form pairs); two hash
+    aggs whose key spaces are vocab and vocab² bounded by min-support;
+    unigram side joined twice (vocab-sized, broadcast at corpus scale);
+    TakeOrdered top-k. No corpus-sized shuffle anywhere.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(ws_tokens(F.lower(F.col("text"))).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+                    " ELSE array() END"
+                )
+            ).alias("bg")
+        )
+        .select("bg.a", "bg.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    ratio = (F.col("c_ab").cast("double") * F.col("n")) / (
+        F.col("c_a").cast("double") * F.col("c_b")
+    )
+    return (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .orderBy(ratio.desc(), "a", "b")
+        .limit(20)
+        .select("a", "b", "c_ab", F.round(F.log(ratio), 6).alias("pmi"))
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT NTILE(4) OVER (ORDER BY recency_days ASC, custkey) AS r,
+               NTILE(4) OVER (ORDER BY freq DESC, custkey) AS f,
+               NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m,
+               monetary_cents
+        FROM cust
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation — the
+    classic customer-value census. r/f/m = NTILE(4) with r1 = most
+    recent, f1 = most frequent, m1 = highest spend; output is the
+    64-cell-max segment census with exact BIGINT cents.
+
+    Scale shape: the fact collapses to one row per customer in a single
+    map-side-partial hash agg; the three ntiles run over the customer
+    summary (dimension-sized, not fact-sized) and share one single-
+    partition sort exchange; final agg is 64 rows. At extreme customer
+    counts the ntile cut points would swap to approx percentiles — the
+    exact form here is the checkable spec. Tie-breaks on custkey make
+    every quartile boundary deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    maxd = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    cust = cust.crossJoin(F.broadcast(maxd)).select(
+        "custkey",
+        F.datediff("maxd", "last_order").alias("recency_days"),
+        "freq",
+        "monetary_cents",
+    )
+    w = Window.orderBy
+    scored = cust.select(
+        F.ntile(4).over(w(F.asc("recency_days"), F.asc("custkey"))).alias("r"),
+        F.ntile(4).over(w(F.desc("freq"), F.asc("custkey"))).alias("f"),
+        F.ntile(4).over(w(F.desc("monetary_cents"), F.asc("custkey"))).alias("m"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+    )
+
+
+@query(
+    "asof_nearest_event",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(ts) AS pt
+        FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, epoch_us(ts) AS vt FROM events WHERE event_type = 'view'
+    ), b AS (
+        SELECT p.event_id, MAX(v.vt) AS prev_vt
+        FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vt <= p.pt
+        GROUP BY p.event_id
+    ), f AS (
+        SELECT p.event_id, MIN(v.vt) AS next_vt
+        FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vt >= p.pt
+        GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN prev_vt IS NULL AND next_vt IS NULL THEN 'none'
+                WHEN next_vt IS NULL THEN 'prev'
+                WHEN prev_vt IS NULL THEN 'next'
+                WHEN p.pt - prev_vt <= next_vt - p.pt THEN 'prev'
+                ELSE 'next' END AS nearest_dir,
+           CASE WHEN prev_vt IS NULL AND next_vt IS NULL THEN NULL
+                WHEN next_vt IS NULL THEN p.pt - prev_vt
+                WHEN prev_vt IS NULL THEN next_vt - p.pt
+                ELSE LEAST(p.pt - prev_vt, next_vt - p.pt) END AS gap_us
+    FROM p JOIN b ON b.event_id = p.event_id JOIN f ON f.event_id = p.event_id
+    """,
+)
+def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join, BOTH directions: for every purchase,
+    the temporally closest view by the same user (preceding or
+    following), ties to the preceding one. Completes the as-of family
+    (backward `asof_join_purchases`, forward `asof_forward_next_purchase`)
+    with the symmetric nearest-neighbour variant sensor/order-book
+    alignment needs.
+
+    Engine: ONE shuffle on user_id — views and purchases ride the same
+    RANGE-framed window (ordered by microsecond epoch) where
+    `last(view_ts) ignore nulls` over (-inf, 0] gives the nearest
+    preceding view and `first(view_ts) ignore nulls` over [0, +inf) the
+    nearest following; frames are RANGE (value) based so rows tied on
+    ts agree with the oracle's pure ts-inequality semantics no matter
+    the intra-tie row order. The oracle is the naive inequality-join
+    formulation — agreement proves the single-pass window form exact.
+    All gaps are BIGINT microseconds.
+
+    Scale shape: no pair explosion (the naive join is oracle-only);
+    state per row is two BIGINTs; AQE handles hot users.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    # NTZ fixture timestamps: cast through LTZ (session TZ is UTC in tests)
+    # so unix_micros matches the oracle's epoch_us over naive timestamps
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("t"),
+        F.when(F.col("event_type") == "view", us).alias("vt"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    prev_vt = F.last("vt", ignorenulls=True).over(
+        w.rangeBetween(Window.unboundedPreceding, 0)
+    )
+    next_vt = F.first("vt", ignorenulls=True).over(
+        w.rangeBetween(0, Window.unboundedFollowing)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "t",
+        prev_vt.alias("prev_vt"),
+        next_vt.alias("next_vt"),
+    ).filter(F.col("event_type") == "purchase")
+    back = F.col("t") - F.col("prev_vt")
+    fwd = F.col("next_vt") - F.col("t")
+    return scored.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("prev_vt").isNull() & F.col("next_vt").isNull(), "none")
+        .when(F.col("next_vt").isNull(), "prev")
+        .when(F.col("prev_vt").isNull(), "next")
+        .when(back <= fwd, "prev")
+        .otherwise("next")
+        .alias("nearest_dir"),
+        F.when(F.col("prev_vt").isNull() & F.col("next_vt").isNull(), F.lit(None))
+        .when(F.col("next_vt").isNull(), back)
+        .when(F.col("prev_vt").isNull(), fwd)
+        .otherwise(F.least(back, fwd))
+        .cast("long")
+        .alias("gap_us"),
+    )
