@@ -11635,3 +11635,300 @@ def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 51: corpus keyness, n-gram diversity, pure-SQL naive Bayes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g2_keyness_sources",
+    oracle="""
+    WITH toks AS (
+        SELECT CAST(substr(source, 4) AS INT) % 2 AS grp,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    ), tc AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM (SELECT grp, unnest(t) AS w FROM toks) GROUP BY w
+    ), tot AS (
+        SELECT SUM(a) AS na, SUM(b) AS nb FROM tc
+    )
+    SELECT w, a, b,
+           CASE WHEN a * nb > b * na THEN 'A' ELSE 'B' END AS leans,
+           ROUND(2.0 * (
+               CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE)
+                    / (na * (CAST(a + b AS DOUBLE) / (na + nb)))) ELSE 0.0 END
+             + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE)
+                    / (nb * (CAST(a + b AS DOUBLE) / (na + nb)))) ELSE 0.0 END
+           ), 6) AS g2
+    FROM tc, tot
+    WHERE a + b >= 20
+    """,
+)
+def g2_keyness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood (G², Dunning 1993) keyness of every token with
+    corpus frequency >= 20 between two crawl halves (even- vs
+    odd-numbered sources) — the corpus-comparison statistic behind
+    'which words distinguish crawl A from crawl B', used to audit
+    ingest drift between two acquisitions of nominally-the-same web
+    data. `leans` marks the over-represented side via exact BIGINT
+    cross-multiplication (a·Nb vs b·Na) so the direction never rides a
+    float ratio.
+
+    Scale shape: one explode into a (token → two partial counts) hash
+    agg (map-side combine collapses occurrences before the shuffle);
+    totals are a 1-row broadcast; G² itself is a map-side expression on
+    the vocab-sized relation. All rows returned (no top-k), so no
+    cross-engine float-ordering hazard — the gate sorts rows itself.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.substring("source", 4, 10).cast("int") % 2).alias("grp"),
+        ws_tokens(F.lower(F.col("text"))).alias("t"),
+    )
+    tc = (
+        toks.select("grp", F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("b"),
+        )
+    )
+    tot = tc.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    a, b = F.col("a"), F.col("b")
+    na, nb = F.col("na"), F.col("nb")
+    ea = na * ((a + b).cast("double") / (na + nb))
+    eb = nb * ((a + b).cast("double") / (na + nb))
+    g2 = 2.0 * (
+        F.when(a > 0, a * F.log(a.cast("double") / ea)).otherwise(F.lit(0.0))
+        + F.when(b > 0, b * F.log(b.cast("double") / eb)).otherwise(F.lit(0.0))
+    )
+    return (
+        tc.filter(a + b >= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "a",
+            "b",
+            F.when(a * nb > b * na, "A").otherwise("B").alias("leans"),
+            F.round(g2, 6).alias("g2"),
+        )
+    )
+
+
+@query(
+    "ngram_diversity_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    ), grams AS (
+        SELECT source,
+               t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2] || ' ' || t[g.i + 3] AS gram
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) g
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT) AS diversity_ppm
+    FROM grams GROUP BY source
+    """,
+)
+def ngram_diversity_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 4-gram diversity (distinct/total in exact ppm) — the
+    self-repetition audit for generated or templated corpora: a source
+    whose distinct-4-gram ratio collapses is emitting boilerplate or
+    model-generated loops (the distinct-n-gram metric of self-BLEU
+    fame), and should be down-weighted in the training mixture.
+
+    Scale shape: 4-grams enumerated map-side inside the row (transform
+    over sequence, no join); COUNT(DISTINCT) expands to a two-phase
+    (source, gram) partial-dedup agg → per-source count, so the shuffle
+    carries distinct grams, not occurrences; result is |sources| rows of
+    pure BIGINT arithmetic.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", ws_tokens(F.lower(F.col("text"))).alias("t"))
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 4 THEN transform(sequence(1, size(t) - 3),"
+                " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+                " element_at(t, i + 2), element_at(t, i + 3)))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.countDistinct("gram").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_distinct",
+            F.expr("n_distinct * 1000000L div n_grams").alias("diversity_ppm"),
+        )
+    )
+
+
+@query(
+    "naive_bayes_lang_confusion",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t,
+               ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+        FROM documents
+    ),
+    train_tok AS (
+        SELECT lang, unnest(t) AS w FROM split WHERE bucket < 80
+    ),
+    counts AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM train_tok GROUP BY lang, w
+    ),
+    n_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM train_tok GROUP BY lang
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_tok
+    ),
+    priors AS (
+        SELECT lang,
+               CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM split WHERE bucket < 80)) * 1000000)
+                   AS BIGINT) AS prior_unats
+        FROM split WHERE bucket < 80 GROUP BY lang
+    ),
+    test_tok AS (
+        SELECT doc_id, lang AS true_lang, w, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT doc_id, lang, unnest(t) AS w FROM split WHERE bucket >= 80)
+        GROUP BY doc_id, lang, w
+    ),
+    scored AS (
+        SELECT tt.doc_id, tt.true_lang, nl.lang AS cand,
+               SUM(tt.k * CAST(ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                   / (nl.n_l + vocab.v)) * 1000000) AS BIGINT)) AS tok_unats
+        FROM test_tok tt
+        CROSS JOIN n_lang nl
+        CROSS JOIN vocab
+        LEFT JOIN counts c ON c.lang = nl.lang AND c.w = tt.w
+        GROUP BY tt.doc_id, tt.true_lang, nl.lang
+    ),
+    ranked AS (
+        SELECT true_lang, cand,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tok_unats + p.prior_unats DESC, cand) AS rn
+        FROM scored JOIN priors p ON p.lang = scored.cand
+    )
+    SELECT true_lang, cand AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1 GROUP BY true_lang, cand
+    """,
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language identification, trained AND
+    applied entirely in relational algebra: Laplace-smoothed per-language
+    token log-probabilities learned on the deterministic 80% hash split
+    (same Knuth multiplicative hash as `deterministic_hash_split`),
+    argmax-scored on the held-out 20%, reported as a confusion matrix.
+    The statistical twin of the rule-based `language_id_heuristic`.
+
+    Every log-probability is quantized to BIGINT micro-nats
+    (round(ln·10⁶)) BEFORE summation, so per-document scores are exact
+    integer sums — immune to float summation-order divergence between
+    engines — and the argmax (ties → lexicographic language) is
+    hash-stable. Model quality is what a unigram NB earns; the point is
+    the shape: train = two hash aggs (vocab×langs and langs), apply =
+    token-keyed join of test tokens against the model, doc-keyed agg,
+    5-row-per-doc window argmax.
+
+    Scale shape: the model relation is vocab×|langs| and broadcasts; the
+    only data-sized shuffles are the (lang,w) training agg and the
+    per-doc scoring agg. Nothing quadratic, no UDFs, no driver loop.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ws_tokens(F.lower(F.col("text"))).alias("t"),
+        (((F.col("doc_id") * 2654435761) % 4294967296) % 100).alias("bucket"),
+    )
+    train = docs.filter(F.col("bucket") < 80)
+    test = docs.filter(F.col("bucket") >= 80)
+
+    train_tok = train.select("lang", F.explode("t").alias("w"))
+    counts = train_tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_lang = train_tok.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    vocab = train_tok.agg(F.countDistinct("w").cast("long").alias("v"))
+    d_tot = train.agg(F.count(F.lit(1)).cast("long").alias("d_tot"))
+    priors = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_l"))
+        .crossJoin(F.broadcast(d_tot))
+        .select(
+            "lang",
+            F.round(F.log(F.col("d_l").cast("double") / F.col("d_tot")) * 1000000)
+            .cast("long")
+            .alias("prior_unats"),
+        )
+    )
+
+    test_tok = (
+        test.select("doc_id", F.col("lang").alias("true_lang"), F.explode("t").alias("w"))
+        .groupBy("doc_id", "true_lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    cand = n_lang.select(F.col("lang").alias("cand"), "n_l")
+    model = counts.select(F.col("lang").alias("cand"), "w", "c")
+    lp = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_l") + F.col("v"))
+            )
+            * 1000000
+        )
+        .cast("long")
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(model), ["cand", "w"], "left")
+        .select("doc_id", "true_lang", "cand", (F.col("k") * lp).alias("wu"))
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(F.sum("wu").alias("tok_unats"))
+        .join(
+            F.broadcast(priors.select(F.col("lang").alias("cand"), "prior_unats")),
+            "cand",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tok_unats") + F.col("prior_unats")).desc(), F.asc("cand")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
