@@ -11932,3 +11932,267 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", F.col("cand").alias("pred_lang"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 52: time-series statistics — ACF, CUSUM changepoint, trend tests
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "acf_daily_event_value",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM pts
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+    ), daily AS (
+        SELECT g.day, COALESCE(SUM(p.cents), 0) AS x,
+               ROW_NUMBER() OVER (ORDER BY g.day) AS i
+        FROM grid g LEFT JOIN pts p ON p.day = g.day GROUP BY g.day
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM daily
+    ), dev AS (
+        SELECT i, CAST(n * x - s AS HUGEINT) AS d FROM daily, stats
+    ), den AS (
+        SELECT SUM(d * d) AS dd FROM dev
+    ), lags AS (
+        SELECT unnest(generate_series(1, 7)) AS lag
+    )
+    SELECT lag,
+           ROUND(CAST(SUM(a.d * b.d) AS DOUBLE) / CAST(den.dd AS DOUBLE), 6) AS acf
+    FROM lags JOIN dev a ON TRUE JOIN dev b ON b.i = a.i - lag, den
+    GROUP BY lag, den.dd
+    """,
+)
+def acf_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-7) of the zero-filled daily
+    event-value series — the seasonality detector behind 'does this
+    metric have a weekly cycle', feeding resampling/forecast choices.
+
+    Exactness: deviations are computed as n·x_t − Σx (pure BIGINT — the
+    n² normalization cancels in the ACF ratio), products and their sums
+    in 38-digit decimals, so both engines produce bit-identical
+    numerators/denominators regardless of summation order; only the
+    final single division is floating point. Missing days are zero
+    revenue via a generated calendar grid, keeping lag alignment honest
+    across gaps.
+
+    Scale shape: the fact collapses to |days| rows in one hash agg; the
+    grid, lag self-join, and ACF aggregation all run on that tiny series
+    relation. At 100 TB the day-grid is still just thousands of rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
+    daily = (
+        grid.join(pts, "day", "left")
+        .groupBy("day")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("x"))
+        .select("day", "x", F.row_number().over(Window.orderBy("day")).alias("i"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "i", (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)").alias("d")
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("dd"))
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    pairs = (
+        lags.crossJoin(dev.select(F.col("i").alias("ai"), F.col("d").alias("ad")))
+        .join(
+            dev.select(F.col("i").alias("bi"), F.col("d").alias("bd")),
+            F.col("bi") == F.col("ai") - F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("ad") * F.col("bd")).alias("num"))
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        "lag",
+        F.round(
+            F.col("num").cast("double") / F.col("dd").cast("double"), 6
+        ).alias("acf"),
+    )
+
+
+@query(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM pts
+    ), grid AS (
+        SELECT et.event_type, g.day
+        FROM (SELECT DISTINCT event_type FROM pts) et,
+             (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds) g
+    ), daily AS (
+        SELECT g.event_type, g.day,
+               CAST(COUNT(p.day) AS BIGINT) AS x
+        FROM grid g LEFT JOIN pts p
+          ON p.event_type = g.event_type AND p.day = g.day
+        GROUP BY g.event_type, g.day
+    ), stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM daily GROUP BY event_type
+    ), cusum AS (
+        SELECT d.event_type, d.day,
+               SUM(st.n * d.x - st.s) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day) AS c
+        FROM daily d JOIN stats st ON st.event_type = d.event_type
+    ), ranked AS (
+        SELECT event_type, day, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY ABS(c) DESC, day) AS rn
+        FROM cusum
+    )
+    SELECT event_type, day AS change_day, CAST(c AS BIGINT) AS cusum_n_scaled
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator per event type: the day where the
+    running sum of mean-deviations of the zero-filled daily count series
+    peaks in magnitude — the classic single-changepoint estimator for
+    'when did this metric shift level' (deploy regressions, logging
+    changes, traffic steps).
+
+    Exactness: deviations are n·x_t − Σx (BIGINT; the n scaling is
+    reported as-is and documented, so no division ever happens), the
+    running sum is an exact integer window, and the argmax breaks ties
+    on the earlier day — fully hash-stable.
+
+    Scale shape: fact → |types|×|days| hash agg; calendar grid generated
+    from a 1-row bounds agg; window and argmax run on the tiny series
+    relation partitioned by type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+    )
+    bounds = pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = pts.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(bounds).select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
+    )
+    daily = (
+        grid.join(pts.withColumn("hit", F.lit(1)), ["event_type", "day"], "left")
+        .groupBy("event_type", "day")
+        .agg(F.count("hit").cast("long").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    cusum = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.sum(F.col("n") * F.col("x") - F.col("s"))
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("c"),
+    )
+    ranked = cusum.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.abs("c").desc(), F.asc("day"))
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("change_day"),
+        F.col("c").cast("long").alias("cusum_n_scaled"),
+    )
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), daily AS (
+        SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS x
+        FROM pts GROUP BY event_type, day
+    ), pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+               CAST(b.x - a.x AS DOUBLE) / (b.day - a.day) AS slope
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.day > a.day
+    )
+    SELECT event_type,
+           CAST(SUM(sgn) AS BIGINT) AS mk_s,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_cents_per_day
+    FROM pairs GROUP BY event_type
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test statistic S plus the Theil-Sen slope
+    estimator per event type over the daily value series — the robust
+    (outlier-immune, distribution-free) monotonic-trend detector used on
+    operational metrics where OLS is wrecked by spikes.
+
+    S = Σ_{i<j} sign(x_j − x_i) is pure BIGINT counting. The Theil-Sen
+    slope is the exact interpolated median of all pairwise slopes; each
+    slope is one IEEE division of exact integers, so the sorted slope
+    multiset is engine-identical and the median deterministic.
+
+    Scale shape: the fact collapses to the |types|×|days| daily relation
+    FIRST; the pairwise self-join is days²-bounded per type (series
+    length, never event count) — for longer horizons the documented
+    swap is bucketing days into epochs before pairing. No window over
+    the raw facts, no UDFs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
+            .cast("long")
+            .alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("x"))
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("ad"), F.col("x").alias("ax")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("bd"), F.col("x").alias("bx")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("bd") > F.col("ad")).select(
+        "event_type",
+        F.when(F.col("bx") > F.col("ax"), 1)
+        .when(F.col("bx") < F.col("ax"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("bx") - F.col("ax")).cast("double") / (F.col("bd") - F.col("ad"))
+        ).alias("slope"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("mk_s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_sen_cents_per_day"),
+    )
