@@ -12196,3 +12196,255 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_sen_cents_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 53: mutual information, bigram LM surprisal, deterministic bootstrap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mutual_information_type_segment",
+    oracle="""
+    WITH joint AS (
+        SELECT e.event_type, c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_ij
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY e.event_type, c.c_mktsegment
+    ), mi AS (
+        SELECT j.event_type, j.segment, j.n_ij,
+               CAST(SUM(j.n_ij) OVER () AS BIGINT) AS n,
+               CAST(SUM(j.n_ij) OVER (PARTITION BY j.event_type) AS BIGINT) AS n_i,
+               CAST(SUM(j.n_ij) OVER (PARTITION BY j.segment) AS BIGINT) AS n_j
+        FROM joint j
+    )
+    SELECT event_type, segment, n_ij,
+           ROUND((CAST(n_ij AS DOUBLE) / n)
+                 * ln((CAST(n_ij AS DOUBLE) * n) / (CAST(n_i AS DOUBLE) * n_j)), 6)
+               AS mi_contrib
+    FROM mi
+    """,
+)
+def mutual_information_type_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and the acting customer's
+    market segment, reported as the per-cell contribution matrix
+    (Σ cells = I(X;Y)) — the dependence detector for 'is behaviour
+    segment-conditioned', used for feature selection and leakage checks
+    before training on joined features.
+
+    All counts are exact BIGINTs; each cell does one ln of a rational
+    built from those counts and one division — no float accumulations,
+    no top-k, so no cross-engine ordering hazard (≤ |types|·|segments|
+    rows, the gate sorts them).
+
+    Scale shape: fact joins the customer dim (broadcast at real scale),
+    collapses to the |types|×|segments| contingency table in one hash
+    agg with map-side combine; the three marginal windows run on that
+    tiny table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    joint = (
+        ev.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+            "user_id",
+        )
+        .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+    )
+    w_all = Window.partitionBy()
+    w_i = Window.partitionBy("event_type")
+    w_j = Window.partitionBy("segment")
+    mi = joint.select(
+        "event_type",
+        "segment",
+        "n_ij",
+        F.sum("n_ij").over(w_all).cast("long").alias("n"),
+        F.sum("n_ij").over(w_i).cast("long").alias("n_i"),
+        F.sum("n_ij").over(w_j).cast("long").alias("n_j"),
+    )
+    return mi.select(
+        "event_type",
+        "segment",
+        "n_ij",
+        F.round(
+            (F.col("n_ij").cast("double") / F.col("n"))
+            * F.log(
+                (F.col("n_ij").cast("double") * F.col("n"))
+                / (F.col("n_i").cast("double") * F.col("n_j"))
+            ),
+            6,
+        ).alias("mi_contrib"),
+    )
+
+
+@query(
+    "bigram_lm_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    ), bi AS (
+        SELECT doc_id, lang, t[g.i] AS a, t[g.i + 1] AS b
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+    ), bc AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi GROUP BY a, b
+    ), uc AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM bi GROUP BY a
+    ), vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest(t) AS w FROM toks)
+    ), scored AS (
+        SELECT bi.doc_id, bi.lang,
+               CAST(ROUND(-ln(CAST(bc.c_ab + 1 AS DOUBLE) / (uc.c_a + vocab.v))
+                    * 1000000) AS BIGINT) AS unats
+        FROM bi JOIN bc ON bc.a = bi.a AND bc.b = bi.b
+                JOIN uc ON uc.a = bi.a
+                CROSS JOIN vocab
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(unats) // COUNT(*) AS BIGINT) AS mean_surprisal_unats
+    FROM scored GROUP BY doc_id, lang
+    """,
+)
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal −ln p(w_i | w_{i−1}) under the
+    corpus's own Laplace-smoothed bigram LM — the sequence-aware quality
+    scorer beside `unigram_logprob_quality`: word-salad documents whose
+    unigrams look fine light up here because their TRANSITIONS are
+    improbable.
+
+    Each conditional log-probability is quantized to BIGINT micro-nats
+    before aggregation, so per-doc sums and the integer-division mean
+    are exact and summation-order-proof across engines.
+
+    Scale shape: bigrams enumerated map-side in-row; the LM is two hash
+    aggs (bigram and unigram-context counts) re-joined to the bigram
+    stream on their natural keys — vocab-sized sides that broadcast at
+    corpus scale; final agg is per-doc. No UDFs, no windows over the
+    corpus.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", ws_tokens(F.lower(F.col("text"))).alias("t")
+    )
+    bi = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.a", "bg.b")
+    bc = bi.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    uc = bi.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c_a"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").cast("long").alias("v")
+    )
+    unats = (
+        F.round(
+            -F.log(
+                (F.col("c_ab") + 1).cast("double") / (F.col("c_a") + F.col("v"))
+            )
+            * 1000000
+        )
+        .cast("long")
+    )
+    scored = (
+        bi.join(F.broadcast(bc), ["a", "b"])
+        .join(F.broadcast(uc), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "lang", unats.alias("unats"))
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("unats").alias("su"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.expr("su div n_bigrams").cast("long").alias("mean_surprisal_unats"),
+        )
+    )
+
+
+@query(
+    "bootstrap_ci_order_value",
+    oracle="""
+    WITH w AS (
+        SELECT b.b, o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+               ((o.o_orderkey * 2654435761 + b.b * 40503) % 4294967296) % 3 AS wt
+        FROM orders o,
+             (SELECT unnest(generate_series(0, 99)) AS b) b
+    ), means AS (
+        SELECT b,
+               CAST(SUM(wt * cents) AS BIGINT) AS num,
+               CAST(SUM(wt) AS BIGINT) AS den
+        FROM w GROUP BY b HAVING SUM(wt) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           ROUND(quantile_cont(CAST(num AS DOUBLE) / den, 0.025), 4) AS ci_lo,
+           ROUND(quantile_cont(CAST(num AS DOUBLE) / den, 0.5), 4) AS ci_mid,
+           ROUND(quantile_cont(CAST(num AS DOUBLE) / den, 0.975), 4) AS ci_hi
+    FROM means
+    """,
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted-bootstrap 95% confidence interval for the
+    mean order value (cents): 100 resamples whose per-row weights
+    {0,1,2} come from a multiplicative hash of (orderkey, resample) —
+    the reproducible, cluster-stable stand-in for Poisson bootstrap
+    weights (mean 1, recomputable map-side on any executor, no rand(),
+    no resample tables to ship).
+
+    Each resample mean is an exact BIGINT ratio evaluated with ONE IEEE
+    division; the CI bounds are exact interpolated percentiles of those
+    100 engine-identical doubles. This is the uncertainty layer for
+    every point estimate the engine reports.
+
+    Scale shape: the fan-out is rows×B but entirely map-side (a
+    generated literal range crossed in-row) feeding a B-row hash agg
+    with map-side partials — the shuffle carries 2·B BIGINTs per task,
+    not the resampled data. B scales independently of the corpus.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.explode(F.expr("sequence(0, 99)")).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        (
+            ((F.col("o_orderkey") * 2654435761 + F.col("b") * 40503) % 4294967296)
+            % 3
+        ).alias("wt"),
+    )
+    means = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).cast("long").alias("num"),
+            F.sum("wt").cast("long").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select((F.col("num").cast("double") / F.col("den")).alias("m"))
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.round(F.expr("percentile(m, 0.025D)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.5D)"), 4).alias("ci_mid"),
+        F.round(F.expr("percentile(m, 0.975D)"), 4).alias("ci_hi"),
+    )
