@@ -12448,3 +12448,225 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.5D)"), 4).alias("ci_mid"),
         F.round(F.expr("percentile(m, 0.975D)"), 4).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 54: PSI drift, weekday seasonality, Lorenz concentration curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "psi_drift_order_value",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+        FROM orders
+    ), bounds AS (
+        SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM o
+    ), tagged AS (
+        SELECT cents, CASE WHEN day < mid THEN 0 ELSE 1 END AS period
+        FROM o, bounds
+    ), edges AS (
+        SELECT quantile_cont(CAST(cents AS DOUBLE),
+                             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+        FROM tagged WHERE period = 0
+    ), binned AS (
+        SELECT period, len(list_filter(e, x -> cents > x)) AS bin
+        FROM tagged, edges
+    ), counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM counts
+    )
+    SELECT bin, n0, n1,
+           ROUND((CAST(n1 AS DOUBLE) / t1 - CAST(n0 AS DOUBLE) / t0)
+                 * ln((CAST(n1 AS DOUBLE) / t1) / (CAST(n0 AS DOUBLE) / t0)),
+                 6) AS psi_term
+    FROM counts, tot
+    """,
+)
+def psi_drift_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value between the first and
+    second half of the order history: reference-period deciles become
+    fixed bin edges, and each bin contributes (p₁−p₀)·ln(p₁/p₀) — the
+    scorecard-monitoring drift metric (PSI > 0.25 ⇒ the distribution a
+    model was trained on no longer holds). Binned twin of the
+    KS statistic in `ks_drift_view_purchase`.
+
+    Decile edges are exact interpolated percentiles of BIGINT cents
+    (engine-identical doubles); bin assignment is a strict > count over
+    the 9-edge array (in-row, no join); counts are exact; each PSI term
+    does two divisions and one ln of already-identical doubles, rounded
+    to 6. All ≤10 rows returned, no ordering hazard.
+
+    Scale shape: one pass to tag periods (pure arithmetic on the date),
+    one exact-percentile agg over the reference half, then a 10-row
+    hash agg; the edge array broadcasts in-row. At extreme scale the
+    documented swap is approx percentiles for the edges — the exact
+    form is the checkable spec.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(CAST(o_orderdate AS timestamp_ltz)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+    )
+    bounds = o.agg(
+        F.expr("(min(day) + max(day)) div 2").cast("long").alias("mid")
+    )
+    tagged = o.crossJoin(F.broadcast(bounds)).select(
+        "cents", F.when(F.col("day") < F.col("mid"), 0).otherwise(1).alias("period")
+    )
+    edges = tagged.filter(F.col("period") == 0).agg(
+        F.expr(
+            "percentile(CAST(cents AS DOUBLE),"
+            " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("e")
+    )
+    binned = tagged.crossJoin(F.broadcast(edges)).select(
+        "period",
+        F.expr("size(filter(e, x -> cents > x))").alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    tot = counts.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    p0 = F.col("n0").cast("double") / F.col("t0")
+    p1 = F.col("n1").cast("double") / F.col("t1")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n0",
+        "n1",
+        F.round((p1 - p0) * F.log(p1 / p0), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "dow_seasonality_profile",
+    oracle="""
+    WITH e AS (
+        SELECT (CAST(epoch_us(ts) // 86400000000 AS BIGINT)) % 7 AS dow,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), agg AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM e GROUP BY dow
+    ), tot AS (
+        SELECT SUM(n_events) AS tn FROM agg
+    )
+    SELECT dow, n_events, cents,
+           CAST(n_events * 1000000 // tn AS BIGINT) AS share_ppm,
+           CAST(n_events * 7000000 // tn AS BIGINT) AS index_ppm
+    FROM agg, tot
+    """,
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of the event stream: per-weekday
+    event count, value cents, traffic share, and a seasonality index
+    (share × 7, ppm — 1,000,000 = flat) — the weekly-cycle census that
+    justifies (or kills) the lag-7 signal `acf_daily_event_value`
+    measures.
+
+    The weekday is epoch_day mod 7 (day 0 = a Thursday) — pure integer
+    arithmetic with identical semantics in every engine, dodging the
+    1-vs-0-based / Sunday-vs-Monday-first minefield of native dayofweek
+    functions (documented, and trivially relabeled downstream). All
+    outputs are exact BIGINT ppm.
+
+    Scale shape: one map-side projection, one 7-row hash agg with
+    map-side partials, a 1-row broadcast total. Nothing else.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (
+            F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000") % 7
+        )
+        .cast("long")
+        .alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = e.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = agg.agg(F.sum("n_events").alias("tn"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_events",
+        "cents",
+        F.expr("n_events * 1000000L div tn").cast("long").alias("share_ppm"),
+        F.expr("n_events * 7000000L div tn").cast("long").alias("index_ppm"),
+    )
+
+
+@query(
+    "lorenz_curve_customer_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), deciled AS (
+        SELECT cents,
+               NTILE(10) OVER (ORDER BY cents ASC, o_custkey) AS decile
+        FROM spend
+    ), agg AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM deciled GROUP BY decile
+    ), tot AS (
+        SELECT SUM(cents) AS tc FROM agg
+    )
+    SELECT decile, n_customers, cents,
+           CAST(SUM(cents) OVER (ORDER BY decile) * 1000000 // tc AS BIGINT)
+               AS cum_share_ppm
+    FROM agg, tot
+    """,
+)
+def lorenz_curve_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of customer spend: customers ranked
+    poorest→richest into deciles, with the cumulative revenue share each
+    decile accounts for (exact ppm) — the 'top 10% of customers drive X%
+    of revenue' curve, and the oracle-checkable integral twin of the
+    rows-only Gini UDAF (`udaf_gini_per_segment`): Gini = 1 − 2·∫Lorenz.
+
+    Scale shape: the fact collapses to one row per customer map-side;
+    the decile ntile sorts only the customer summary (tie-broken on
+    custkey, so every boundary is deterministic); the cumulative window
+    runs over 10 rows. All arithmetic BIGINT.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    deciled = spend.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = agg.agg(F.sum("cents").alias("tc"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.expr(
+            "sum(cents) over (order by decile rows between unbounded preceding"
+            " and current row) * 1000000L div tc"
+        )
+        .cast("long")
+        .alias("cum_share_ppm"),
+    )
