@@ -11789,6 +11789,7 @@ def ngram_diversity_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "naive_bayes_lang_confusion",
+    bench=True,
     oracle="""
     WITH split AS (
         SELECT doc_id, lang,
@@ -12280,6 +12281,7 @@ def mutual_information_type_segment(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "bigram_lm_surprisal",
+    bench=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, lang,

