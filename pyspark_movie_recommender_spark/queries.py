@@ -12672,3 +12672,207 @@ def lorenz_curve_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 55: graph modularity, bag-semantics set ops, discrete percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "modularity_trade_communities",
+    oracle="""
+    WITH fwd AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), nodes AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+               CAST(c_nationkey AS BIGINT) AS com FROM customer
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               CAST(s_nationkey AS BIGINT) AS com FROM supplier
+    ), edges AS (
+        SELECT 'c' || CAST(ck AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst
+        FROM fwd
+        UNION ALL
+        SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR) FROM fwd
+    ), lab AS (
+        SELECT ns.com AS src_com, nd.com AS dst_com
+        FROM edges e JOIN nodes ns ON ns.node = e.src
+                     JOIN nodes nd ON nd.node = e.dst
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM lab
+    ), per AS (
+        SELECT src_com AS com,
+               CAST(SUM(CASE WHEN src_com = dst_com THEN 1 ELSE 0 END) AS BIGINT)
+                   AS e_int,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM lab GROUP BY src_com
+    )
+    SELECT com, e_int, k,
+           CAST(e_int * m2 - k * k AS BIGINT) AS q_scaled
+    FROM per, s
+    """,
+)
+def modularity_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the bidirected customer↔supplier trade graph
+    under the nation partition — 'do nations form real trade communities
+    or is the graph nation-agnostic?'. Per-community contribution in the
+    EXACT integer scaling Q·(2m)² = Σ_c (e_c·2m − K_c²), so the quality
+    score of any community assignment (here: nations; in production: the
+    output of label propagation / Louvain rounds) is hash-checkable with
+    zero float drift. Σ q_scaled / (2m)² recovers the float Q.
+
+    Scale shape: the distinct bipartite edge set collapses the fact
+    first; both endpoint labelings join the node→community dim
+    (broadcast at real scale — dims are customer/supplier sized); then
+    one |communities|-row hash agg and a 1-row total. Degree products
+    never materialize pairs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    c_nodes = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"),
+        F.col("c_nationkey").cast("long").alias("com"),
+    )
+    s_nodes = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+        F.col("s_nationkey").cast("long").alias("com"),
+    )
+    nodes = c_nodes.unionByName(s_nodes)
+    e1 = fwd.select(
+        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("sk").cast("string")).alias("dst"),
+    )
+    e2 = fwd.select(
+        F.concat(F.lit("s"), F.col("sk").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    lab = edges.join(
+        F.broadcast(nodes.withColumnRenamed("node", "src").withColumnRenamed("com", "src_com")),
+        "src",
+    ).join(
+        F.broadcast(nodes.withColumnRenamed("node", "dst").withColumnRenamed("com", "dst_com")),
+        "dst",
+    )
+    s = lab.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    per = lab.groupBy(F.col("src_com").alias("com")).agg(
+        F.sum(F.when(F.col("src_com") == F.col("dst_com"), 1).otherwise(0))
+        .cast("long")
+        .alias("e_int"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return per.crossJoin(F.broadcast(s)).select(
+        "com",
+        "e_int",
+        "k",
+        (F.col("e_int") * F.col("m2") - F.col("k") * F.col("k"))
+        .cast("long")
+        .alias("q_scaled"),
+    )
+
+
+@query(
+    "setop_bag_semantics",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'
+    ), b AS (
+        SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'
+    ), i AS (
+        SELECT p FROM a INTERSECT ALL SELECT p FROM b
+    ), x AS (
+        SELECT p FROM a EXCEPT ALL SELECT p FROM b
+    )
+    SELECT 'intersect_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n
+    FROM i GROUP BY p
+    UNION ALL
+    SELECT 'except_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY p
+    """,
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving (bag)
+    set operations the DISTINCT-flavoured `setop_*` queries don't cover:
+    intersect keeps min(multiplicity), except keeps the excess
+    multiplicity. Pinning these semantics matters because 'subtract the
+    rows I already processed' pipelines silently corrupt counts if the
+    engine dedups. Output is the per-value multiplicity census of both
+    results.
+
+    Scale shape: Spark plans both as a single hash aggregation over the
+    union computing per-side counts, then replicates rows min(a,b) /
+    (a−b) times — no sort, no pairwise join; the final census agg is
+    |priorities|-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "p", "n")
+    )
+    x = (
+        a.exceptAll(b)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("except_all").alias("op"), "p", "n")
+    )
+    return i.unionByName(x)
+
+
+@query(
+    "percentile_disc_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.25) AS p25_cents,
+           quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)  AS p50_cents,
+           quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9)  AS p90_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_disc_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles per order status: the smallest actual data
+    value whose cumulative share reaches the quantile — no interpolation,
+    so results are values that exist in the data (what you want for
+    latency SLOs and price points). Completes the quantile tier beside
+    interpolated (`exact_percentiles_by_flag`), sketched (KLL/GK),
+    weighted, and winsorized forms; pins that Spark's
+    `percentile_disc WITHIN GROUP` and DuckDB's `quantile_disc` agree on
+    the lower-value convention. BIGINT cents in, BIGINT cents out —
+    exact by construction.
+
+    Scale shape: sort-based aggregate within each status group (Spark
+    plans ObjectHashAggregate); one |statuses|-row result, no window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    return (
+        orders.selectExpr("o_orderstatus", f"{cents} AS cents")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p25_cents"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p50_cents"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p90_cents"),
+        )
+    )
