@@ -12876,3 +12876,60 @@ def percentile_disc_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p90_cents"),
         )
     )
+
+
+@query("multimodal_ahash_index")
+def multimodal_ahash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) index over the image corpus: per image
+    the 64-bit average-hash signature, its popcount, and how many OTHER
+    images share at least one pigeonhole chunk bucket with it (the
+    candidate fan-in the near-dup pair join would pay) — the image twin
+    of the text-side SimHash index, completing visual near-dup beside
+    decode/featurize/resize/frame-sample.
+
+    Rows-only by design (the signature comes from the Arrow-batched
+    fake decode; no SQL oracle can see payload bytes); exactness is
+    pinned by a NumPy-reference test and a brute-force-equality recall
+    test on planted variants (`tests/test_wave50s.py`).
+
+    Scale shape: signatures are map-side mapInPandas (payload never
+    shuffles); the peer census equi-joins 8-byte chunk buckets — the
+    sub-quadratic LSH shape, never all-pairs.
+    """
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        attach_fake_payload,
+        image_ahash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = image_ahash(attach_fake_payload(docs))
+    chunks = 7  # max_hamming 6 budget → 7 chunks
+    width = 64 // chunks
+
+    def chunk_expr(i: int) -> str:
+        lo = i * width
+        nbits = width if i < chunks - 1 else 64 - lo
+        mask = (1 << nbits) - 1
+        return f"struct({i} AS ci, (shiftrightunsigned(sig, {lo}) & {mask}) AS cv)"
+
+    arr = "array(" + ", ".join(chunk_expr(i) for i in range(chunks)) + ")"
+    banded = sigs.select("doc_id", F.explode(F.expr(arr)).alias("c")).select(
+        "doc_id", "c.ci", "c.cv"
+    )
+    peers = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.countDistinct("b.doc_id").cast("long").alias("n_bucket_peers"))
+    )
+    return sigs.join(peers, "doc_id", "left").select(
+        "doc_id",
+        "sig",
+        "n_set_bits",
+        F.coalesce("n_bucket_peers", F.lit(0)).cast("long").alias("n_bucket_peers"),
+    )

@@ -171,3 +171,84 @@ def test_rfm_single_exchange_before_windows(spark, sf_dir):
     # fact collapses in one partial+final agg; ntiles ride the summary
     df = Q.QUERIES["rfm_customer_segments"](spark, sf_dir)
     assert count_exchanges(df) <= 2
+
+
+# --- multimodal aHash ------------------------------------------------------
+
+
+def _ref_ahash(payload: bytes, w: int, h: int) -> int:
+    import numpy as np
+
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    px = np.zeros(w * h, dtype=np.uint8)
+    px[: min(len(buf), w * h)] = buf[: w * h]
+    img = px.reshape(h, w)
+    yi = (np.arange(8) * h) // 8
+    xi = (np.arange(8) * w) // 8
+    thumb = img[np.ix_(yi, xi)].astype(np.float64)
+    mask = (thumb > thumb.mean()).flatten()
+    sig = 0
+    for b in mask:
+        sig = (sig << 1) | int(b)
+    return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+
+def test_ahash_matches_numpy_reference(spark, sf_dir):
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        attach_fake_payload,
+        image_ahash,
+    )
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    withp = attach_fake_payload(docs)
+    got = {r.doc_id: (r.sig, r.n_set_bits) for r in image_ahash(withp).collect()}
+    for r in withp.collect():
+        w, h = r.media_meta.width, r.media_meta.height
+        ref = _ref_ahash(bytes(r.payload), w, h)
+        assert got[r.doc_id][0] == ref
+        assert got[r.doc_id][1] == bin(ref & ((1 << 64) - 1)).count("1")
+
+
+def test_ahash_neardup_pairs_equal_bruteforce(spark):
+    """Pigeonhole bucketing is LOSSLESS within the budget: pairs from
+    the chunked join equal brute-force all-pairs on planted variants."""
+    import itertools
+
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+
+    base = 0x0123456789ABCDEF
+    variants = [base]
+    flips = [0, 1, 7, 13, 21, 33, 40, 47, 55, 63]
+    for k in range(1, 9):  # hamming 1..8 away from base
+        variants.append(base ^ sum(1 << b for b in flips[:k]))
+    variants.append(~base & ((1 << 64) - 1))  # hamming 64
+    rows = [
+        (i, v - (1 << 64) if v >= 1 << 63 else v) for i, v in enumerate(variants)
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, sig long")
+    for budget in (0, 3, 6):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in ahash_neardup_pairs(sigs, max_hamming=budget).collect()
+        }
+        want = set()
+        for (ia, va), (ib, vb) in itertools.combinations(enumerate(variants), 2):
+            hd = bin(va ^ vb).count("1")
+            if hd <= budget:
+                want.add((min(ia, ib), max(ia, ib), hd))
+        assert got == want, f"budget {budget}"
+
+
+def test_ahash_rejects_unguaranteeable_budget(spark):
+    import pytest as _pytest
+
+    from pyspark_movie_recommender_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+
+    sigs = spark.createDataFrame([(1, 0)], "doc_id long, sig long")
+    with _pytest.raises(ValueError):
+        ahash_neardup_pairs(sigs, max_hamming=32)
