@@ -12933,3 +12933,150 @@ def multimodal_ahash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_set_bits",
         F.coalesce("n_bucket_peers", F.lit(0)).cast("long").alias("n_bucket_peers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 57: concordance extraction, skew-safe distinct, SRM guard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kwic_concordance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, g.i AS pos, t
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+        WHERE t[g.i] = 'join'
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           COALESCE(array_to_string(t[GREATEST(1, pos - 3):pos - 1], ' '), '')
+               AS left_ctx,
+           COALESCE(array_to_string(t[pos + 1:LEAST(len(t), pos + 3)], ' '), '')
+               AS right_ctx
+    FROM hits
+    """,
+)
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance for the term 'join': every
+    occurrence with its ±3-token window — the corpus-linguistics /
+    search-debugging view ('show me how this token is actually used')
+    that also powers snippet generation for retrieval results.
+
+    Scale shape: position explode and context slicing happen entirely
+    in-row (posexplode + array slice — no join, no shuffle; the filter
+    on the term prunes before any wide operation). Output is
+    occurrence-sized, already the user-requested result. A
+    token-partitioned inverted index (`phrase_search_positional`) is the
+    100 TB route when the term set is dynamic; this is the single-term
+    scan form.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("t"))
+    hits = toks.select(
+        "doc_id", "t", F.posexplode("t").alias("p0", "tok")
+    ).filter(F.col("tok") == "join")
+    # posexplode is 0-based; oracle positions are 1-based
+    pos = (F.col("p0") + 1).alias("pos")
+    left_start = F.greatest(F.lit(1), F.col("p0") + 1 - 3)
+    left_len = (F.col("p0") + 1 - 1) - F.greatest(F.lit(1), F.col("p0") + 1 - 3) + 1
+    return hits.select(
+        "doc_id",
+        pos.cast("long").alias("pos"),
+        F.concat_ws(
+            " ", F.slice("t", left_start, F.greatest(left_len, F.lit(0)))
+        ).alias("left_ctx"),
+        F.concat_ws(
+            " ",
+            F.expr("slice(t, p0 + 2, LEAST(size(t), p0 + 4) - (p0 + 2) + 1)"),
+        ).alias("right_ctx"),
+    )
+
+
+@query(
+    "two_phase_skewed_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def two_phase_skewed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct-user counts via an EXPLICIT two-phase
+    plan: dedup on the composite (event_type, user_id) key first, then
+    count the survivors — the skew-safe formulation of COUNT(DISTINCT).
+    A direct count-distinct shuffles raw rows keyed by event_type alone
+    (5 reducers hold everything, the hottest type melts one of them);
+    the composite-key dedup spreads the same work over the full key
+    space and the second agg receives only distincts.
+
+    Oracle is the plain COUNT(DISTINCT) — equality proves the rewrite.
+
+    Scale shape: phase 1 = hash agg on (type, user) with map-side
+    partial dedup (most duplicate hits collapse before the shuffle);
+    phase 2 = |types|-row count. Both aggs whole-stage codegen, no
+    Expand node.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "srm_check_assignments",
+    oracle="""
+    WITH arms AS (
+        SELECT ((user_id * 2654435761) % 4294967296) % 2 AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ), c AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM arms
+    )
+    SELECT n0, n1,
+           ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 6) AS chi2,
+           CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 10.83
+                THEN 'SRM' ELSE 'ok' END AS verdict
+    FROM c
+    """,
+)
+def srm_check_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guard for the deterministic-hash A/B
+    assignment used by `ab_experiment_readout`: χ² of the observed arm
+    counts against the intended 50/50 split ((n0−n1)²/(n0+n1) for two
+    equal-probability arms), flagged at the p<0.001 threshold (10.83).
+    SRM is the first gate every experiment readout must pass — a
+    triggered-assignment bug silently invalidates every downstream
+    metric, so the guard ships next to the readout.
+
+    Scale shape: distinct users collapse map-side, arms are pure
+    hash arithmetic, the census is a 1-row agg. χ² is one division of
+    exact BIGINTs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().select(
+        (((F.col("user_id") * 2654435761) % 4294967296) % 2).alias("arm")
+    )
+    c = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    ) / (F.col("n0") + F.col("n1"))
+    return c.select(
+        "n0",
+        "n1",
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 10.83, "SRM").otherwise("ok").alias("verdict"),
+    )
