@@ -13080,3 +13080,18 @@ def srm_check_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         F.when(chi2 > 10.83, "SRM").otherwise("ok").alias("verdict"),
     )
+
+
+@query("streaming_drift_band_counts")
+def streaming_drift_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitoring, stream side: per-reference-decile
+    band counts of event value maintained in complete mode against
+    STATIC edges (the refreshed-daily training-distribution config);
+    the PSI score (`psi_drift_order_value`) runs downstream on this
+    materialized relation. Rows-only; band assignment is pinned equal
+    to the identical batch expression in tests/test_streaming.py."""
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        drift_band_counts_stream,
+    )
+
+    return drift_band_counts_stream(spark, sf_dir, query_name="q_stream_drift")

@@ -452,3 +452,49 @@ def stream_stream_left_interval_join(
         "left_outer",
     ).select("view_id", "user_id", "view_ts", "purchase_id", "purchase_ts")
     _run_to_table(joined, query_name, "append")
+
+
+def drift_band_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "drift_bands",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Streaming half of distribution-drift monitoring: per-band event
+    VALUE counts maintained continuously, where the band edges are a
+    STATIC reference config (here: deciles of the full static table,
+    standing in for 'yesterday's training distribution' a deployment
+    would refresh on a schedule). The PSI itself (`psi_drift_order_value`
+    math) runs downstream on the materialized band counts — the same
+    stream-maintains-counts / batch-computes-scores split as
+    `trending_counts_stream`.
+
+    The one driver-side action is the reference-edge fetch — that's the
+    monitoring CONFIG load (10 doubles), not a data-path collect; the
+    per-event band assignment is a map-side 9-edge array scan with no
+    shuffle before the 10-row complete-mode agg.
+    """
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    edges = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.expr(
+                "percentile(CAST(ROUND(value * 100) AS BIGINT),"
+                " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+            ).alias("e")
+        )
+        .first()[0]
+    )
+    edge_arr = "array(" + ", ".join(f"{v!r}D" for v in edges) + ")"
+    ev = _events_stream(spark, sf_dir)
+    banded = ev.select(
+        F.expr(
+            f"size(filter({edge_arr}, x -> CAST(ROUND(value * 100) AS BIGINT) > x))"
+        ).alias("band")
+    )
+    agg = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    _run_to_table(agg, query_name, output_mode)
+    return spark.table(query_name)

@@ -369,3 +369,35 @@ def test_left_outer_stream_join_emits_nulls_after_watermark(spark, sf_dir):
         ).collect()
     }
     assert got_nulls == want_nulls and got_nulls
+
+
+def test_drift_band_counts_stream_equals_batch(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        drift_band_counts_stream,
+    )
+
+    stream = drift_band_counts_stream(
+        spark, sf_dir, query_name="t_drift_eq", output_mode="complete"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.agg(
+        F.expr(
+            "percentile(CAST(ROUND(value * 100) AS BIGINT),"
+            " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("e")
+    ).first()[0]
+    edge_arr = "array(" + ", ".join(f"{v!r}D" for v in edges) + ")"
+    batch = (
+        ev.select(
+            F.expr(
+                f"size(filter({edge_arr}, x -> CAST(ROUND(value * 100) AS BIGINT) > x))"
+            ).alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    assert rows(stream) == rows(batch)
+    # ten reference-decile bands, all populated on the static replay
+    assert stream.count() == 10
