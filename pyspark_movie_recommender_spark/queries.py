@@ -13095,3 +13095,231 @@ def streaming_drift_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return drift_band_counts_stream(spark, sf_dir, query_name="q_stream_drift")
+
+
+# ---------------------------------------------------------------------------
+# wave 59: NDCG ranking eval, transition latency, embedding-label purity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ndcg_nation_forecast",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS day,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), bounds AS (
+        SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM o
+    ), agg AS (
+        SELECT nation,
+               CAST(SUM(CASE WHEN day <  mid THEN cents ELSE 0 END) AS BIGINT) AS hist,
+               CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS rel
+        FROM o, bounds GROUP BY nation
+    ), ranked AS (
+        SELECT rel,
+               ROW_NUMBER() OVER (ORDER BY hist DESC, nation) AS pred_rank,
+               ROW_NUMBER() OVER (ORDER BY rel  DESC, nation) AS ideal_rank
+        FROM agg
+    ), g AS (
+        SELECT SUM(CASE WHEN pred_rank <= 10
+                        THEN rel / log2(pred_rank + 1.0) ELSE 0 END) AS dcg,
+               SUM(CASE WHEN ideal_rank <= 10
+                        THEN rel / log2(ideal_rank + 1.0) ELSE 0 END) AS idcg
+        FROM ranked
+    )
+    SELECT ROUND(dcg, 2) AS dcg, ROUND(idcg, 2) AS idcg,
+           ROUND(dcg / idcg, 6) AS ndcg_at_10
+    FROM g
+    """,
+)
+def ndcg_nation_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the naive 'rank nations by first-half revenue' forecast
+    against actual second-half revenue as graded relevance — the
+    ranking-quality evaluation metric (search, recommendations,
+    prioritization) beside the classification-side `auc_order_status_price`.
+    DCG = Σ rel_i / log2(rank_i + 1) over the top 10 predicted; IDCG is
+    the same sum under the ideal (relevance-sorted) ranking.
+
+    Relevances are exact BIGINT cents; each DCG term divides by
+    log2(k+1) for integer k ≤ 25 — a constant both engines compute
+    identically — and the per-rank terms are summed over ≤25 values
+    with deterministic tie-broken ranks, so the rounded sums are
+    engine-stable.
+
+    Scale shape: the fact collapses to |nations| rows in one agg
+    (customer dim broadcast); both rankings and the DCG sums run on
+    that 25-row relation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+        "o_custkey",
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr("unix_micros(CAST(o_orderdate AS timestamp_ltz)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = o.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
+    agg = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("nation")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("hist"),
+            F.sum(F.when(F.col("day") >= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    ranked = agg.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("hist"), F.asc("nation")))
+        .alias("pred_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel"), F.asc("nation")))
+        .alias("ideal_rank"),
+    )
+    g = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("pred_rank") <= 10,
+                F.col("rel") / F.log2(F.col("pred_rank") + 1.0),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_rank") <= 10,
+                F.col("rel") / F.log2(F.col("ideal_rank") + 1.0),
+            ).otherwise(0.0)
+        ).alias("idcg"),
+    )
+    return g.select(
+        F.round("dcg", 2).alias("dcg"),
+        F.round("idcg", 2).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+    )
+
+
+@query(
+    "transition_latency_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t,
+               LAG(event_type) OVER w AS prev_type,
+               LAG(epoch_us(ts)) OVER w AS prev_t
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(quantile_cont(t - prev_t, 0.5)) AS BIGINT) AS median_gap_us,
+           CAST(MAX(t - prev_t) AS BIGINT) AS max_gap_us
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def transition_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How LONG each journey transition takes: per (prev_type →
+    next_type) pair the count, median, and max inter-event gap in exact
+    microseconds — the timing layer over `event_transition_matrix`'s
+    pure counts (a checkout that follows a view in 2 s vs 2 days is a
+    different product story).
+
+    Gaps are BIGINT microsecond differences; the median is the exact
+    interpolated percentile over integers (midpoints are exact halves,
+    truncated identically by the BIGINT cast on both engines — even
+    counts can only produce .0 or .5). The lag ordering carries the
+    (ts, event_id) total tie-break.
+
+    Scale shape: one user_id exchange for the lag window; the stats agg
+    collapses to |types|² rows with map-side partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("t"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag(us).over(w).alias("prev_t"),
+    ).filter(F.col("prev_type").isNotNull())
+    gap = F.col("t") - F.col("prev_t")
+    return (
+        seq.select("prev_type", F.col("event_type").alias("next_type"), gap.alias("g"))
+        .groupBy("prev_type", "next_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.floor(F.expr("percentile(g, 0.5)")).cast("long").alias("median_gap_us"),
+            F.max("g").cast("long").alias("max_gap_us"),
+        )
+    )
+
+
+@query(
+    "label_purity_by_lang",
+    oracle="""
+    WITH j AS (
+        SELECT d.lang, e.label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        GROUP BY d.lang, e.label
+    ), tot AS (
+        SELECT lang, SUM(n) AS tn FROM j GROUP BY lang
+    ), best AS (
+        SELECT lang, label AS majority_label, n AS best_n
+        FROM (
+            SELECT lang, label, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n DESC, label ASC) AS rn
+            FROM j
+        ) WHERE rn = 1
+    )
+    SELECT b.lang, b.majority_label, b.best_n, CAST(t.tn AS BIGINT) AS n_docs,
+           CAST(b.best_n * 1000000 // t.tn AS BIGINT) AS purity_ppm
+    FROM best b JOIN tot t ON t.lang = b.lang
+    """,
+)
+def label_purity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity audit across modalities: join the embedding
+    table's cluster labels to the document table's languages (vec_id =
+    doc_id) and report each language's majority label with its purity
+    in exact ppm — 'do the embedding clusters recover the language
+    partition?', the sanity gate before trusting labels for SemDedup /
+    IVF routing / mixture decisions.
+
+    The majority label uses max_by with an (n, -label) tie-break struct
+    — deterministic on both engines with zero floats; purity is BIGINT
+    integer division.
+
+    Scale shape: the id-keyed join is co-partitionable (both sides keyed
+    by the same id domain; dim side broadcastable); everything after is
+    |langs|×|labels| sized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    j = (
+        emb.join(
+            docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+        )
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = j.groupBy("lang").agg(F.sum("n").alias("tn"))
+    best = j.groupBy("lang").agg(
+        F.expr("max_by(label, struct(n, -label))").alias("majority_label"),
+        F.max("n").alias("best_n"),
+    )
+    return best.join(tot, "lang").select(
+        "lang",
+        "majority_label",
+        "best_n",
+        F.col("tn").cast("long").alias("n_docs"),
+        F.expr("best_n * 1000000L div tn").cast("long").alias("purity_ppm"),
+    )
