@@ -13323,3 +13323,229 @@ def label_purity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tn").cast("long").alias("n_docs"),
         F.expr("best_n * 1000000L div tn").cast("long").alias("purity_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 60: hybrid retrieval fusion, rank correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents
+    ), d AS (
+        SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM d
+    ), tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, dl, term
+    ), dft AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm AS (
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dft USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    ), brank AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+               AS BIGINT) AS rank_b
+        FROM bm
+    ), s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), probe AS (
+        SELECT e FROM s WHERE vec_id = 0
+    ), crank AS (
+        SELECT c.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(p.e, c.e), 6) DESC,
+                            c.vec_id) AS BIGINT) AS rank_c
+        FROM s c, probe p WHERE c.vec_id <> 0
+    ), fused AS (
+        SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.rank_b, c.rank_c,
+               COALESCE(1.0 / (60 + b.rank_b), 0.0)
+             + COALESCE(1.0 / (60 + c.rank_c), 0.0) AS rrf
+        FROM brank b FULL OUTER JOIN crank c ON c.doc_id = b.doc_id
+    )
+    SELECT doc_id, rank_b, rank_c, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): the BM25
+    lexical ranking for {spark, vector, stream} fused with the exact
+    cosine ranking against probe vector 0 — the standard RAG trick for
+    combining keyword and embedding retrieval without score calibration
+    (RRF uses only RANKS, so the incomparable score scales never meet).
+    Docs absent from one list contribute only the other's term, per the
+    original Cormack/Clarke formulation.
+
+    Determinism: both input rankings order by 6-decimal-rounded scores
+    with doc-id tie-breaks (the repo's proven bm25/cosine patterns);
+    RRF values are sums of two reciprocals of small integers — IEEE-
+    identical across engines — and the final top-10 tie-breaks on
+    doc_id.
+
+    Scale shape: the lexical leg is the BM25 explode+broadcast shape;
+    the vector leg scans the corpus once against a broadcast probe; the
+    fusion is a full outer join of two rank relations already reduced
+    to (doc, rank) — at scale both legs would be rank-limited (ANN +
+    WAND) before fusing, which changes their internals, not this shape.
+    """
+    from pyspark_movie_recommender_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_scores(docs, ["spark", "vector", "stream"])
+    brank = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank_b"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    probe = emb.filter(F.col("doc_id") == 0).select(F.col("e").alias("pe"))
+    sim = F.expr(
+        "aggregate(zip_with(e, pe, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        " / (sqrt(aggregate(e, 0D, (a, x) -> a + x * x))"
+        "    * sqrt(aggregate(pe, 0D, (a, x) -> a + x * x)))"
+    )
+    crank = (
+        emb.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("doc_id", F.round(sim, 6).alias("sim"))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rank_c"),
+        )
+    )
+    fused = brank.join(crank, "doc_id", "full").select(
+        "doc_id",
+        "rank_b",
+        "rank_c",
+        (
+            F.coalesce(1.0 / (F.col("rank_b") + 60), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("rank_c") + 60), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "rank_b", "rank_c", F.round("rrf", 6).alias("rrf_score"))
+    )
+
+
+@query(
+    "kendall_tau_rankings",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS day,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), bounds AS (
+        SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM o
+    ), agg AS (
+        SELECT nation,
+               CAST(SUM(CASE WHEN day <  mid THEN cents ELSE 0 END) AS BIGINT) AS hist,
+               CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS rel
+        FROM o, bounds GROUP BY nation
+    ), ranked AS (
+        SELECT nation,
+               ROW_NUMBER() OVER (ORDER BY hist DESC, nation) AS ra,
+               ROW_NUMBER() OVER (ORDER BY rel  DESC, nation) AS rb
+        FROM agg
+    ), pairs AS (
+        SELECT CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0 END AS conc
+        FROM ranked x JOIN ranked y ON y.nation > x.nation
+    )
+    SELECT CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((SUM(conc) * 2 - COUNT(*)) * 1000000 // COUNT(*) AS BIGINT)
+               AS tau_ppm
+    FROM pairs
+    """,
+)
+def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation between the first-half revenue ranking
+    of nations and the second-half actual — τ = (C−D)/pairs as exact
+    BIGINT ppm, the pairwise-agreement companion to `ndcg_nation_forecast`
+    (NDCG asks 'is the top good'; τ asks 'is the whole ORDER right').
+    Everything is integer: tie-broken ranks, concordance indicators,
+    floor-div ppm.
+
+    Scale shape: the fact collapses to |nations| rows; rankings and the
+    C(n,2) pair join run on that 25-row relation — at a million-item
+    ranking the pair join swaps for the O(n log n) merge-sort inversion
+    count, which is a different engine op with the same contract.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+        "o_custkey",
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr("unix_micros(CAST(o_orderdate AS timestamp_ltz)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = o.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
+    agg = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("nation")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("hist"),
+            F.sum(F.when(F.col("day") >= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    ranked = agg.select(
+        "nation",
+        F.row_number().over(Window.orderBy(F.desc("hist"), F.asc("nation"))).alias("ra"),
+        F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("nation"))).alias("rb"),
+    )
+    x = ranked.select(
+        F.col("nation").alias("nx"), F.col("ra").alias("rax"), F.col("rb").alias("rbx")
+    )
+    y = ranked.select(
+        F.col("nation").alias("ny"), F.col("ra").alias("ray"), F.col("rb").alias("rby")
+    )
+    pairs = x.join(y, F.col("ny") > F.col("nx")).select(
+        F.when(
+            (F.col("rax") - F.col("ray")) * (F.col("rbx") - F.col("rby")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    return pairs.agg(
+        F.sum("conc").cast("long").alias("concordant"),
+        (F.count(F.lit(1)) - F.sum("conc")).cast("long").alias("discordant"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("(sum(conc) * 2 - count(1)) * 1000000L div count(1)")
+        .cast("long")
+        .alias("tau_ppm"),
+    )
