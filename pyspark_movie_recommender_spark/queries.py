@@ -13549,3 +13549,165 @@ def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tau_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 61: NOT-IN null trap, LSH parameter planner, grouping labels
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "not_in_null_trap",
+    oracle="""
+    WITH denylist AS (
+        SELECT * FROM (VALUES ('1-URGENT'), (NULL)) t(p)
+    ), not_in AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        WHERE o_orderpriority NOT IN (SELECT p FROM denylist)
+    ), not_exists AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM denylist d
+                          WHERE d.p = o.o_orderpriority)
+    ), lanti AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o LEFT JOIN denylist d ON d.p = o.o_orderpriority
+        WHERE d.p IS NULL
+    )
+    SELECT 'not_in'     AS form, n FROM not_in
+    UNION ALL SELECT 'not_exists' AS form, n FROM not_exists
+    UNION ALL SELECT 'left_anti'  AS form, n FROM lanti
+    """,
+)
+def not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI NOT-IN null trap, pinned on both engines: a denylist
+    containing a NULL makes `NOT IN` return ZERO rows (x <> NULL is
+    UNKNOWN, so no row ever passes), while `NOT EXISTS` / left-anti —
+    the forms every exclusion pipeline should use — return the real
+    complement. Three counts side by side so the trap is a visible,
+    regression-tested fact rather than tribal knowledge; completes the
+    three-valued-logic family of `null_semantics_suite`.
+
+    Scale shape: the denylist is a 2-row literal broadcast; all three
+    forms are one fact scan each (Catalyst plans the NOT IN as a
+    null-aware anti join — the expensive null-aware machinery is
+    exactly WHY the result is empty, which is the lesson).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    deny = spark.createDataFrame([("1-URGENT",), (None,)], "p string")
+    deny.createOrReplaceTempView("nin_denylist")
+    orders.createOrReplaceTempView("nin_orders")
+    not_in = spark.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nin_orders"
+        " WHERE o_orderpriority NOT IN (SELECT p FROM nin_denylist)"
+    ).select(F.lit("not_in").alias("form"), "n")
+    not_exists = spark.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nin_orders o"
+        " WHERE NOT EXISTS (SELECT 1 FROM nin_denylist d"
+        "                   WHERE d.p = o.o_orderpriority)"
+    ).select(F.lit("not_exists").alias("form"), "n")
+    anti = (
+        orders.join(deny, orders.o_orderpriority == deny.p, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("left_anti").alias("form"), "n")
+    )
+    return not_in.unionByName(not_exists).unionByName(anti)
+
+
+@query(
+    "lsh_s_curve_planner",
+    oracle="""
+    WITH configs AS (
+        SELECT b, 128 // b AS r FROM (VALUES (8), (16), (32), (64)) t(b)
+    )
+    SELECT b, CAST(r AS BIGINT) AS r,
+           ROUND(1 - pow(1 - pow(0.5, r), b), 6)  AS p_at_50,
+           ROUND(1 - pow(1 - pow(0.7, r), b), 6)  AS p_at_70,
+           ROUND(1 - pow(1 - pow(0.9, r), b), 6)  AS p_at_90,
+           ROUND(pow(1.0 / b, 1.0 / r), 6)        AS threshold_est
+    FROM configs
+    """,
+)
+def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: for each (bands b, rows r) split
+    of a 128-permutation signature, the S-curve collision probability
+    1−(1−s^r)^b at Jaccard 0.5/0.7/0.9 and the (1/b)^(1/r) threshold
+    estimate — the table an operator reads to pick the banding that
+    `dedup_minhash_lsh` runs with (and that `dedup_threshold_sweep`
+    validates empirically). Tuning math as a first-class, oracle-checked
+    relation instead of a notebook aside.
+
+    Scale shape: a 4-row literal relation and closed-form pow() — zero
+    data touched; it composes (crossJoin) with measured corpus stats
+    when candidate-budget forecasting is needed.
+    """
+    configs = spark.createDataFrame([(8,), (16,), (32,), (64,)], "b int").select(
+        "b", F.expr("128 div b").cast("long").alias("r")
+    )
+    def p_at(s: float):
+        return F.round(
+            1 - F.pow(1 - F.pow(F.lit(s), F.col("r")), F.col("b")), 6
+        )
+    return configs.select(
+        "b",
+        "r",
+        p_at(0.5).alias("p_at_50"),
+        p_at(0.7).alias("p_at_70"),
+        p_at(0.9).alias("p_at_90"),
+        F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6).alias("threshold_est"),
+    )
+
+
+@query(
+    "rollup_grouping_labels",
+    oracle="""
+    SELECT GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+           COALESCE(r_name, CASE WHEN GROUPING(r_name) = 1 THEN '<all>' END)
+               AS region,
+           COALESCE(n_name, CASE WHEN GROUPING(n_name) = 1 THEN '<all>' END)
+               AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def rollup_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit GROUPING() indicators: subtotal rows carry
+    g_region/g_nation flags and '<all>' labels, so a NULL-valued group
+    member can never be confused with a subtotal — the disambiguation
+    every BI export over rollups needs (the raw rollup queries
+    `rollup_customer_geo`/`cube_lineitem_flags` leave NULL doing double
+    duty). Exact BIGINT cents throughout.
+
+    Scale shape: Spark's Expand node generates the grouping sets before
+    one hash agg with map-side partials; dims broadcast onto the fact.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    g = j.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("balance_cents"),
+    )
+    return g.select(
+        "g_region",
+        "g_nation",
+        F.coalesce(
+            "r_name", F.when(F.col("g_region") == 1, "<all>")
+        ).alias("region"),
+        F.coalesce(
+            "n_name", F.when(F.col("g_nation") == 1, "<all>")
+        ).alias("nation"),
+        "n_customers",
+        "balance_cents",
+    )
