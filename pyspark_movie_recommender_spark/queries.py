@@ -13711,3 +13711,203 @@ def rollup_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "balance_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 62: SQL pipe syntax, MRR eval, regression calibration bins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>` — SPARK-49555): the same
+    filter→aggregate expressed as a linear pipeline instead of
+    inside-out SQL, pinned value-equal to the classic formulation the
+    DuckDB oracle runs. The pipe form parses to the IDENTICAL Catalyst
+    plan (one pushed filter, partial+final hash agg), so the modern
+    authoring surface costs nothing at execution time.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                         AS cents
+           GROUP BY o_orderpriority
+        """
+    ).select("o_orderpriority", "n_orders", "cents")
+
+
+@query(
+    "mrr_bm25_eval",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents
+    ), d AS (
+        SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM d
+    ), tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        WHERE term IN ('spark', 'vector', 'stream')
+        GROUP BY doc_id, dl, term
+    ), dft AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), bm AS (
+        SELECT doc_id,
+               COUNT(*) AS n_terms,
+               ROUND(SUM(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dft USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    ), ranked AS (
+        SELECT doc_id, n_terms,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM bm
+    )
+    SELECT CAST(MIN(rnk) AS BIGINT) AS first_relevant_rank,
+           CAST(SUM(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relevant,
+           ROUND(1.0 / MIN(rnk), 6) AS mrr
+    FROM ranked WHERE n_terms = 3
+    """,
+)
+def mrr_bm25_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the BM25 ranking for {spark, vector,
+    stream}, with relevance = documents containing ALL three terms —
+    'how far down the list is the first fully-on-topic document'. With
+    NDCG (top quality) and Kendall τ (whole-order quality) this
+    completes the standard retrieval-eval triple; a multi-query MRR is
+    this same relation averaged over a query table.
+
+    Determinism: the ranking orders by the 6-decimal-rounded BM25 with
+    doc-id tie-break (the proven bm25 pattern); relevance and ranks are
+    integers; the final reciprocal is one IEEE division.
+
+    Scale shape: rides the BM25 explode+broadcast shape; the eval adds
+    one |matching-docs| window and a scalar agg.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens(F.trim(F.col("text"))).alias("t"))
+    d = toks.select("doc_id", F.size("t").cast("double").alias("dl"), "t")
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin("spark", "vector", "stream"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("tf") * (1.2 + 1) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    bm = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(score), 6).alias("bm25"),
+        )
+    )
+    ranked = bm.select(
+        "doc_id",
+        "n_terms",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))).alias("rnk"),
+    )
+    return ranked.filter(F.col("n_terms") == 3).agg(
+        F.min("rnk").cast("long").alias("first_relevant_rank"),
+        F.sum(F.when(F.col("n_terms") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_relevant"),
+        F.round(1.0 / F.min("rnk"), 6).alias("mrr"),
+    )
+
+
+@query(
+    "calibration_reliability_bins",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS actual,
+               CAST(ROUND((50000.0 + 1500.0 * (o_orderkey % 100)) * 100) AS BIGINT)
+                   AS pred
+        FROM orders
+    ), binned AS (
+        SELECT NTILE(10) OVER (ORDER BY pred, actual) AS bin, actual, pred FROM m
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pred)   // COUNT(*) AS BIGINT) AS mean_pred_cents,
+           CAST(SUM(actual) // COUNT(*) AS BIGINT) AS mean_actual_cents,
+           CAST((SUM(pred) - SUM(actual)) // COUNT(*) AS BIGINT) AS bias_cents
+    FROM binned GROUP BY bin
+    """,
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table for a price predictor: rows
+    binned into prediction deciles, each reporting mean predicted vs
+    mean actual and the signed bias — the regression counterpart of a
+    classifier reliability diagram, and the diagnosis layer over
+    `rmse_price_model`'s single score (RMSE says HOW wrong; this says
+    WHERE and WHICH WAY). The stand-in predictor is the same
+    deterministic hash-linear model the RMSE query scores. All columns
+    exact BIGINT cents via integer floor-division.
+
+    Scale shape: the ntile sorts (pred, actual) once — at extreme scale
+    the decile cut points swap to approx percentiles; per-bin stats are
+    a 10-row hash agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("actual"),
+        F.round((50000.0 + 1500.0 * (F.col("o_orderkey") % 100)) * 100)
+        .cast("long")
+        .alias("pred"),
+    )
+    binned = m.select(
+        F.ntile(10).over(Window.orderBy("pred", "actual")).alias("bin"),
+        "actual",
+        "pred",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pred").alias("sp"),
+            F.sum("actual").alias("sa"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("sp div n").cast("long").alias("mean_pred_cents"),
+            F.expr("sa div n").cast("long").alias("mean_actual_cents"),
+            F.expr("(sp - sa) div n").cast("long").alias("bias_cents"),
+        )
+    )
