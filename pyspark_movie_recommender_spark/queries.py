@@ -13911,3 +13911,299 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(sp - sa) div n").cast("long").alias("bias_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 63: seasonal anomalies, lead-lag cross-correlation, assortativity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_residual_outlier_days",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM pts
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+    ), daily AS (
+        SELECT g.day, g.day % 7 AS dow, CAST(COUNT(p.day) AS BIGINT) AS x
+        FROM grid g LEFT JOIN pts p ON p.day = g.day GROUP BY g.day
+    ), dstats AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS sd
+        FROM daily GROUP BY dow
+    ), resid AS (
+        SELECT d.day, d.dow, d.x,
+               d.x * s.nd - s.sd AS r
+        FROM daily d JOIN dstats s ON s.dow = d.dow
+    ), mad AS (
+        SELECT CAST(FLOOR(quantile_cont(ABS(r), 0.5)) AS BIGINT) AS m FROM resid
+    )
+    SELECT day, dow, x, CAST(r AS BIGINT) AS resid_scaled,
+           CASE WHEN ABS(r) > 3 * m THEN 1 ELSE 0 END AS is_outlier
+    FROM resid, mad
+    ORDER BY ABS(r) DESC, day
+    LIMIT 5
+    """,
+)
+def seasonal_residual_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly days: daily event counts residualized
+    against their own weekday mean (the `dow_seasonality_profile` cycle),
+    top-5 days by |residual| with a 3×MAD outlier flag — 'which days
+    were abnormal FOR THAT WEEKDAY', the detector that doesn't fire on
+    every ordinary weekend dip.
+
+    Exactness: residuals are x·n_dow − Σ_dow (BIGINT, the same
+    denominator-clearing trick as CUSUM/ACF — the per-dow mean never
+    becomes a float); the MAD threshold is the floor of an exact
+    interpolated median of integers; ordering breaks ties on the day.
+
+    Scale shape: the fact collapses to the day grid; weekday stats are
+    a 7-row agg joined back; the MAD is a percentile over |days| rows;
+    TakeOrdered emits the top-5.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
+        .cast("long")
+        .alias("day")
+    )
+    bounds = pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
+    daily = (
+        grid.join(pts.withColumn("hit", F.lit(1)), "day", "left")
+        .groupBy("day")
+        .agg(F.count("hit").cast("long").alias("x"))
+        .select("day", (F.col("day") % 7).alias("dow"), "x")
+    )
+    dstats = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"), F.sum("x").cast("long").alias("sd")
+    )
+    resid = daily.join(F.broadcast(dstats), "dow").select(
+        "day", "dow", "x", (F.col("x") * F.col("nd") - F.col("sd")).alias("r")
+    )
+    mad = resid.agg(
+        F.floor(F.expr("percentile(abs(r), 0.5)")).cast("long").alias("m")
+    )
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .orderBy(F.abs("r").desc(), F.asc("day"))
+        .limit(5)
+        .select(
+            "day",
+            "dow",
+            "x",
+            F.col("r").cast("long").alias("resid_scaled"),
+            F.when(F.abs("r") > 3 * F.col("m"), 1).otherwise(0).alias("is_outlier"),
+        )
+    )
+
+
+@query(
+    "cross_correlation_types",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM pts
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+    ), daily AS (
+        SELECT g.day,
+               CAST(SUM(CASE WHEN p.event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN p.event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM grid g LEFT JOIN pts p ON p.day = g.day GROUP BY g.day
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb
+        FROM daily
+    ), dev AS (
+        SELECT day,
+               CAST(n * a - sa AS HUGEINT) AS da,
+               CAST(n * b - sb AS HUGEINT) AS db
+        FROM daily, stats
+    ), den AS (
+        SELECT SUM(da * da) AS va, SUM(db * db) AS vb FROM dev
+    ), lags AS (
+        SELECT unnest(generate_series(-3, 3)) AS lag
+    )
+    SELECT lag,
+           ROUND(CAST(SUM(x.da * y.db) AS DOUBLE)
+                 / sqrt(CAST(den.va AS DOUBLE) * CAST(den.vb AS DOUBLE)), 6)
+               AS xcorr
+    FROM lags JOIN dev x ON TRUE JOIN dev y ON y.day = x.day + lag, den
+    GROUP BY lag, den.va, den.vb
+    """,
+)
+def cross_correlation_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily view and purchase
+    volumes at lags −3..+3 — 'do views predict purchases days later,
+    or move same-day?' — the marketing/causality screening companion to
+    the single-series `acf_daily_event_value`, built with the same
+    denominator-clearing integer deviations (n·x−Σx) so numerator and
+    variance sums are exact 38-digit decimals; only the final
+    normalize-and-divide is floating point.
+
+    Scale shape: both series collapse to one zero-filled day grid in a
+    single conditional agg; the ±3-lag pairing and the correlation sums
+    run on that |days|-row relation.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    pts = ev.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+    )
+    bounds = pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
+    daily = (
+        grid.join(pts, "day", "left")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        (F.col("n") * F.col("a") - F.col("sa")).cast("decimal(38,0)").alias("da"),
+        (F.col("n") * F.col("b") - F.col("sb")).cast("decimal(38,0)").alias("db"),
+    )
+    den = dev.agg(
+        F.sum(F.col("da") * F.col("da")).alias("va"),
+        F.sum(F.col("db") * F.col("db")).alias("vb"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    pairs = (
+        lags.crossJoin(dev.select(F.col("day").alias("xd"), F.col("da").alias("xa")))
+        .join(
+            dev.select(F.col("day").alias("yd"), F.col("db").alias("yb")),
+            F.col("yd") == F.col("xd") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("xa") * F.col("yb")).alias("num"))
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        "lag",
+        F.round(
+            F.col("num").cast("double")
+            / F.sqrt(F.col("va").cast("double") * F.col("vb").cast("double")),
+            6,
+        ).alias("xcorr"),
+    )
+
+
+@query(
+    "degree_assortativity",
+    oracle="""
+    WITH fwd AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT 'c' || CAST(ck AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst
+        FROM fwd
+        UNION ALL
+        SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR) FROM fwd
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), ed AS (
+        SELECT CAST(ds.d AS HUGEINT) AS x, CAST(dd.d AS HUGEINT) AS y
+        FROM edges e JOIN deg ds ON ds.node = e.src
+                     JOIN deg dd ON dd.node = e.dst
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM ed
+    )
+    SELECT CAST(m AS BIGINT) AS m_edges,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+               AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the bidirected trade graph:
+    the Pearson correlation of endpoint degrees over all directed edges
+    — 'do hubs trade with hubs (r>0) or with the periphery (r<0)?',
+    the third structural metric beside modularity and the k-core
+    decomposition. Bipartite trade graphs are typically disassortative,
+    which this measures rather than assumes.
+
+    Every moment (Σx, Σxy, Σx², edge count) is an exact integer sum of
+    BIGINT degrees in 38-digit arithmetic; the closed-form Pearson does
+    exactly one sqrt and one division at the end, rounded to 6.
+
+    Scale shape: the distinct edge set collapses first; degrees are one
+    hash agg re-joined onto edges (node-keyed — broadcastable dims at
+    this shape, co-partitioned joins at extreme scale); the moment agg
+    is a 1-row reduce with map-side partials.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    e1 = fwd.select(
+        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("sk").cast("string")).alias("dst"),
+    )
+    e2 = fwd.select(
+        F.concat(F.lit("s"), F.col("sk").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("xd")), "src"
+        )
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("yd")), "dst")
+        .select(
+            F.col("xd").cast("decimal(38,0)").alias("x"),
+            F.col("yd").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("m").cast("long").alias("m_edges"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
