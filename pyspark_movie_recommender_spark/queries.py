@@ -14207,3 +14207,259 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 64: cohort LTV, time-decay attribution, exact Gini
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM firsts GROUP BY 1
+    ), spend AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                    AS BIGINT) AS week_offset,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT cohort_week, week_offset,
+               SUM(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+                   AS cum_cents
+        FROM spend
+    )
+    SELECT c.cohort_week, c.week_offset, s.n_users,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           CAST(c.cum_cents // s.n_users AS BIGINT) AS ltv_cents_per_user
+    FROM cum c JOIN sizes s ON s.cohort_week = c.cohort_week
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase value per
+    first-seen-week cohort by week offset, normalized to exact
+    cents-per-user — the monetary companion to
+    `cohort_retention_weekly`'s headcount triangle (retention says who
+    came back; LTV says what they were worth, which is what payback
+    windows are computed from). Integer floor-division keeps every cell
+    BIGINT.
+
+    Scale shape: first-seen and spend aggs both shuffle once on
+    user_id and join co-partitioned; the cumulative window runs on the
+    |cohorts|×|offsets| triangle; cohort sizes broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    cum = spend.select(
+        "cohort_week",
+        "week_offset",
+        F.sum("cents")
+        .over(Window.partitionBy("cohort_week").orderBy("week_offset"))
+        .alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.col("cum_cents").cast("long").alias("cum_cents"),
+        F.expr("cum_cents div n_users").cast("long").alias("ltv_cents_per_user"),
+    )
+
+
+@query(
+    "time_decay_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click')
+    ), joined AS (
+        SELECT p.event_id, p.cents, t.event_type AS channel,
+               1000000 // CAST(pow(2,
+                   (epoch_us(p.ts) - epoch_us(t.ts)) // 86400000000) AS BIGINT)
+                   AS w
+        FROM purchases p LEFT JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND t.ts > p.ts - INTERVAL 3 DAY
+    ), credited AS (
+        SELECT event_id, cents,
+               COALESCE(channel, 'unattributed') AS channel,
+               COALESCE(w, 0) AS w,
+               SUM(COALESCE(w, 0)) OVER (PARTITION BY event_id) AS sw
+        FROM joined
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CASE WHEN sw = 0 THEN cents
+                         ELSE cents * w // sw END) AS BIGINT)
+               AS credited_cents
+    FROM credited GROUP BY channel
+    """,
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (half-life = 1 day): each
+    purchase's cents split across the user's prior-3-day view/click
+    touches with weights halving per day of age — the recency-respecting
+    sibling of `linear_attribution_purchases`. Weights are
+    1e6 ÷ 2^age_days (exact integers: 1000000/500000/250000), the
+    per-purchase split is integer cents·w÷Σw, and purchases with no
+    touches credit 'unattributed' in full — so every column is BIGINT
+    and hash-stable with zero float shares.
+
+    Scale shape: same single range-join on user_id as the linear form
+    (AQE splits hot users), per-purchase weight sums ride one window on
+    the joined relation, final census is |channels| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("channel")
+    )
+    age_days = F.expr(
+        "(unix_micros(CAST(pts AS timestamp_ltz))"
+        " - unix_micros(CAST(tts AS timestamp_ltz))) div 86400000000"
+    )
+    joined = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 3 DAY")),
+        "left",
+    ).select(
+        "event_id",
+        "cents",
+        F.coalesce("channel", F.lit("unattributed")).alias("channel"),
+        # 1e6 / 2^age: exact in double for age 0..2, truncating cast matches
+        # the oracle's integer floor-division
+        F.coalesce(
+            (F.lit(1000000).cast("long") / F.pow(2.0, age_days.cast("double")))
+            .cast("long"),
+            F.lit(0),
+        ).alias("w"),
+    )
+    credited = joined.select(
+        "event_id",
+        "cents",
+        "channel",
+        "w",
+        F.sum("w").over(Window.partitionBy("event_id")).alias("sw"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(
+            F.when(F.col("sw") == 0, F.col("cents")).otherwise(
+                F.expr("cents * w div sw")
+            )
+        )
+        .cast("long")
+        .alias("credited_cents"),
+    )
+
+
+@query(
+    "gini_exact_customer_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT CAST(x AS HUGEINT) AS x,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS HUGEINT) AS i
+        FROM spend
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+               SUM((2 * i - (SELECT COUNT(*) FROM ranked) - 1) * x) AS num
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           CAST(num * 1000000 // (n * sx) AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+)
+def gini_exact_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer spend via the closed form
+    G = Σ(2i−n−1)·x_i / (n·Σx) over spend-sorted customers — the scalar
+    that `lorenz_curve_customer_spend` integrates and the rows-only
+    `udaf_gini_per_segment` approximates engine-side; this one is
+    hash-checkable to the exact ppm. Every term (ranks, the weighted
+    sum, the n·Σx denominator) is 38-digit integer arithmetic; ties
+    order by custkey so the rank weighting is deterministic (the Gini
+    value itself is tie-order invariant, the pin makes it bit-stable).
+
+    Scale shape: fact → per-customer agg → ONE rank window over the
+    customer summary (range-partitioned sort at scale) → 1-row moment
+    agg with map-side partials.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    ranked = spend.select(
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("x"), F.asc("o_custkey")))
+        .cast("decimal(38,0)")
+        .alias("i"),
+    )
+    n_w = Window.partitionBy()
+    withn = ranked.select(
+        "x", "i", F.count(F.lit(1)).over(n_w).cast("decimal(38,0)").alias("n")
+    )
+    s = withn.agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x")).alias("num"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        (F.col("num") * 1000000 / (F.col("n") * F.col("sx")))
+        .cast("long")
+        .alias("gini_ppm"),
+    )
