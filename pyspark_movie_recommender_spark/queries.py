@@ -14463,3 +14463,78 @@ def gini_exact_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 65: rolling distinct users (DAU/WAU stickiness)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_mau_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM du
+    ), dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ), wau AS (
+        SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau7
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT d.day, a.dau, w.wau7,
+           CAST(a.dau * 1000000 // w.wau7 AS BIGINT) AS stickiness_ppm
+    FROM days d JOIN dau a ON a.day = d.day JOIN wau w ON w.day = d.day
+    """,
+)
+def rolling_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day plus the DAU/WAU stickiness
+    ratio in exact ppm — the engagement health metric. Rolling COUNT
+    (DISTINCT) is the classic window functions CAN'T do (distinct isn't
+    decomposable over sliding frames): the exact formulation joins the
+    per-day distinct-user relation to a ±6-day range and re-counts —
+    correct, and the checkable spec; the documented scale path swaps the
+    inner relation for per-day HLL sketches unioned over the window
+    (`hll_sketch_rollup` machinery), trading exactness for O(1) merge
+    state.
+
+    Scale shape: the fact collapses to the (day, user) distinct relation
+    first (one shuffle, map-side partial dedup); the 7× fan-out joins
+    day keys only, and the recount agg shuffles (day, user) pairs
+    bounded by 7·|daily actives| — never raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    u = du.select(F.col("day").alias("uday"), "user_id")
+    wau = (
+        days.join(
+            u,
+            (F.col("uday") >= F.col("day") - 6) & (F.col("uday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau7"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau7",
+            F.expr("dau * 1000000L div wau7").cast("long").alias("stickiness_ppm"),
+        )
+    )

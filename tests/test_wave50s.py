@@ -252,3 +252,98 @@ def test_ahash_rejects_unguaranteeable_budget(spark):
     sigs = spark.createDataFrame([(1, 0)], "doc_id long, sig long")
     with _pytest.raises(ValueError):
         ahash_neardup_pairs(sigs, max_hamming=32)
+
+
+# --- wave 59-65 invariants and pins ----------------------------------------
+
+
+def test_rolling_stickiness_bounds(spark, sf_dir):
+    r = rows(spark, sf_dir, "rolling_mau_stickiness")
+    # DAU <= WAU7 always; ratio in (0, 1e6]
+    assert all(x.dau <= x.wau7 for x in r)
+    assert all(0 < x.stickiness_ppm <= 1_000_000 for x in r)
+
+
+def test_gini_matches_lorenz_integral(spark, sf_dir):
+    """Cross-check: the exact Gini and the Lorenz deciles tell one story
+    (Gini ≈ 1 − 2·∫Lorenz, trapezoid over deciles, loose tolerance)."""
+    (g,) = rows(spark, sf_dir, "gini_exact_customer_spend")
+    lor = sorted(
+        rows(spark, sf_dir, "lorenz_curve_customer_spend"), key=lambda x: x.decile
+    )
+    shares = [0.0] + [x.cum_share_ppm / 1e6 for x in lor]
+    integral = sum((shares[i] + shares[i + 1]) / 2 * 0.1 for i in range(10))
+    approx = 1 - 2 * integral
+    assert abs(g.gini_ppm / 1e6 - approx) < 0.02
+    assert 0 <= g.gini_ppm <= 1_000_000
+
+
+def test_time_decay_credits_conserve_value(spark, sf_dir):
+    """Attribution must conserve money: channel credits sum to total
+    purchase cents (up to one floor-division cent per purchase)."""
+    import pyspark.sql.functions as F
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    r = rows(spark, sf_dir, "time_decay_attribution")
+    credited = sum(x.credited_cents for x in r)
+    total = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .first()[0]
+    )
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total - 3 * n_purchases <= credited <= total
+
+
+def test_assortativity_is_correlation(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "degree_assortativity")
+    assert -1.000001 <= r.assortativity <= 1.000001
+
+
+def test_xcorr_values_are_correlations(spark, sf_dir):
+    r = rows(spark, sf_dir, "cross_correlation_types")
+    assert sorted(x.lag for x in r) == list(range(-3, 4))
+    assert all(-1.000001 <= x.xcorr <= 1.000001 for x in r)
+
+
+def test_ndcg_in_unit_interval(spark, sf_dir):
+    (r,) = rows(spark, sf_dir, "ndcg_nation_forecast")
+    assert 0 <= r.ndcg_at_10 <= 1.000001
+    assert r.idcg >= r.dcg
+
+
+def test_rrf_top10_and_tau_bounds(spark, sf_dir):
+    rrf = rows(spark, sf_dir, "hybrid_rrf_retrieval")
+    assert len(rrf) == 10
+    scores = [x.rrf_score for x in rrf]
+    assert scores == sorted(scores, reverse=True)
+    (tau,) = rows(spark, sf_dir, "kendall_tau_rankings")
+    assert -1_000_000 <= tau.tau_ppm <= 1_000_000
+    assert tau.concordant + tau.discordant == tau.n_pairs
+
+
+def test_assortativity_single_reduce_plan(spark, sf_dir):
+    df = Q.QUERIES["degree_assortativity"](spark, sf_dir)
+    p = physical_plan(df)
+    # moment aggregation is partial+final — no sort, no window
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_time_decay_join_not_cartesian(spark, sf_dir):
+    df = Q.QUERIES["time_decay_attribution"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rolling_mau_fanout_joins_day_keys_only(spark, sf_dir):
+    df = Q.QUERIES["rolling_mau_stickiness"](spark, sf_dir)
+    p = physical_plan(df)
+    # the ±6-day fan-out must not degenerate to a cartesian product
+    assert "CartesianProduct" not in p
