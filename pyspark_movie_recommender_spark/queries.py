@@ -14538,3 +14538,197 @@ def rolling_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dau * 1000000L div wau7").cast("long").alias("stickiness_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 66: CUPED experiment adjustment, audience overlap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cuped_adjusted_readout",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), bounds AS (
+        SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM pts
+    ), per_user AS (
+        SELECT user_id,
+               ((user_id * 2654435761) % 4294967296) % 2 AS arm,
+               CAST(SUM(CASE WHEN day <  mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+        FROM pts, bounds GROUP BY user_id
+    ), mo AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM per_user
+    ), theta AS (
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+        FROM mo
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(y) // COUNT(*) AS BIGINT) AS raw_mean_cents,
+           ROUND(AVG(CAST(y AS DOUBLE)) - th * (AVG(CAST(x AS DOUBLE)) - mx), 4)
+               AS cuped_mean_cents,
+           ROUND(th, 6) AS theta
+    FROM per_user, theta
+    GROUP BY arm, th, mx
+    """,
+)
+def cuped_adjusted_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: per-user post-period spend
+    adjusted by the pre-period covariate (Y′ = Y − θ·(X − X̄), θ the
+    pooled OLS slope) under the deterministic-hash arm assignment the
+    SRM guard audits — the variance-reduction technique that makes
+    experiments read out in days instead of weeks. Arms differ only by
+    hash here, so the adjusted means also demonstrate the null case.
+
+    θ's numerator/denominator are exact 128-bit integer moments
+    (n·Σxy − Σx·Σy over BIGINT cents — zero float accumulation); θ, the
+    means, and the adjustment are then a handful of IEEE ops on those
+    exact sums, rounded for the gate. Per-arm raw means stay pure
+    BIGINT floor-division.
+
+    Scale shape: one pass collapses events to per-user (x, y) pairs
+    (map-side partials); the moment agg is 1 row; the readout agg is
+    |arms| rows. CUPED at 100 TB is exactly this shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = pts.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
+    per_user = (
+        pts.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("day") >= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(
+            (((F.col("user_id") * 2654435761) % 4294967296) % 2).alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    mo = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    theta = mo.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mx"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm", "th", "mx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("y").alias("sy"),
+            F.avg(F.col("y").cast("double")).alias("my"),
+            F.avg(F.col("x").cast("double")).alias("mxa"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            F.expr("sy div n_users").cast("long").alias("raw_mean_cents"),
+            F.round(
+                F.col("my") - F.col("th") * (F.col("mxa") - F.col("mx")), 4
+            ).alias("cuped_mean_cents"),
+            F.round("th", 6).alias("theta"),
+        )
+    )
+
+
+@query(
+    "segment_overlap_jaccard",
+    oracle="""
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1
+    ), inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM tu a JOIN tu b
+          ON b.user_id = a.user_id AND b.event_type > a.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_both * 1000000 // (sa.n + sb.n - i.n_both) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i JOIN sizes sa ON sa.event_type = i.type_a
+                 JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def segment_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between behaviour segments: for every event-type
+    pair, the exact user-set intersection and Jaccard similarity in ppm
+    — 'are clickers and purchasers the same people?', the audience
+    planning/cannibalization census. The exact hash-checkable twin of
+    what `theta_token_overlap` answers with mergeable sketches when the
+    sets can't be co-shuffled.
+
+    Scale shape: events collapse to the distinct (type, user) relation
+    once; the pair intersection equi-joins on user_id (fan-out bounded
+    by |types| per user, never quadratic in users); sizes broadcast onto
+    the |types|² result. All BIGINT.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_b") > F.col("type_a"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                     F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                     F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("n_both * 1000000L div (n_a + n_b - n_both)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
