@@ -14732,3 +14732,112 @@ def segment_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 67: MV rewrite equivalence, char-level n-gram profiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mv_rewrite_monthly_from_daily",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+    """,
+)
+def mv_rewrite_monthly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rewrite: the monthly revenue rollup answered
+    FROM the daily pre-aggregate (the MV a BI layer maintains), never
+    rescanning the fact — while the oracle recomputes straight from
+    orders, so hash equality IS the proof that answering from the MV is
+    lossless (count and BIGINT-cents sums are mergeable partials;
+    averages would need sum+count carried separately — the classic MV
+    design rule this query pins).
+
+    Scale shape: the daily MV is |days| rows; the monthly answer is one
+    tiny re-aggregation of it. At 100 TB the fact scan happens once a
+    day into the MV; every downstream grain (week/month/quarter) is
+    this re-agg — that asymmetry is the whole point of the pattern
+    (`incremental_view_maintenance` keeps the MV fresh; this query is
+    the read path).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily_mv = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        daily_mv.groupBy(F.date_trunc("month", F.col("day")).cast("date").alias("month"))
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+@query(
+    "char_trigram_profile",
+    oracle="""
+    WITH chars AS (
+        SELECT lang, lower(trim(text)) AS s FROM documents
+        WHERE length(trim(text)) >= 3
+    ), grams AS (
+        SELECT lang, substr(s, g.i, 3) AS tri
+        FROM chars,
+             LATERAL (SELECT unnest(generate_series(1, length(s) - 2)) AS i) g
+    ), counts AS (
+        SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS n
+        FROM grams GROUP BY lang, tri
+    ), ranked AS (
+        SELECT lang, tri, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n DESC, tri) AS BIGINT) AS rnk
+        FROM counts
+    )
+    SELECT lang, tri, n, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 character trigrams per language — the char-level signal
+    real language identifiers (CLD, fastText) are built on, and the
+    character-granularity member of the n-gram family (tokens:
+    heavy-hitters/PMI; token n-grams: diversity/decontamination; chars:
+    this). Whitespace is part of the trigram alphabet by design — word
+    boundaries are the strongest language cue.
+
+    Scale shape: trigrams enumerate in-row from a sequence (no join);
+    one (lang, tri) hash agg with map-side combine (alphabet³-bounded
+    keys); per-lang top-10 via WindowGroupLimit-prunable rank with full
+    (n desc, tri) tie-break so the cut is engine-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "lang", F.lower(F.trim(F.col("text"))).alias("s")
+    ).filter(F.length("s") >= 3)
+    grams = chars.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(s) - 2), i -> substr(s, i, 3))")
+        ).alias("tri"),
+    )
+    counts = grams.groupBy("lang", "tri").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ranked = counts.select(
+        "lang",
+        "tri",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri")))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= 10)
