@@ -173,3 +173,68 @@ def bucketed_range_join(
     if extra_cond is not None:
         cond = cond & extra_cond
     return lb.join(rb, on="__bucket").filter(cond).drop("__bucket")
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    key: str,
+) -> DataFrame:
+    """Symmetric nearest as-of: for each left row, the temporally
+    CLOSEST right ``on`` value per ``key`` — preceding or following,
+    ties to the preceding one (completes the backward/forward pair of
+    ``asof_join`` with the nearest-neighbour variant).
+
+    ``on`` must be a numeric (e.g. microsecond-epoch BIGINT) column on
+    both sides. Output = all left columns plus ``nearest_dir``
+    ('prev'/'next'/'none') and ``gap`` (BIGINT, >= 0, NULL when the key
+    has no right rows).
+
+    One shuffle on ``key``: both sides ride a single RANGE-framed
+    window, so rows tied on ``on`` agree with pure value-inequality
+    semantics regardless of intra-tie order — the property that lets a
+    naive inequality-join oracle verify this single-pass form exactly.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        key,
+        on,
+        F.lit(0).alias("__tag"),
+        F.col(on).alias("__rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key, on)],
+    )
+    tagged_l = left.select(
+        key, on, F.lit(1).alias("__tag"), F.lit(None).cast("long").alias("__rv"),
+        *[F.col(c) for c in lcols if c not in (key, on)],
+    )
+    w = W.partitionBy(key).orderBy(on)
+    prev_v = F.last("__rv", ignorenulls=True).over(
+        w.rangeBetween(W.unboundedPreceding, 0)
+    )
+    next_v = F.first("__rv", ignorenulls=True).over(
+        w.rangeBetween(0, W.unboundedFollowing)
+    )
+    merged = tagged_r.unionByName(tagged_l).select(
+        *lcols, "__tag", prev_v.alias("__pv"), next_v.alias("__nv")
+    )
+    back = F.col(on) - F.col("__pv")
+    fwd = F.col("__nv") - F.col(on)
+    return (
+        merged.filter(F.col("__tag") == 1)
+        .select(
+            *lcols,
+            F.when(F.col("__pv").isNull() & F.col("__nv").isNull(), "none")
+            .when(F.col("__nv").isNull(), "prev")
+            .when(F.col("__pv").isNull(), "next")
+            .when(back <= fwd, "prev")
+            .otherwise("next")
+            .alias("nearest_dir"),
+            F.when(F.col("__pv").isNull() & F.col("__nv").isNull(), F.lit(None))
+            .when(F.col("__nv").isNull(), back)
+            .when(F.col("__pv").isNull(), fwd)
+            .otherwise(F.least(back, fwd))
+            .cast("long")
+            .alias("gap"),
+        )
+    )

@@ -116,3 +116,36 @@ def sorted_neighborhood_pairs(
         *[F.col(f"{c}__b").alias(f"{c}_b") for c in df.columns],
         (F.col("rn_b") - F.col("rn")).cast("long").alias("dist"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], id_col: str = "doc_id", k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion over any number of (id, rank) relations:
+    rrf(id) = Σ_lists 1/(k + rank_i), ids absent from a list contribute
+    only the lists that ranked them (Cormack & Clarke 2009). Score
+    calibration-free — only RANKS cross lists, which is why RRF is the
+    default way to fuse lexical and vector retrieval.
+
+    Each input must carry ``id_col`` and a ``rank`` column (1-based,
+    deterministically tie-broken by the producer). Output: (id, rrf,
+    rank_0..rank_{n-1}) — one row per id seen anywhere; full outer
+    joins keep the fusion lossless. RRF values are sums of reciprocals
+    of small integers: IEEE-identical across engines.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = None
+    for i, r in enumerate(rankings):
+        ri = r.select(id_col, F.col("rank").alias(f"rank_{i}"))
+        fused = ri if fused is None else fused.join(ri, id_col, "full")
+    terms = [
+        F.coalesce(1.0 / (F.col(f"rank_{i}") + k), F.lit(0.0))
+        for i in range(len(rankings))
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return fused.select(
+        id_col, *[f"rank_{i}" for i in range(len(rankings))], score.alias("rrf")
+    )

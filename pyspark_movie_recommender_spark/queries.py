@@ -11589,51 +11589,20 @@ def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: no pair explosion (the naive join is oracle-only);
     state per row is two BIGINTs; AQE handles hot users.
     """
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("purchase", "view")
-    )
+    from pyspark_movie_recommender_spark.operators.asof import asof_nearest
+
+    ev = load_table(spark, sf_dir, "events")
     # NTZ fixture timestamps: cast through LTZ (session TZ is UTC in tests)
     # so unix_micros matches the oracle's epoch_us over naive timestamps
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
-    ev = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        us.alias("t"),
-        F.when(F.col("event_type") == "view", us).alias("vt"),
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("t")
     )
-    w = Window.partitionBy("user_id").orderBy("t")
-    prev_vt = F.last("vt", ignorenulls=True).over(
-        w.rangeBetween(Window.unboundedPreceding, 0)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("t")
     )
-    next_vt = F.first("vt", ignorenulls=True).over(
-        w.rangeBetween(0, Window.unboundedFollowing)
-    )
-    scored = ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "t",
-        prev_vt.alias("prev_vt"),
-        next_vt.alias("next_vt"),
-    ).filter(F.col("event_type") == "purchase")
-    back = F.col("t") - F.col("prev_vt")
-    fwd = F.col("next_vt") - F.col("t")
-    return scored.select(
-        "event_id",
-        "user_id",
-        F.when(F.col("prev_vt").isNull() & F.col("next_vt").isNull(), "none")
-        .when(F.col("next_vt").isNull(), "prev")
-        .when(F.col("prev_vt").isNull(), "next")
-        .when(back <= fwd, "prev")
-        .otherwise("next")
-        .alias("nearest_dir"),
-        F.when(F.col("prev_vt").isNull() & F.col("next_vt").isNull(), F.lit(None))
-        .when(F.col("next_vt").isNull(), back)
-        .when(F.col("prev_vt").isNull(), fwd)
-        .otherwise(F.least(back, fwd))
-        .cast("long")
-        .alias("gap_us"),
+    return asof_nearest(purchases, views, on="t", key="user_id").select(
+        "event_id", "user_id", "nearest_dir", F.col("gap").alias("gap_us")
     )
 
 
@@ -11987,27 +11956,21 @@ def acf_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid, lag self-join, and ACF aggregation all run on that tiny series
     relation. At 100 TB the day-grid is still just thousands of rows.
     """
+    from pyspark_movie_recommender_spark.operators.timeseries import (
+        epoch_day,
+        mean_cleared_devs,
+        zero_filled_daily_grid,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
-        F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
-        .cast("long")
-        .alias("day"),
+        epoch_day("ts").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    bounds = pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    grid = bounds.select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
-    daily = (
-        grid.join(pts, "day", "left")
-        .groupBy("day")
-        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("x"))
-        .select("day", "x", F.row_number().over(Window.orderBy("day")).alias("i"))
-    )
-    stats = daily.agg(
-        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").cast("long").alias("s")
-    )
-    dev = daily.crossJoin(F.broadcast(stats)).select(
-        "i", (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)").alias("d")
-    )
+    daily = zero_filled_daily_grid(
+        pts, F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
+    ).select("day", "x", F.row_number().over(Window.orderBy("day")).alias("i"))
+    dev = mean_cleared_devs(daily).select("i", "d")
     den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("dd"))
     lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
     pairs = (
@@ -12082,30 +12045,23 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a 1-row bounds agg; window and argmax run on the tiny series
     relation partitioned by type.
     """
+    from pyspark_movie_recommender_spark.operators.timeseries import (
+        epoch_day,
+        mean_cleared_devs,
+        zero_filled_daily_grid,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    pts = ev.select(
-        "event_type",
-        F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
-        .cast("long")
-        .alias("day"),
+    pts = ev.select("event_type", epoch_day("ts").alias("day")).withColumn(
+        "hit", F.lit(1)
     )
-    bounds = pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    types = pts.select("event_type").distinct()
-    grid = types.crossJoin(
-        F.broadcast(bounds).select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
+    daily = zero_filled_daily_grid(
+        pts, F.count("hit").cast("long"), keys=["event_type"]
     )
-    daily = (
-        grid.join(pts.withColumn("hit", F.lit(1)), ["event_type", "day"], "left")
-        .groupBy("event_type", "day")
-        .agg(F.count("hit").cast("long").alias("x"))
-    )
-    stats = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").cast("long").alias("s")
-    )
-    cusum = daily.join(F.broadcast(stats), "event_type").select(
+    cusum = mean_cleared_devs(daily, keys=["event_type"]).select(
         "event_type",
         "day",
-        F.sum(F.col("n") * F.col("x") - F.col("s"))
+        F.sum("d")
         .over(Window.partitionBy("event_type").orderBy("day"))
         .alias("c"),
     )
@@ -13437,19 +13393,25 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_c"),
         )
     )
-    fused = brank.join(crank, "doc_id", "full").select(
-        "doc_id",
-        "rank_b",
-        "rank_c",
-        (
-            F.coalesce(1.0 / (F.col("rank_b") + 60), F.lit(0.0))
-            + F.coalesce(1.0 / (F.col("rank_c") + 60), F.lit(0.0))
-        ).alias("rrf"),
+    from pyspark_movie_recommender_spark.operators.rank import rrf_fuse
+
+    fused = rrf_fuse(
+        [
+            brank.select("doc_id", F.col("rank_b").alias("rank")),
+            crank.select("doc_id", F.col("rank_c").alias("rank")),
+        ],
+        id_col="doc_id",
+        k=60,
     )
     return (
         fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
-        .select("doc_id", "rank_b", "rank_c", F.round("rrf", 6).alias("rrf_score"))
+        .select(
+            "doc_id",
+            F.col("rank_0").alias("rank_b"),
+            F.col("rank_1").alias("rank_c"),
+            F.round("rrf", 6).alias("rrf_score"),
+        )
     )
 
 
@@ -13963,25 +13925,19 @@ def seasonal_residual_outlier_days(spark: SparkSession, sf_dir: str) -> DataFram
     a 7-row agg joined back; the MAD is a percentile over |days| rows;
     TakeOrdered emits the top-5.
     """
+    from pyspark_movie_recommender_spark.operators.timeseries import (
+        epoch_day,
+        mean_cleared_devs,
+        zero_filled_daily_grid,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    pts = ev.select(
-        F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
-        .cast("long")
-        .alias("day")
+    pts = ev.select(epoch_day("ts").alias("day")).withColumn("hit", F.lit(1))
+    daily = zero_filled_daily_grid(pts, F.count("hit").cast("long")).select(
+        "day", (F.col("day") % 7).alias("dow"), "x"
     )
-    bounds = pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    grid = bounds.select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
-    daily = (
-        grid.join(pts.withColumn("hit", F.lit(1)), "day", "left")
-        .groupBy("day")
-        .agg(F.count("hit").cast("long").alias("x"))
-        .select("day", (F.col("day") % 7).alias("dow"), "x")
-    )
-    dstats = daily.groupBy("dow").agg(
-        F.count(F.lit(1)).cast("long").alias("nd"), F.sum("x").cast("long").alias("sd")
-    )
-    resid = daily.join(F.broadcast(dstats), "dow").select(
-        "day", "dow", "x", (F.col("x") * F.col("nd") - F.col("sd")).alias("r")
+    resid = mean_cleared_devs(daily, keys=["dow"]).select(
+        "day", "dow", "x", F.col("d").alias("r")
     )
     mad = resid.agg(
         F.floor(F.expr("percentile(abs(r), 0.5)")).cast("long").alias("m")
@@ -14055,12 +14011,9 @@ def cross_correlation_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
-    pts = ev.select(
-        "event_type",
-        F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 86400000000")
-        .cast("long")
-        .alias("day"),
-    )
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    pts = ev.select("event_type", epoch_day("ts").alias("day"))
     bounds = pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     grid = bounds.select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
     daily = (
