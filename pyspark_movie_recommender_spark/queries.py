@@ -14794,3 +14794,154 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rnk"),
     )
     return ranked.filter(F.col("rnk") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# wave 68: per-dimension embedding stats, centroid shift between labels
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH vals AS (
+        SELECT g.i AS dim,
+               CAST(ROUND(CAST(e.embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)
+                   AS v
+        FROM embeddings e,
+             LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT) AS min_u,
+           CAST(MAX(v) AS BIGINT) AS max_u,
+           CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_u
+    FROM vals GROUP BY dim
+    """,
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION statistics of the embedding matrix (count/min/max/
+    mean in exact micro-units) — the feature-scaling profile a whitening
+    or normalization step consumes, and the column-wise companion to the
+    per-vector `embedding_norm_stats`. A dimension whose range collapses
+    is dead weight (matryoshka-truncate it); one whose mean drifts far
+    from zero breaks cosine-vs-dot equivalence assumptions.
+
+    Values are quantized to BIGINT micro-units BEFORE aggregation, so
+    min/max/mean are exact integers with no float-summation-order
+    hazard. 1-based dimension ids match the oracle's list indexing.
+
+    Scale shape: a map-side posexplode fans each vector into (dim, v)
+    pairs; one |dims|-row hash agg with map-side partials absorbs the
+    volume. No joins, no windows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "ev")
+    ).select(
+        (F.col("p") + 1).cast("long").alias("dim"),
+        F.round(F.col("ev") * 1000000).cast("long").alias("v"),
+    )
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").cast("long").alias("min_u"),
+            F.max("v").cast("long").alias("max_u"),
+            F.sum("v").alias("sv"),
+        )
+        .select(
+            "dim",
+            "n",
+            "min_u",
+            "max_u",
+            F.expr("sv div n").cast("long").alias("mean_u"),
+        )
+    )
+
+
+@query(
+    "centroid_shift_labels",
+    oracle="""
+    WITH vals AS (
+        SELECT e.label, g.i AS dim,
+               CAST(ROUND(CAST(e.embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)
+                   AS v
+        FROM embeddings e,
+             LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+    ), cent AS (
+        SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM vals GROUP BY label, dim
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(CAST(a.s * b.c - b.s * a.c AS HUGEINT)
+                   * CAST(a.s * b.c - b.s * a.c AS HUGEINT)) AS num2,
+               ANY_VALUE(CAST(a.c AS HUGEINT) * b.c) AS cc
+        FROM cent a JOIN cent b ON b.dim = a.dim AND b.label > a.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           ROUND(sqrt(CAST(num2 AS DOUBLE)) / CAST(cc AS DOUBLE), 6)
+               AS centroid_dist_u
+    FROM pairs
+    """,
+)
+def centroid_shift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise centroid distances between embedding cluster labels, in
+    micro-units — the separation matrix behind 'are these clusters
+    actually distinct', feeding merge decisions for SemDedup cells and
+    k-means routing (`kmeans_embedding_assign`). Distances use the
+    common-denominator identity ‖s_a/c_a − s_b/c_b‖ =
+    √Σ(s_a·c_b − s_b·c_a)² / (c_a·c_b): the inner sums are EXACT
+    128-bit integers over micro-unit coordinates, so both engines reach
+    the identical rational before one sqrt+divide.
+
+    Scale shape: vectors explode map-side into (label, dim, v); the
+    centroid agg collapses to |labels|×|dims| rows; the pair join runs
+    on that tiny relation keyed by dim. The corpus never pairs with
+    itself.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "ev"),
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("dim"),
+        F.round(F.col("ev") * 1000000).cast("long").alias("v"),
+    )
+    cent = vals.groupBy("label", "dim").agg(
+        F.sum("v").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("s").alias("sa"),
+        F.col("c").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("s").alias("sb"),
+        F.col("c").alias("cb"),
+    )
+    diff = (F.col("sa") * F.col("cb") - F.col("sb") * F.col("ca")).cast(
+        "decimal(38,0)"
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_b") > F.col("label_a"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(diff * diff).alias("num2"),
+            F.first((F.col("ca").cast("decimal(38,0)") * F.col("cb"))).alias("cc"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.sqrt(F.col("num2").cast("double")) / F.col("cc").cast("double"), 6
+        ).alias("centroid_dist_u"),
+    )
