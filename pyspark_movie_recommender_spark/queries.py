@@ -14945,3 +14945,166 @@ def centroid_shift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("num2").cast("double")) / F.col("cc").cast("double"), 6
         ).alias("centroid_dist_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 69: Wilson proportion bounds, Laspeyres price index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wilson_conversion_bounds",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+        FROM events GROUP BY user_id
+    ), seg AS (
+        SELECT user_id % 4 AS segment, bought FROM per_user WHERE viewed = 1
+    ), c AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bought) AS BIGINT) AS k
+        FROM seg GROUP BY segment
+    )
+    SELECT segment, n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+           ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1 - CAST(k AS DOUBLE) / n) / n + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1 - CAST(k AS DOUBLE) / n) / n + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM c
+    """,
+)
+def wilson_conversion_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion rate per (hash-derived) user segment
+    with Wilson-score 95% bounds — the proportion-uncertainty tool that
+    stays honest at small n and extreme rates where the naive ±1.96·SE
+    interval leaves [0,1]. Bootstrap CI covers means; this covers
+    rates; together they bracket the readout surface.
+
+    Counts are exact BIGINTs; the Wilson formula is a fixed dag of IEEE
+    ops (z=1.96 constants pre-squared: 3.8416, 1.9208, 0.9604) on those
+    exact counts, identical on both engines, rounded to 6.
+
+    Scale shape: events collapse per-user map-side (two MAX flags), the
+    segment census is a 4-row agg. Nothing wide.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("viewed"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "bought"
+        ),
+    )
+    c = (
+        per_user.filter(F.col("viewed") == 1)
+        .select((F.col("user_id") % 4).alias("segment"), "bought")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bought").cast("long").alias("k"),
+        )
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return c.select(
+        "segment",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@query(
+    "laspeyres_price_index",
+    oracle="""
+    WITH m AS (
+        SELECT l_partkey,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ), base AS (
+        SELECT l_partkey,
+               cents * 1000 // qty AS base_milli_per_unit,
+               qty AS base_qty
+        FROM m WHERE month = (SELECT MIN(month) FROM m)
+    ), cur AS (
+        SELECT m.month,
+               SUM(CAST(m.cents * 1000 // m.qty AS HUGEINT) * b.base_qty)
+                   AS cur_basket,
+               SUM(CAST(b.base_milli_per_unit AS HUGEINT) * b.base_qty)
+                   AS base_basket
+        FROM m JOIN base b ON b.l_partkey = m.l_partkey
+        GROUP BY m.month
+    )
+    SELECT month,
+           CAST(cur_basket * 1000000 // base_basket AS BIGINT) AS laspeyres_ppm
+    FROM cur
+    """,
+)
+def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship month: the base month's basket
+    (its parts, at their base quantities) repriced at each month's unit
+    prices, as exact ppm of the base cost — the inflation/price-drift
+    measure over the matched basket (parts absent in a month simply
+    drop out of that month's numerator, the standard matched-sample
+    convention). Unit prices are integer milli-cents (cents·1000 ÷ qty)
+    so the whole index is BIGINT/128-bit arithmetic with zero float
+    drift.
+
+    Scale shape: lineitem collapses once to (part, month) price/qty
+    partials; the base basket is one month's slice joined back
+    part-keyed (broadcast at dim scale); per-month totals are a tiny
+    agg. No windows over the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    base_month = m.agg(F.min("month").alias("bm"))
+    base = (
+        m.crossJoin(F.broadcast(base_month))
+        .filter(F.col("month") == F.col("bm"))
+        .select(
+            "l_partkey",
+            F.expr("cents * 1000L div qty").alias("base_milli_per_unit"),
+            F.col("qty").alias("base_qty"),
+        )
+    )
+    cur = (
+        m.join(base, "l_partkey")
+        .groupBy("month")
+        .agg(
+            F.sum(
+                F.expr("cents * 1000L div qty").cast("decimal(38,0)")
+                * F.col("base_qty")
+            ).alias("cur_basket"),
+            F.sum(
+                F.col("base_milli_per_unit").cast("decimal(38,0)")
+                * F.col("base_qty")
+            ).alias("base_basket"),
+        )
+    )
+    return cur.select(
+        "month",
+        (F.col("cur_basket") * 1000000 / F.col("base_basket"))
+        .cast("long")
+        .alias("laspeyres_ppm"),
+    )
