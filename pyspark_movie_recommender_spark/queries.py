@@ -15108,3 +15108,193 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("laspeyres_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 70: power-iteration principal direction, two-proportion z-test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "power_iteration_top_pc",
+    oracle="""
+    WITH vals AS (
+        SELECT e.vec_id, g.i AS dim,
+               CAST(ROUND(CAST(e.embedding[g.i] AS DOUBLE) * 100) AS BIGINT) AS v
+        FROM embeddings e,
+             LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+    ), sums AS (
+        SELECT dim, CAST(SUM(v) AS BIGINT) AS s FROM vals GROUP BY dim
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM vals
+    ), cov AS (
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(n.n AS HUGEINT) * SUM(CAST(a.v AS HUGEINT) * b.v)
+                   - CAST(sa.s AS HUGEINT) * sb.s AS c
+        FROM vals a
+        JOIN vals b ON b.vec_id = a.vec_id
+        JOIN sums sa ON sa.dim = a.dim
+        JOIN sums sb ON sb.dim = b.dim, n
+        GROUP BY a.dim, b.dim, n.n, sa.s, sb.s
+    ), y1 AS (
+        SELECT i AS dim, c AS y FROM cov WHERE j = 1
+    ), y2 AS (
+        SELECT cov.i AS dim, SUM((cov.c // 1000) * (y1.y // 1000)) AS y
+        FROM cov JOIN y1 ON y1.dim = cov.j
+        GROUP BY cov.i
+    ), mx AS (
+        SELECT MAX(ABS(y)) AS m FROM y2
+    )
+    SELECT dim, CAST(y * 1000000 // m AS BIGINT) AS pc_ppm
+    FROM y2, mx
+    """,
+)
+def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two steps of power iteration for the leading principal component
+    of the embedding covariance, entirely in EXACT integer arithmetic —
+    linear algebra as relational joins: the covariance matrix is the
+    centered Gram identity n·Σv_iv_j − Σv_i·Σv_j over centi-unit
+    coordinates (128-bit exact), and y = C·(C·e₁) is two matrix-vector
+    joins with a deterministic 10³ truncating down-scaling between products to
+    keep magnitudes inside 128 bits. Output is the direction as exact
+    ppm of its max coordinate — a hash-checkable PCA estimate (two
+    iterations from e₁: a coarse but deterministic direction; more
+    rounds = more joins, same shape). The anisotropy this finds is what
+    `jl_random_projection` ignores and mean-centering debates in
+    cosine retrieval hinge on.
+
+    Scale shape: the Gram accumulation is the only data-sized job —
+    explode to (id, dim, v) then one self-join on id bounded by 64²
+    output cells per vector, collapsing in a dims²-row agg with
+    map-side partials; everything after runs on the 64×64 relation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "ev"),
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("dim"),
+        F.round(F.col("ev") * 100).cast("long").alias("v"),
+    )
+    sums = vals.groupBy("dim").agg(F.sum("v").cast("long").alias("s"))
+    n = vals.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    a = vals.select("vec_id", F.col("dim").alias("i"), F.col("v").alias("va"))
+    b = vals.select("vec_id", F.col("dim").alias("j"), F.col("v").alias("vb"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("va").cast("decimal(38,0)") * F.col("vb")).alias("svv")
+        )
+    )
+    cov = (
+        gram.join(
+            F.broadcast(sums.select(F.col("dim").alias("i"), F.col("s").alias("sa"))),
+            "i",
+        )
+        .join(
+            F.broadcast(sums.select(F.col("dim").alias("j"), F.col("s").alias("sb"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("svv")
+                - F.col("sa").cast("decimal(38,0)") * F.col("sb")
+            ).alias("c"),
+        )
+    )
+    y1 = cov.filter(F.col("j") == 1).select(F.col("i").alias("dim"), F.col("c").alias("y"))
+    y2 = (
+        cov.join(F.broadcast(y1.select(F.col("dim").alias("j"), F.col("y").alias("y1"))), "j")
+        .groupBy("i")
+        .agg(
+            # truncate-toward-zero scaling (matches DuckDB's integer //):
+            # (x - x % 1000) / 1000 is exact for either sign
+            F.sum(
+                F.expr("CAST((c - (c % 1000)) / 1000 AS DECIMAL(38,0))")
+                * F.expr("CAST((y1 - (y1 % 1000)) / 1000 AS DECIMAL(38,0))")
+            ).alias("y")
+        )
+        .select(F.col("i").alias("dim"), "y")
+    )
+    mx = y2.agg(F.max(F.abs(F.col("y"))).alias("m"))
+    return y2.crossJoin(F.broadcast(mx)).select(
+        "dim",
+        (F.col("y") * 1000000 / F.col("m")).cast("long").alias("pc_ppm"),
+    )
+
+
+@query(
+    "two_proportion_ztest",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), bounds AS (
+        SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM pts
+    ), tagged AS (
+        SELECT CASE WHEN day < mid THEN 0 ELSE 1 END AS period,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        FROM pts, bounds
+    ), c AS (
+        SELECT CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN period = 0 THEN b ELSE 0 END) AS BIGINT) AS k0,
+               CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN period = 1 THEN b ELSE 0 END) AS BIGINT) AS k1
+        FROM tagged
+    )
+    SELECT n0, k0, n1, k1,
+           ROUND(CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1, 6) AS diff,
+           ROUND((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+                 / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) AS z
+    FROM c
+    """,
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: did the PURCHASE SHARE of all events change
+    between the first and second half of the observation window? The
+    pooled-variance z statistic over exact per-period event counts — the
+    difference-in-rates hypothesis test beside chi-square (composition),
+    KS (distribution), and CUSUM (when). Counts are exact BIGINTs; z is
+    a fixed IEEE dag on them, rounded to 6. (Event-level shares, not
+    per-user flags: on this fixture every user purchases in every
+    period, which would degenerate the pooled variance to zero.)
+
+    Scale shape: one map-side tagging pass and a 1-row census agg with
+    map-side partials. Nothing wide.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    pts = ev.select("user_id", "event_type", epoch_day("ts").alias("day"))
+    bounds = pts.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
+    tagged = pts.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("day") < F.col("mid"), 0).otherwise(1).alias("period"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+    )
+    c = tagged.agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("period") == 0, F.col("b")).otherwise(0))
+        .cast("long")
+        .alias("k0"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("period") == 1, F.col("b")).otherwise(0))
+        .cast("long")
+        .alias("k1"),
+    )
+    p0 = F.col("k0").cast("double") / F.col("n0")
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    pp = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return c.select(
+        "n0", "k0", "n1", "k1",
+        F.round(p0 - p1, 6).alias("diff"),
+        F.round(z, 6).alias("z"),
+    )
