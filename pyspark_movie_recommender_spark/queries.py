@@ -15298,3 +15298,182 @@ def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p0 - p1, 6).alias("diff"),
         F.round(z, 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 71: journey trigram paths, chance-corrected classifier agreement
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_event_trigram_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 1) OVER w AS p1,
+               LAG(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, step1, step2, step3
+    LIMIT 10
+    """,
+)
+def top_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys (event-type trigrams over each
+    user's time-ordered stream) — the Sankey/path-analysis view one
+    level deeper than `event_transition_matrix`'s bigrams: 'what do
+    users do around an error', 'which 3-step paths end in purchase'.
+    Ordering ties break on the full path so the cut is engine-stable;
+    the lag window carries the (ts, event_id) total order.
+
+    Scale shape: one user_id exchange for the two lags; the path census
+    collapses to ≤|types|³ rows with map-side partials; TakeOrdered
+    emits the top-10.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        seq.select(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(10)
+    )
+
+
+@query(
+    "classifier_agreement_kappa",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t,
+               ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+        FROM documents
+    ),
+    train_tok AS (
+        SELECT lang, unnest(t) AS w FROM split WHERE bucket < 80
+    ),
+    counts AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM train_tok GROUP BY lang, w
+    ),
+    n_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM train_tok GROUP BY lang
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_tok
+    ),
+    priors AS (
+        SELECT lang,
+               CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM split WHERE bucket < 80)) * 1000000)
+                   AS BIGINT) AS prior_unats
+        FROM split WHERE bucket < 80 GROUP BY lang
+    ),
+    test_tok AS (
+        SELECT doc_id, lang AS true_lang, w, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT doc_id, lang, unnest(t) AS w FROM split WHERE bucket >= 80)
+        GROUP BY doc_id, lang, w
+    ),
+    scored AS (
+        SELECT tt.doc_id, tt.true_lang, nl.lang AS cand,
+               SUM(tt.k * CAST(ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                   / (nl.n_l + vocab.v)) * 1000000) AS BIGINT)) AS tok_unats
+        FROM test_tok tt
+        CROSS JOIN n_lang nl
+        CROSS JOIN vocab
+        LEFT JOIN counts c ON c.lang = nl.lang AND c.w = tt.w
+        GROUP BY tt.doc_id, tt.true_lang, nl.lang
+    ),
+    pred AS (
+        SELECT true_lang, cand AS pred_lang
+        FROM (
+            SELECT true_lang, cand,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tok_unats + p.prior_unats DESC, cand) AS rn
+            FROM scored JOIN priors p ON p.lang = scored.cand
+        ) WHERE rn = 1
+    ),
+    conf AS (
+        SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+                    AS BIGINT) AS agree
+        FROM conf
+    ),
+    marg AS (
+        SELECT CAST(SUM(r.rn * c.cn) AS HUGEINT) AS pe_num
+        FROM (SELECT true_lang AS l, SUM(n) AS rn FROM conf GROUP BY 1) r
+        JOIN (SELECT pred_lang AS l, SUM(n) AS cn FROM conf GROUP BY 1) c
+          ON c.l = r.l
+    )
+    SELECT nn AS n_docs, agree AS n_agree,
+           CAST(agree * 1000000 // nn AS BIGINT) AS accuracy_ppm,
+           CAST((agree * nn - pe_num) * 1000000
+                // (CAST(nn AS HUGEINT) * nn - pe_num) AS BIGINT) AS kappa_ppm
+    FROM tot, marg
+    """,
+)
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the naive-Bayes language identifier: accuracy
+    corrected for chance agreement, κ = (p_o − p_e)/(1 − p_e) with
+    p_e from the confusion matrix's marginals — the honest skill score
+    when classes are imbalanced (this corpus is ~50% English, so raw
+    accuracy flatters a majority-class guesser). Computed as exact
+    128-bit integer ratios in ppm: κ = (agree·N − Σ row_i·col_i)·10⁶ ÷
+    (N² − Σ row_i·col_i).
+
+    Scale shape: rides the NB scoring shape (`naive_bayes_lang_confusion`)
+    to the |langs|² confusion matrix, then everything is constant-sized
+    marginal algebra.
+    """
+    conf = QUERIES["naive_bayes_lang_confusion"](spark, sf_dir)
+    tot = conf.agg(
+        F.sum("n_docs").cast("long").alias("nn"),
+        F.sum(
+            F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n_docs")).otherwise(0)
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    r = conf.groupBy(F.col("true_lang").alias("l")).agg(F.sum("n_docs").alias("rn"))
+    c = conf.groupBy(F.col("pred_lang").alias("l")).agg(F.sum("n_docs").alias("cn"))
+    marg = (
+        r.join(c, "l")
+        .agg(
+            F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cn")).alias("pe_num")
+        )
+    )
+    return tot.crossJoin(F.broadcast(marg)).select(
+        F.col("nn").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        F.expr("agree * 1000000L div nn").cast("long").alias("accuracy_ppm"),
+        (
+            (F.col("agree").cast("decimal(38,0)") * F.col("nn") - F.col("pe_num"))
+            * 1000000
+            / (
+                F.col("nn").cast("decimal(38,0)") * F.col("nn") - F.col("pe_num")
+            )
+        )
+        .cast("long")
+        .alias("kappa_ppm"),
+    )
