@@ -15477,3 +15477,144 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 72: business-day latency, burst-rate detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "business_day_ship_latency",
+    oracle="""
+    WITH pairs AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS d0,
+               CAST(epoch_us(l.l_shipdate)  // 86400000000 AS BIGINT) AS d1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ), biz AS (
+        -- business days in [d0, d1): full weeks * 5 + weekday remainder.
+        -- epoch day 0 = Thursday => weekday index (day + 3) % 7, Mon=0.
+        SELECT priority,
+               ((d1 - d0) // 7) * 5
+               + GREATEST(0, LEAST((d0 + 3) % 7 + (d1 - d0) % 7, 5)
+                             - ((d0 + 3) % 7))
+               + GREATEST(0, LEAST((d0 + 3) % 7 + (d1 - d0) % 7 - 7, 5))
+               AS bdays
+        FROM pairs
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+           CAST(SUM(bdays) * 1000 // COUNT(*) AS BIGINT) AS mean_bdays_milli,
+           CAST(FLOOR(quantile_cont(bdays, 0.5)) AS BIGINT) AS median_bdays
+    FROM biz GROUP BY priority
+    """,
+)
+def business_day_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency in BUSINESS days per priority class — the SLA
+    metric operations teams actually track (a Friday order shipping
+    Monday is 1 business day, not 3). Business-day counting is closed-
+    form integer arithmetic on epoch days (full weeks ×5 plus a
+    two-segment weekday-remainder clamp; weekday = (epoch_day+3) mod 7
+    with Monday=0 — engine-neutral, no calendar-dialect traps), so
+    every column is exact BIGINT; the mean ships as milli-days by
+    integer division.
+
+    Scale shape: the join is the star-schema orderkey equi-join; the
+    latency math is map-side; the census is |priorities| rows. A real
+    deployment adds a broadcast holiday dimension — same shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            epoch_day("o_orderdate").alias("d0"),
+            epoch_day("l_shipdate").alias("d1"),
+        )
+    )
+    w0 = (F.col("d0") + 3) % 7
+    rem = (F.col("d1") - F.col("d0")) % 7
+    bdays = (
+        F.expr("((d1 - d0) div 7) * 5")
+        + F.greatest(F.lit(0), F.least(w0 + rem, F.lit(5)) - w0)
+        + F.greatest(F.lit(0), F.least(w0 + rem - 7, F.lit(5)))
+    )
+    biz = pairs.select("priority", bdays.alias("bdays"))
+    return biz.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bdays").cast("long").alias("total_bdays"),
+        F.expr("sum(bdays) * 1000L div count(1)").cast("long").alias(
+            "mean_bdays_milli"
+        ),
+        F.floor(F.expr("percentile(bdays, 0.5)")).cast("long").alias("median_bdays"),
+    )
+
+
+@query(
+    "bot_rate_detection",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS t FROM events
+    ), rates AS (
+        SELECT user_id, t,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS burst
+        FROM e
+    ), peak AS (
+        SELECT user_id, MAX(burst) AS max_burst_1h,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM rates GROUP BY user_id
+    )
+    SELECT user_id, n_events, max_burst_1h,
+           CASE WHEN max_burst_1h >= 8 THEN 1 ELSE 0 END AS flagged
+    FROM peak
+    ORDER BY max_burst_1h DESC, user_id
+    LIMIT 20
+    """,
+)
+def bot_rate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-rate abuse detection: each user's maximum events within any
+    trailing 1-hour window (an exact sliding count via a RANGE frame
+    over microsecond epochs — the frame ends at each event, which is
+    where the true maximum always sits), top-20 burstiest with a
+    threshold flag. The rate-limiter's ban-list query; thresholds are
+    config, the SHAPE is the operator.
+
+    All integers; ties break on user_id so the top-k is stable.
+
+    Scale shape: one user_id exchange; the RANGE frame holds only the
+    in-window event times per user; the per-user peak agg collapses
+    before TakeOrdered. No self-joins, no minute-grid materialization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    e = ev.select("user_id", us.alias("t"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-3600000000, 0)
+    )
+    rates = e.select("user_id", F.count(F.lit(1)).over(w).alias("burst"))
+    peak = rates.groupBy("user_id").agg(
+        F.max("burst").cast("long").alias("max_burst_1h"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        peak.select(
+            "user_id",
+            "n_events",
+            "max_burst_1h",
+            F.when(F.col("max_burst_1h") >= 8, 1).otherwise(0).alias("flagged"),
+        )
+        .orderBy(F.desc("max_burst_1h"), F.asc("user_id"))
+        .limit(20)
+    )
