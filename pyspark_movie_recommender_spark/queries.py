@@ -15618,3 +15618,224 @@ def bot_rate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_burst_1h"), F.asc("user_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 73: per-class P/R/F1, overdispersion index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nb_per_class_prf",
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, lang,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t,
+               ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+        FROM documents
+    ),
+    train_tok AS (
+        SELECT lang, unnest(t) AS w FROM split WHERE bucket < 80
+    ),
+    counts AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM train_tok GROUP BY lang, w
+    ),
+    n_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM train_tok GROUP BY lang
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_tok
+    ),
+    priors AS (
+        SELECT lang,
+               CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM split WHERE bucket < 80)) * 1000000)
+                   AS BIGINT) AS prior_unats
+        FROM split WHERE bucket < 80 GROUP BY lang
+    ),
+    test_tok AS (
+        SELECT doc_id, lang AS true_lang, w, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT doc_id, lang, unnest(t) AS w FROM split WHERE bucket >= 80)
+        GROUP BY doc_id, lang, w
+    ),
+    scored AS (
+        SELECT tt.doc_id, tt.true_lang, nl.lang AS cand,
+               SUM(tt.k * CAST(ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                   / (nl.n_l + vocab.v)) * 1000000) AS BIGINT)) AS tok_unats
+        FROM test_tok tt
+        CROSS JOIN n_lang nl
+        CROSS JOIN vocab
+        LEFT JOIN counts c ON c.lang = nl.lang AND c.w = tt.w
+        GROUP BY tt.doc_id, tt.true_lang, nl.lang
+    ),
+    pred AS (
+        SELECT true_lang, cand AS pred_lang
+        FROM (
+            SELECT true_lang, cand,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tok_unats + p.prior_unats DESC, cand) AS rn
+            FROM scored JOIN priors p ON p.lang = scored.cand
+        ) WHERE rn = 1
+    ),
+    conf AS (
+        SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ),
+    classes AS (
+        SELECT true_lang AS cls FROM conf
+        UNION SELECT pred_lang FROM conf
+    ),
+    prf AS (
+        SELECT cls,
+               COALESCE((SELECT SUM(n) FROM conf
+                         WHERE true_lang = cls AND pred_lang = cls), 0) AS tp,
+               COALESCE((SELECT SUM(n) FROM conf WHERE pred_lang = cls), 0) AS pp,
+               COALESCE((SELECT SUM(n) FROM conf WHERE true_lang = cls), 0) AS ap
+        FROM classes
+    )
+    SELECT cls AS lang,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(pp - tp AS BIGINT) AS fp,
+           CAST(ap - tp AS BIGINT) AS fn,
+           CAST(CASE WHEN pp = 0 THEN 0 ELSE tp * 1000000 // pp END AS BIGINT)
+               AS precision_ppm,
+           CAST(CASE WHEN ap = 0 THEN 0 ELSE tp * 1000000 // ap END AS BIGINT)
+               AS recall_ppm,
+           CAST(CASE WHEN pp + ap = 0 THEN 0
+                     ELSE 2 * tp * 1000000 // (pp + ap) END AS BIGINT) AS f1_ppm
+    FROM prf
+    """,
+)
+def nb_per_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision / recall / F1 of the naive-Bayes language
+    identifier, in exact ppm from the confusion-matrix marginals —
+    where the single accuracy (and kappa) numbers hide which MINORITY
+    class the classifier sacrifices. F1 = 2·tp/(pp+ap) stays pure
+    integer division; zero-support classes report 0 by convention.
+
+    Scale shape: rides the NB confusion matrix; everything after is
+    |langs|-sized marginal algebra.
+    """
+    conf = QUERIES["naive_bayes_lang_confusion"](spark, sf_dir)
+    ap = conf.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("ap")
+    )
+    pp = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("pp")
+    )
+    tp = (
+        conf.filter(F.col("true_lang") == F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("lang"))
+        .agg(F.sum("n_docs").cast("long").alias("tp"))
+    )
+    prf = (
+        ap.join(pp, "lang", "full")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("pp", F.lit(0)).cast("long").alias("pp"),
+            F.coalesce("ap", F.lit(0)).cast("long").alias("ap"),
+        )
+    )
+    return prf.select(
+        "lang",
+        "tp",
+        (F.col("pp") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("ap") - F.col("tp")).cast("long").alias("fn"),
+        F.when(F.col("pp") == 0, 0)
+        .otherwise(F.expr("tp * 1000000L div pp"))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("ap") == 0, 0)
+        .otherwise(F.expr("tp * 1000000L div ap"))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(F.col("pp") + F.col("ap") == 0, 0)
+        .otherwise(F.expr("2 * tp * 1000000L div (pp + ap)"))
+        .cast("long")
+        .alias("f1_ppm"),
+    )
+
+
+@query(
+    "dispersion_index_daily",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM pts
+    ), grid AS (
+        SELECT et.event_type, g.day
+        FROM (SELECT DISTINCT event_type FROM pts) et,
+             (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds) g
+    ), daily AS (
+        SELECT g.event_type, g.day, CAST(COUNT(p.day) AS BIGINT) AS x
+        FROM grid g LEFT JOIN pts p
+          ON p.event_type = g.event_type AND p.day = g.day
+        GROUP BY g.event_type, g.day
+    ), mo AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n, s,
+           CAST((CAST(n AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s) * 1000000
+                // ((n - 1) * CAST(n AS HUGEINT) * s) AS BIGINT)
+               AS dispersion_ppm
+    FROM mo
+    """,
+)
+def dispersion_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of the zero-filled
+    daily count series per event type, in exact ppm — the Poisson
+    sanity check: ≈10⁶ means Poisson-like arrivals, ≫10⁶ means bursty/
+    overdispersed traffic (negative-binomial territory — alerting
+    thresholds calibrated on Poisson will cry wolf), ≪10⁶ means
+    suspiciously regular (synthetic or rate-limited). Var/mean =
+    (n·Σx² − (Σx)²)·10⁶ ÷ ((n−1)·n·x̄·…) — entirely 128-bit integer
+    arithmetic via the sample-variance identity; no float moments.
+
+    Scale shape: the per-type day grid collapse (shared
+    `zero_filled_daily_grid` shape) then a |types|-row moment agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import (
+        epoch_day,
+        zero_filled_daily_grid,
+    )
+
+    pts = ev.select("event_type", epoch_day("ts").alias("day")).withColumn(
+        "hit", F.lit(1)
+    )
+    daily = zero_filled_daily_grid(
+        pts, F.count("hit").cast("long"), keys=["event_type"]
+    )
+    mo = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    ) * 1000000
+    den = (
+        (F.col("n") - 1).cast("decimal(38,0)")
+        * F.col("n").cast("decimal(38,0)")
+        * F.col("s")
+    )
+    return mo.select(
+        "event_type",
+        "n",
+        "s",
+        # decimal quotient truncates toward zero on cast; values are
+        # positive so this matches DuckDB's integer //
+        (num / den).cast("long").alias("dispersion_ppm"),
+    )
