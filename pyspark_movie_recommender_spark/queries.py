@@ -15839,3 +15839,169 @@ def dispersion_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         # positive so this matches DuckDB's integer //
         (num / den).cast("long").alias("dispersion_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 74: bootstrap uplift CI, capture-recapture estimation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bootstrap_uplift_ci",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               ((user_id * 2654435761) % 4294967296) % 2 AS arm,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), w AS (
+        SELECT b.b, m.arm, m.cents,
+               ((m.event_id * 2654435761 + b.b * 40503) % 4294967296) % 3 AS wt
+        FROM m, (SELECT unnest(generate_series(0, 99)) AS b) b
+    ), means AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN arm = 0 THEN wt * cents ELSE 0 END) AS BIGINT)
+                   AS num0,
+               CAST(SUM(CASE WHEN arm = 0 THEN wt ELSE 0 END) AS BIGINT) AS den0,
+               CAST(SUM(CASE WHEN arm = 1 THEN wt * cents ELSE 0 END) AS BIGINT)
+                   AS num1,
+               CAST(SUM(CASE WHEN arm = 1 THEN wt ELSE 0 END) AS BIGINT) AS den1
+        FROM w GROUP BY b HAVING SUM(CASE WHEN arm = 0 THEN wt ELSE 0 END) > 0
+                             AND SUM(CASE WHEN arm = 1 THEN wt ELSE 0 END) > 0
+    ), uplifts AS (
+        SELECT CAST(num1 AS DOUBLE) / den1 - CAST(num0 AS DOUBLE) / den0 AS u
+        FROM means
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           ROUND(quantile_cont(u, 0.025), 4) AS uplift_lo,
+           ROUND(quantile_cont(u, 0.5), 4) AS uplift_mid,
+           ROUND(quantile_cont(u, 0.975), 4) AS uplift_hi
+    FROM uplifts
+    """,
+)
+def bootstrap_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for the A/B UPLIFT (arm-1 minus arm-0 mean
+    purchase cents) under the deterministic hash-weight resampling of
+    `bootstrap_ci_order_value` — the interval that answers 'is the
+    treatment effect distinguishable from zero' without any normality
+    assumption, completing the experimentation kit (SRM gate → CUPED
+    point estimate → this uncertainty band). Each resample's per-arm
+    means are exact BIGINT ratios; the uplift is two IEEE divisions and
+    a subtract, and the CI is exact interpolated percentiles over 100
+    engine-identical doubles.
+
+    Scale shape: the ×100 fan-out is map-side; the resample agg carries
+    4 BIGINTs per (resample, arm) with map-side partials; percentiles
+    run over ≤100 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (((F.col("user_id") * 2654435761) % 4294967296) % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = m.select(
+        "arm",
+        "cents",
+        F.explode(F.expr("sequence(0, 99)")).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "b",
+        "arm",
+        "cents",
+        (
+            ((F.col("event_id") * 2654435761 + F.col("b") * 40503) % 4294967296)
+            % 3
+        ).alias("wt"),
+    )
+    means = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, F.col("wt") * F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("num0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("wt")).otherwise(0))
+            .cast("long")
+            .alias("den0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("wt") * F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("num1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("wt")).otherwise(0))
+            .cast("long")
+            .alias("den1"),
+        )
+        .filter((F.col("den0") > 0) & (F.col("den1") > 0))
+        .select(
+            (
+                F.col("num1").cast("double") / F.col("den1")
+                - F.col("num0").cast("double") / F.col("den0")
+            ).alias("u")
+        )
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.round(F.expr("percentile(u, 0.025D)"), 4).alias("uplift_lo"),
+        F.round(F.expr("percentile(u, 0.5D)"), 4).alias("uplift_mid"),
+        F.round(F.expr("percentile(u, 0.975D)"), 4).alias("uplift_hi"),
+    )
+
+
+@query(
+    "capture_recapture_estimate",
+    oracle="""
+    WITH viewers AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ), clickers AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ), c AS (
+        SELECT (SELECT COUNT(*) FROM viewers) AS na,
+               (SELECT COUNT(*) FROM clickers) AS nb,
+               (SELECT COUNT(*) FROM viewers v
+                JOIN clickers k ON k.user_id = v.user_id) AS m,
+               (SELECT COUNT(DISTINCT user_id) FROM events) AS truth
+    )
+    SELECT CAST(na AS BIGINT) AS n_sample_a,
+           CAST(nb AS BIGINT) AS n_sample_b,
+           CAST(m AS BIGINT) AS n_both,
+           CAST((na + 1) * (nb + 1) // (m + 1) - 1 AS BIGINT) AS chapman_estimate,
+           CAST(truth AS BIGINT) AS true_population
+    FROM c
+    """,
+)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman) population estimate: treat viewers
+    and clickers as two independent 'capture' samples of the active
+    user population and estimate its TOTAL size from their overlap,
+    N̂ = (n_a+1)(n_b+1)/(m+1) − 1 — the mark-recapture estimator data
+    teams use to answer 'how much did we NOT see' (residual duplicates
+    after a dedup pass, uncrawled hosts, unmatched entities) without a
+    census. The true distinct-user count ships alongside so the
+    fixture itself shows the estimator's bias when the independence
+    assumption bends. All integer arithmetic.
+
+    Scale shape: two distinct-collapses and one user-keyed semi-overlap
+    count; the estimator is constant algebra on three scalars.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    na = viewers.agg(F.count(F.lit(1)).cast("long").alias("na"))
+    nb = clickers.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    m = viewers.join(clickers, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    truth = ev.agg(F.countDistinct("user_id").cast("long").alias("truth"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.col("na").alias("n_sample_a"),
+            F.col("nb").alias("n_sample_b"),
+            F.col("m").alias("n_both"),
+            F.expr("(na + 1) * (nb + 1) div (m + 1) - 1")
+            .cast("long")
+            .alias("chapman_estimate"),
+            F.col("truth").alias("true_population"),
+        )
+    )
