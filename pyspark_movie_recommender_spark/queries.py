@@ -16005,3 +16005,150 @@ def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("truth").alias("true_population"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 75: Shapley channel attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'signup')
+    ), flags AS (
+        SELECT p.event_id,
+               MAX(CASE WHEN t.event_type = 'view'   THEN 1 ELSE 0 END) AS fv,
+               MAX(CASE WHEN t.event_type = 'click'  THEN 2 ELSE 0 END) AS fc,
+               MAX(CASE WHEN t.event_type = 'signup' THEN 4 ELSE 0 END) AS fs
+        FROM purchases p LEFT JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts AND t.ts > p.ts - INTERVAL 3 DAY
+        GROUP BY p.event_id
+    ), tcounts AS (
+        SELECT fv + fc + fs AS t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM flags GROUP BY 1
+    ), coalitions AS (
+        SELECT unnest(generate_series(0, 7)) AS s
+    ), v AS (
+        SELECT c.s, CAST(COALESCE(SUM(tc.n), 0) AS BIGINT) AS val
+        FROM coalitions c LEFT JOIN tcounts tc
+          ON (tc.t & c.s) = tc.t AND tc.t <> 0
+        GROUP BY c.s
+    ), shapley_terms AS (
+        SELECT ch.bit, ch.name, sub.s AS s0, w.w
+        FROM (VALUES (1, 'view'), (2, 'click'), (4, 'signup')) ch(bit, name),
+             (SELECT unnest(generate_series(0, 7)) AS s) sub,
+             LATERAL (SELECT CASE
+                 WHEN bit_count(CAST(sub.s AS BIGINT)) = 0 THEN 2
+                 WHEN bit_count(CAST(sub.s AS BIGINT)) = 1 THEN 1
+                 ELSE 2 END AS w) w
+        WHERE (sub.s & ch.bit) = 0
+    ), phi AS (
+        SELECT st.name,
+               CAST(SUM(st.w * (v1.val - v0.val)) AS BIGINT) AS phi6
+        FROM shapley_terms st
+        JOIN v v0 ON v0.s = st.s0
+        JOIN v v1 ON v1.s = (st.s0 | st.bit)
+        GROUP BY st.name
+    ), tot AS (
+        SELECT SUM(phi6) AS t6 FROM phi
+    )
+    SELECT name AS channel, phi6,
+           CAST(CASE WHEN t6 = 0 THEN 0
+                     ELSE phi6 * 1000000 // t6 END AS BIGINT) AS share_ppm
+    FROM phi, tot
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the three touch channels
+    (view / click / signup in the 3 days before each purchase) — the
+    game-theoretically fair credit split that linear and time-decay
+    attribution approximate. Coalition value v(S) = purchases whose
+    whole touch set lies inside S; with 3 players the ordering weights
+    {2,1,1,2}/6 make 6·φ_c a pure INTEGER combination of coalition
+    counts, so Shapley values are hash-exact BIGINTs (reported as φ·6
+    plus the ppm share; Σ6φ = v(full) by efficiency — test-pinned).
+
+    Scale shape: the only data-sized work is the same 3-day range join
+    the other attribution queries use, collapsed per purchase into a
+    3-bit touch mask; everything after runs on the 8-row coalition
+    lattice (subset sums via bitmask joins) and a 12-row Shapley-term
+    table. Adding a 4th channel doubles the lattice, not the data cost.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", F.col("ts").alias("tts"), F.col("event_type").alias("ch"))
+    flags = (
+        purchases.join(
+            touches,
+            (purchases.user_id == touches.user_id)
+            & (F.col("tts") <= F.col("pts"))
+            & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 3 DAY")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(
+            F.max(F.when(F.col("ch") == "view", 1).otherwise(0)).alias("fv"),
+            F.max(F.when(F.col("ch") == "click", 2).otherwise(0)).alias("fc"),
+            F.max(F.when(F.col("ch") == "signup", 4).otherwise(0)).alias("fs"),
+        )
+    )
+    tcounts = flags.select(
+        (F.col("fv") + F.col("fc") + F.col("fs")).alias("t")
+    ).groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    coalitions = spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
+    v = (
+        coalitions.join(
+            F.broadcast(tcounts),
+            F.expr("(t & s) = t AND t <> 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("val"))
+    )
+    ch = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (4, "signup")], "bit int, name string"
+    )
+    terms = (
+        ch.crossJoin(coalitions.withColumnRenamed("s", "s0"))
+        .filter(F.expr("(s0 & bit) = 0"))
+        .select(
+            "bit",
+            "name",
+            "s0",
+            F.when(F.expr("bit_count(s0)") == 0, 2)
+            .when(F.expr("bit_count(s0)") == 1, 1)
+            .otherwise(2)
+            .alias("w"),
+        )
+    )
+    phi = (
+        terms.join(
+            F.broadcast(v.select(F.col("s").alias("s0"), F.col("val").alias("v0"))),
+            "s0",
+        )
+        .join(
+            F.broadcast(v.select(F.col("s").alias("s1"), F.col("val").alias("v1"))),
+            F.expr("s1 = (s0 | bit)"),
+        )
+        .groupBy("name")
+        .agg(F.sum(F.col("w") * (F.col("v1") - F.col("v0"))).cast("long").alias("phi6"))
+    )
+    tot = phi.agg(F.sum("phi6").alias("t6"))
+    return phi.crossJoin(F.broadcast(tot)).select(
+        F.col("name").alias("channel"),
+        "phi6",
+        F.when(F.col("t6") == 0, 0)
+        .otherwise(F.expr("phi6 * 1000000L div t6"))
+        .cast("long")
+        .alias("share_ppm"),
+    )

@@ -347,3 +347,35 @@ def test_rolling_mau_fanout_joins_day_keys_only(spark, sf_dir):
     p = physical_plan(df)
     # the ±6-day fan-out must not degenerate to a cartesian product
     assert "CartesianProduct" not in p
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Σ 6·φ_c must equal v(grand coalition) = attributable purchases
+    (Shapley efficiency) — and every share is a valid ppm."""
+    import pyspark.sql.functions as F
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    r = rows(spark, sf_dir, "shapley_channel_attribution")
+    assert {x.channel for x in r} == {"view", "click", "signup"}
+    total6 = sum(x.phi6 for x in r)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", F.col("ts").alias("tts"))
+    attributable = (
+        purchases.join(
+            touches,
+            (purchases.user_id == touches.user_id)
+            & (F.col("tts") <= F.col("pts"))
+            & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 3 DAY")),
+            "left_semi",
+        )
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert total6 == 6 * attributable
+    assert all(0 <= x.share_ppm <= 1_000_000 for x in r)
