@@ -16152,3 +16152,137 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 76: forecast evaluation, duplicate-payment rule
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "smape_seasonal_naive",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM pts
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+    ), daily AS (
+        SELECT g.day, COALESCE(SUM(p.cents), 0) AS x
+        FROM grid g LEFT JOIN pts p ON p.day = g.day GROUP BY g.day
+    ), paired AS (
+        SELECT a.day, a.x AS actual, f.x AS forecast
+        FROM daily a JOIN daily f ON f.day = a.day - 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(actual - forecast)) // COUNT(*) AS BIGINT)
+               AS mae_cents,
+           CAST(SUM(CASE WHEN actual + forecast = 0 THEN 0
+                         ELSE ABS(actual - forecast) * 2000000
+                              // (actual + forecast) END)
+                // COUNT(*) AS BIGINT) AS smape_ppm
+    FROM paired
+    """,
+)
+def smape_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy floor: MAE and sMAPE of the SEASONAL-NAIVE
+    forecast (predict each day with the value 7 days earlier) over the
+    zero-filled daily value series — the baseline every real forecast
+    must beat, and the denominator of the MASE skill score. Per-day
+    sMAPE terms are exact integer ratios (|a−f|·2·10⁶ ÷ (a+f), floor),
+    averaged by integer division — no float error metrics.
+
+    Scale shape: one grid collapse, a self-join on day−7 over the tiny
+    series, a 1-row agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import (
+        epoch_day,
+        zero_filled_daily_grid,
+    )
+
+    pts = ev.select(
+        epoch_day("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = zero_filled_daily_grid(
+        pts, F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
+    )
+    a = daily.select("day", F.col("x").alias("actual"))
+    f = daily.select((F.col("day") + 7).alias("day"), F.col("x").alias("forecast"))
+    paired = a.join(f, "day")
+    term = F.when(F.col("actual") + F.col("forecast") == 0, F.lit(0)).otherwise(
+        F.expr("abs(actual - forecast) * 2000000L div (actual + forecast)")
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("sum(abs(actual - forecast)) div count(1)")
+        .cast("long")
+        .alias("mae_cents"),
+        (F.sum(term) / F.count(F.lit(1))).cast("long").alias("smape_ppm"),
+    )
+
+
+@query(
+    "rapid_repeat_purchases",
+    oracle="""
+    WITH pay AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), seq AS (
+        SELECT event_id, user_id, cents, t,
+               LAG(t) OVER w AS prev_t,
+               LAG(cents) OVER w AS prev_cents
+        FROM pay
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    )
+    SELECT event_id, user_id, prev_cents, cents,
+           CAST(t - prev_t AS BIGINT) AS gap_us,
+           CASE WHEN prev_cents = cents THEN 1 ELSE 0 END AS same_amount
+    FROM seq
+    WHERE prev_t IS NOT NULL AND t - prev_t <= CAST(3600 AS BIGINT) * 1000000
+    """,
+)
+def rapid_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid repeat-purchase detector: a user's purchase within one hour
+    of their previous purchase — the double-charge / retry-storm
+    fraud-ops shortlist, with both amounts and an exact same-amount
+    flag so the downstream rule can tighten to true duplicates. Lag
+    window semantics: a burst of k purchases flags k−1 rows (chain, not
+    pairwise explosion); (t, event_id) total order; microsecond gaps.
+
+    Scale shape: one user_id exchange; no self-join — the window form
+    is O(n log n) per key versus the naive pairwise O(n²).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    pay = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        us.alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = pay.withColumn("prev_t", F.lag("t").over(w)).withColumn(
+        "prev_cents", F.lag("cents").over(w)
+    )
+    return (
+        seq.filter(
+            F.col("prev_t").isNotNull()
+            & (F.col("t") - F.col("prev_t") <= 3600 * 1000000)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "prev_cents",
+            "cents",
+            (F.col("t") - F.col("prev_t")).cast("long").alias("gap_us"),
+            F.when(F.col("prev_cents") == F.col("cents"), 1)
+            .otherwise(0)
+            .alias("same_amount"),
+        )
+    )
