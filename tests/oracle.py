@@ -61,6 +61,14 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
+    # an empty==empty hash match proves nothing — every registered query
+    # must produce evidence at the oracle SF
+    assert spark_rows, f"{name}: empty result at oracle SF (vacuous match)"
+    # the driver's canonicalizer cannot hash list/dict cells
+    for v in spark_rows[0]:
+        assert not isinstance(v, (list, dict)), (
+            f"{name}: unhashable {type(v).__name__} cell reaches the gate"
+        )
 
     # align columns by sorted name, normalize, compare as multiset
     from collections import Counter

@@ -26,6 +26,11 @@ def test_query(name, spark, sf_oracle_dir, con):
     if name in Q.ORACLE_SQL:
         compare(df, con, Q.ORACLE_SQL[name], name)
     else:
-        # rows-only: must run and have a stable schema
+        # rows-only: must run, have a stable schema, and produce evidence
         assert df.columns
-        assert df.count() >= 0
+        rows = df.limit(1).collect()
+        assert rows, f"{name}: empty rows-only result at oracle SF"
+        for v in rows[0]:
+            assert not isinstance(v, (list, dict)), (
+                f"{name}: unhashable {type(v).__name__} cell reaches the gate"
+            )
