@@ -16286,3 +16286,91 @@ def rapid_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("same_amount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 77: vocabulary entropy / effective vocab size
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "effective_vocab_size",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS w
+        FROM documents
+    ), counts AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY lang, w
+    ), lstats AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        FROM counts GROUP BY lang
+    ), ent AS (
+        SELECT c.lang,
+               CAST(SUM(c.c * CAST(ROUND(ln(CAST(c.c AS DOUBLE) / s.n) * 1000000)
+                    AS BIGINT)) AS BIGINT) AS neg_h_n_unats
+        FROM counts c JOIN lstats s ON s.lang = c.lang
+        GROUP BY c.lang
+    )
+    SELECT s.lang, s.n AS n_tokens, s.vocab, s.hapax,
+           CAST(s.hapax * 1000000 // s.vocab AS BIGINT) AS hapax_ppm,
+           CAST(-e.neg_h_n_unats // s.n AS BIGINT) AS entropy_unats,
+           ROUND(exp(CAST(-e.neg_h_n_unats // s.n AS DOUBLE) / 1000000), 2)
+               AS effective_vocab
+    FROM lstats s JOIN ent e ON e.lang = s.lang
+    """,
+)
+def effective_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary health per language: Shannon entropy of the unigram
+    distribution in BIGINT micro-nats (each term c·round(ln(c/N)·10⁶)
+    is quantized BEFORE summation — the summation-order-proof trick the
+    LM scorers use), its exponential = the EFFECTIVE vocabulary size
+    (perplexity of the unigram LM — how many equally-likely words the
+    language 'really' uses), and the hapax-legomena share in exact ppm
+    (high hapax = productive/long-tail vocabulary or OCR noise; near
+    zero = templated text). The diversity dashboard row beside Zipf
+    slope and 4-gram diversity.
+
+    Scale shape: one explode → (lang, token) hash agg with map-side
+    combine; language stats and the entropy agg run on the vocab-sized
+    relation. Constants out.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lstats = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+    )
+    ent = (
+        counts.join(F.broadcast(lstats.select("lang", "n")), "lang")
+        .select(
+            "lang",
+            (
+                F.col("c")
+                * F.round(F.log(F.col("c").cast("double") / F.col("n")) * 1000000)
+                .cast("long")
+            ).alias("t"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("t").cast("long").alias("neg_h_n_unats"))
+    )
+    return lstats.join(ent, "lang").select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        "hapax",
+        F.expr("hapax * 1000000L div vocab").cast("long").alias("hapax_ppm"),
+        F.expr("-neg_h_n_unats div n").cast("long").alias("entropy_unats"),
+        F.round(
+            F.exp(F.expr("CAST(-neg_h_n_unats div n AS DOUBLE) / 1000000")), 2
+        ).alias("effective_vocab"),
+    )
