@@ -16374,3 +16374,105 @@ def effective_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.expr("CAST(-neg_h_n_unats div n AS DOUBLE) / 1000000")), 2
         ).alias("effective_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 78: aggregate-function parity, full regr_* family, streaming counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "aggregate_function_parity",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 500000) AS any_huge,
+           mode(o_orderpriority) AS top_priority,
+           CAST(ROUND(median(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 1) AS DOUBLE)
+               AS median_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def aggregate_function_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate-function parity pinned across engines per order
+    status: count_if, bool_and/bool_or, mode, and median — the
+    analyst-convenience aggregates (Spark 3.4/3.5 additions) proven to
+    mean the same thing the oracle thinks they mean. mode() is only
+    deterministic when the argmax is unique — true for priorities per
+    status here, and the reason a production mode carries a tie-break
+    (max_by(value, (count, value)) — the pattern `label_purity_by_lang`
+    uses). median over BIGINT cents interpolates to exact halves.
+
+    Scale shape: one partial+final hash agg (median/mode are sort-based
+    object aggregates per group); |statuses| rows out.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("afp_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_totalprice > 500000) AS any_huge,
+               mode(o_orderpriority) AS top_priority,
+               CAST(ROUND(median(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 1)
+                    AS DOUBLE) AS median_cents
+        FROM afp_orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "regr_function_suite",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regr_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ANSI linear-regression aggregate family per return
+    flag: count, slope, intercept, R², and both means — one-pass OLS
+    sufficient statistics as built-in JVM aggregates (what
+    `stats_moments_lineitem` samples, completed and pinned name-by-name
+    against the oracle's implementations). Price-on-quantity slope is
+    the unit-price trend; the intercept is the fixed-charge estimate.
+
+    Floats are rounded on both sides; the aggregates themselves are
+    single-pass moment accumulations with map-side partials — the plan
+    is one partial+final hash agg pair over the fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("rfs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               ROUND(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+               ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+        FROM rfs_lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query("streaming_hourly_user_counts")
+def streaming_hourly_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(hour, user) event counts maintained as a watermarked
+    streaming aggregation — the continuous state behind burst-rate
+    abuse monitoring (`bot_rate_detection` is the exact-batch twin).
+    Rows-only; pinned equal to the identical batch aggregation in
+    tests/test_streaming.py."""
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        hourly_user_counts_stream,
+    )
+
+    return hourly_user_counts_stream(spark, sf_dir, query_name="q_stream_hourly")

@@ -498,3 +498,29 @@ def drift_band_counts_stream(
     )
     _run_to_table(agg, query_name, output_mode)
     return spark.table(query_name)
+
+
+def hourly_user_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "hourly_user_counts",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Streaming half of burst-rate monitoring (`bot_rate_detection`):
+    per (1-hour tumbling window, user) event counts with a 30-minute
+    watermark — the state the rate-limiter maintains continuously; peak
+    detection and thresholding run downstream on the materialized
+    counts (the stream-maintains-counts / batch-ranks split of
+    `trending_counts_stream`). Tumbling windows approximate the batch
+    query's exact trailing-hour frame within a factor of 2 — the
+    standard cost of streamable state.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+    _run_to_table(agg, query_name, output_mode)
+    return spark.table(query_name)

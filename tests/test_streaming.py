@@ -401,3 +401,24 @@ def test_drift_band_counts_stream_equals_batch(spark, sf_dir):
     assert rows(stream) == rows(batch)
     # ten reference-decile bands, all populated on the static replay
     assert stream.count() == 10
+
+
+def test_hourly_user_counts_stream_equals_batch(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        hourly_user_counts_stream,
+    )
+
+    stream = hourly_user_counts_stream(
+        spark, sf_dir, query_name="t_hourly_eq", output_mode="complete"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+    assert rows(stream) == rows(batch)
