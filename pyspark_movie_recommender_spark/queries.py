@@ -16476,3 +16476,153 @@ def streaming_hourly_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hourly_user_counts_stream(spark, sf_dir, query_name="q_stream_hourly")
+
+
+# ---------------------------------------------------------------------------
+# wave 79: order-statistic median CI, robust-vs-OLS slope comparison
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "median_ci_order_stats",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), ranked AS (
+        SELECT o_orderstatus, cents,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY cents, o_orderstatus) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM m
+    ), idx AS (
+        SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(FLOOR(MAX(n) / 2.0 - 0.98 * sqrt(MAX(n))) AS BIGINT) AS k_lo,
+               CAST(CEIL(MAX(n) / 2.0 + 1 + 0.98 * sqrt(MAX(n))) AS BIGINT) AS k_hi
+        FROM ranked GROUP BY o_orderstatus
+    )
+    SELECT i.o_orderstatus, i.n,
+           CAST(FLOOR(quantile_cont(CAST(r.cents AS DOUBLE), 0.5)) AS BIGINT)
+               AS median_cents,
+           MAX(CASE WHEN r.rn = i.k_lo THEN r.cents END) AS ci_lo_cents,
+           MAX(CASE WHEN r.rn = i.k_hi THEN r.cents END) AS ci_hi_cents
+    FROM ranked r JOIN idx i ON i.o_orderstatus = r.o_orderstatus
+    GROUP BY i.o_orderstatus, i.n
+    """,
+)
+def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN per
+    order status, read straight off the order statistics: ranks
+    ⌊n/2 − 1.96·√n/2⌋ and ⌈n/2 + 1 + 1.96·√n/2⌉ bracket the true
+    median with ≈95% coverage by the binomial argument — no normality,
+    no resampling, and the bounds are actual data values (exact BIGINT
+    cents picked by integer rank lookups). The order-statistic
+    companion to the bootstrap (means) and Wilson (rates) intervals.
+
+    Scale shape: one rank window per status partition; the CI lookup is
+    two equality filters on the ranked relation folded into the same
+    group agg. At extreme n the rank lookup swaps for approx quantiles
+    at the two target fractions — same contract.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        "o_orderstatus", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("cents", "o_orderstatus")
+    ranked = m.select(
+        "o_orderstatus",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    idx = ranked.groupBy("o_orderstatus").agg(
+        F.max("n").cast("long").alias("n"),
+        F.floor(F.max("n") / 2.0 - 0.98 * F.sqrt(F.max("n")))
+        .cast("long")
+        .alias("k_lo"),
+        F.ceil(F.max("n") / 2.0 + 1 + 0.98 * F.sqrt(F.max("n")))
+        .cast("long")
+        .alias("k_hi"),
+    )
+    j = ranked.drop("n").join(F.broadcast(idx), "o_orderstatus")
+    return j.groupBy("o_orderstatus", "n").agg(
+        F.floor(F.expr("percentile(CAST(cents AS DOUBLE), 0.5)"))
+        .cast("long")
+        .alias("median_cents"),
+        F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("cents"))).alias(
+            "ci_lo_cents"
+        ),
+        F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("cents"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+
+
+@query(
+    "theil_sen_price_curve",
+    oracle="""
+    WITH lv AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ), pts AS (
+        SELECT l_returnflag, q, cents * 1.0 / n AS mean_cents FROM lv
+    ), pairs AS (
+        SELECT a.l_returnflag,
+               (b.mean_cents - a.mean_cents) / (b.q - a.q) AS slope
+        FROM pts a JOIN pts b
+          ON b.l_returnflag = a.l_returnflag AND b.q > a.q
+    ), ts AS (
+        SELECT l_returnflag, ROUND(quantile_cont(slope, 0.5), 4) AS theil_sen
+        FROM pairs GROUP BY 1
+    ), ols AS (
+        SELECT l_returnflag,
+               ROUND(regr_slope(l_extendedprice * 100, l_quantity), 4) AS ols
+        FROM lineitem GROUP BY 1
+    )
+    SELECT t.l_returnflag, t.theil_sen, o.ols
+    FROM ts t JOIN ols o ON o.l_returnflag = t.l_returnflag
+    """,
+)
+def theil_sen_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust vs least-squares unit-price estimation side by side: the
+    Theil-Sen slope (median of pairwise slopes over the quantity-level
+    mean-price curve — outlier-immune) against the OLS regr_slope per
+    return flag, both in cents/unit. When the two disagree, the tail is
+    driving OLS — the one-line robustness diagnostic for any fitted
+    trend.
+
+    Determinism: the level curve collapses the fact to ≤|quantities|
+    points first (exact integer sums and counts; mean = one division);
+    pairwise slopes are IEEE ops on those identical doubles; the median
+    is the exact interpolated percentile. Pairs are levels², never
+    rows².
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lv = li.groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("q")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    pts = lv.select(
+        "l_returnflag", "q", (F.col("cents") * 1.0 / F.col("n")).alias("mean_cents")
+    )
+    a = pts.select("l_returnflag", F.col("q").alias("qa"), F.col("mean_cents").alias("ma"))
+    b = pts.select("l_returnflag", F.col("q").alias("qb"), F.col("mean_cents").alias("mb"))
+    pairs = a.join(b, "l_returnflag").filter(F.col("qb") > F.col("qa")).select(
+        "l_returnflag",
+        ((F.col("mb") - F.col("ma")) / (F.col("qb") - F.col("qa"))).alias("slope"),
+    )
+    ts = pairs.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("theil_sen")
+    )
+    ols = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("regr_slope(l_extendedprice * 100, l_quantity)"), 4
+        ).alias("ols")
+    )
+    return ts.join(ols, "l_returnflag")
