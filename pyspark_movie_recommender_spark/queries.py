@@ -16626,3 +16626,165 @@ def theil_sen_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ols")
     )
     return ts.join(ols, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# wave 80: repeated-token runs, binned continuous MI
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "longest_token_run",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, g.i AS i, t[g.i] AS w
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+    ), flagged AS (
+        SELECT doc_id, i, w,
+               CASE WHEN LAG(w) OVER (PARTITION BY doc_id ORDER BY i) = w
+                    THEN 0 ELSE 1 END AS brk
+        FROM pos
+    ), islands AS (
+        SELECT doc_id,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        FROM flagged
+    ), runs AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM islands GROUP BY doc_id, isl
+    ), per_doc AS (
+        SELECT doc_id, MAX(run_len) AS max_run FROM runs GROUP BY doc_id
+    )
+    SELECT max_run, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM per_doc GROUP BY max_run
+    """,
+)
+def longest_token_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of each document's LONGEST same-token run — the
+    stuck-generation / stutter detector ('the the the the …') that
+    word-frequency filters miss entirely: a doc can have healthy global
+    stats and still contain a degenerate run. Gaps-and-islands over
+    token positions (lag-equality break flags → island cumsum → run
+    lengths → per-doc max), reported as a run-length histogram.
+
+    Scale shape: positions explode map-side; both windows partition by
+    doc_id — token-bounded state per doc, one doc-keyed exchange shared
+    by break-flag and island numbering; the histogram is a tiny agg.
+    The in-row HOF fold is the shuffle-free alternative when docs are
+    huge — the window form is the cross-engine-checkable spec.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(ws_tokens(F.lower(F.col("text")))).alias("p", "w")
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    flagged = pos.select(
+        "doc_id",
+        "i",
+        F.when(F.lag("w").over(wd) == F.col("w"), 0).otherwise(1).alias("brk"),
+    )
+    islands = flagged.select(
+        "doc_id", F.sum("brk").over(wd).alias("isl")
+    )
+    runs = islands.groupBy("doc_id", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    per_doc = runs.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
+    return per_doc.groupBy("max_run").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+@query(
+    "binned_mi_price_quantity",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ), edges AS (
+        SELECT quantile_cont(CAST(price AS DOUBLE),
+                             [0.25, 0.5, 0.75]) AS pe,
+               quantile_cont(CAST(qty AS DOUBLE),
+                             [0.25, 0.5, 0.75]) AS qe
+        FROM m
+    ), binned AS (
+        SELECT len(list_filter(pe, x -> price > x)) AS pb,
+               len(list_filter(qe, x -> qty > x)) AS qb
+        FROM m, edges
+    ), joint AS (
+        SELECT pb, qb, CAST(COUNT(*) AS BIGINT) AS n_ij FROM binned GROUP BY 1, 2
+    ), mi AS (
+        SELECT pb, qb, n_ij,
+               CAST(SUM(n_ij) OVER () AS BIGINT) AS n,
+               CAST(SUM(n_ij) OVER (PARTITION BY pb) AS BIGINT) AS n_i,
+               CAST(SUM(n_ij) OVER (PARTITION BY qb) AS BIGINT) AS n_j
+        FROM joint
+    )
+    SELECT pb, qb, n_ij,
+           ROUND((CAST(n_ij AS DOUBLE) / n)
+                 * ln((CAST(n_ij AS DOUBLE) * n) / (CAST(n_i AS DOUBLE) * n_j)),
+                 6) AS mi_contrib
+    FROM mi
+    """,
+)
+def binned_mi_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two CONTINUOUS columns (price and
+    quantity) via quartile binning — the dependence screen for numeric
+    feature pairs where Pearson only sees linearity (`stats_moments_
+    lineitem` has corr; this catches any functional coupling). Bin
+    edges are exact interpolated quartiles applied in-row; the 4×4
+    contingency and its marginals are exact BIGINTs; each cell does one
+    ln, rounded to 6. Σ cells = I(price; qty).
+
+    Scale shape: one exact-percentile agg broadcast in-row, one 16-cell
+    hash agg, marginal windows on the tiny table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    edges = m.agg(
+        F.expr(
+            "percentile(CAST(price AS DOUBLE), array(0.25D, 0.5D, 0.75D))"
+        ).alias("pe"),
+        F.expr("percentile(CAST(qty AS DOUBLE), array(0.25D, 0.5D, 0.75D))").alias(
+            "qe"
+        ),
+    )
+    binned = m.crossJoin(F.broadcast(edges)).select(
+        F.expr("size(filter(pe, x -> price > x))").alias("pb"),
+        F.expr("size(filter(qe, x -> qty > x))").alias("qb"),
+    )
+    joint = binned.groupBy("pb", "qb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ij")
+    )
+    mi = joint.select(
+        "pb",
+        "qb",
+        "n_ij",
+        F.sum("n_ij").over(Window.partitionBy()).cast("long").alias("n"),
+        F.sum("n_ij").over(Window.partitionBy("pb")).cast("long").alias("n_i"),
+        F.sum("n_ij").over(Window.partitionBy("qb")).cast("long").alias("n_j"),
+    )
+    return mi.select(
+        "pb",
+        "qb",
+        "n_ij",
+        F.round(
+            (F.col("n_ij").cast("double") / F.col("n"))
+            * F.log(
+                (F.col("n_ij").cast("double") * F.col("n"))
+                / (F.col("n_i").cast("double") * F.col("n_j"))
+            ),
+            6,
+        ).alias("mi_contrib"),
+    )
