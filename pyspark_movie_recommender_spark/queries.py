@@ -16788,3 +16788,157 @@ def binned_mi_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 81: conformal prediction, partial-pooling shrinkage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conformal_price_interval",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS actual,
+               CAST(ROUND((50000.0 + 1500.0 * (o_orderkey % 100)) * 100) AS BIGINT)
+                   AS pred,
+               ((o_orderkey * 2654435761) % 4294967296) % 2 AS half
+        FROM orders
+    ), calib AS (
+        SELECT ABS(actual - pred) AS r FROM m WHERE half = 0
+    ), qhat AS (
+        -- split-conformal: the ceil((n+1)*0.95)-th order statistic
+        SELECT r AS q
+        FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM calib)
+        WHERE rn = CAST(CEIL((n + 1) * 0.95) AS BIGINT)
+    ), test AS (
+        SELECT actual, pred FROM m WHERE half = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM calib) AS BIGINT) AS n_calib,
+           CAST((SELECT COUNT(*) FROM test) AS BIGINT) AS n_test,
+           CAST(q AS BIGINT) AS qhat_cents,
+           CAST((SELECT SUM(CASE WHEN ABS(actual - pred) <= q THEN 1 ELSE 0 END)
+                 FROM test) * 1000000
+                // (SELECT COUNT(*) FROM test) AS BIGINT) AS coverage_ppm
+    FROM qhat
+    """,
+)
+def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the price model:
+    calibration-half absolute residuals give q̂ = the ⌈(n+1)·0.95⌉-th
+    order statistic, and pred ± q̂ is then a distribution-free ≥95%
+    coverage interval on the disjoint test half — the
+    assumption-free uncertainty wrapper modern ML serving puts around
+    ANY point predictor, here entirely relational: deterministic hash
+    halves, an integer rank lookup for q̂, and the empirical coverage
+    audit in exact ppm (the number that validates the guarantee).
+
+    Scale shape: one pass tags halves map-side; q̂ is one rank window
+    on the calibration half (approx-quantile swap documented at extreme
+    n); coverage is a 1-row agg over the test half with the scalar q̂
+    broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("actual"),
+        F.round((50000.0 + 1500.0 * (F.col("o_orderkey") % 100)) * 100)
+        .cast("long")
+        .alias("pred"),
+        (((F.col("o_orderkey") * 2654435761) % 4294967296) % 2).alias("half"),
+    )
+    calib = m.filter(F.col("half") == 0).select(
+        F.abs(F.col("actual") - F.col("pred")).alias("r")
+    )
+    ranked = calib.select(
+        "r",
+        F.row_number().over(Window.orderBy("r")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    qhat = ranked.filter(
+        F.col("rn") == F.ceil((F.col("n") + 1) * 0.95).cast("long")
+    ).select(F.col("r").alias("q"), F.col("n").cast("long").alias("n_calib"))
+    test = m.filter(F.col("half") == 1)
+    cov = test.crossJoin(F.broadcast(qhat)).agg(
+        F.max("n_calib").alias("n_calib"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.max("q").cast("long").alias("qhat_cents"),
+        F.sum(
+            F.when(F.abs(F.col("actual") - F.col("pred")) <= F.col("q"), 1).otherwise(
+                0
+            )
+        ).alias("n_cov"),
+    )
+    return cov.select(
+        "n_calib",
+        "n_test",
+        "qhat_cents",
+        F.expr("n_cov * 1000000L div n_test").cast("long").alias("coverage_ppm"),
+    )
+
+
+@query(
+    "shrunk_group_slopes",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_nationkey AS nation,
+               o.o_totalprice * 100 AS price_cents,
+               o.o_orderkey % 100 AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), grp AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+               regr_slope(price_cents, x) AS slope_g
+        FROM j GROUP BY nation
+    ), pooled AS (
+        SELECT regr_slope(price_cents, x) AS slope_p FROM j
+    )
+    SELECT nation, n,
+           ROUND(slope_g, 4) AS group_slope,
+           ROUND(slope_p, 4) AS pooled_slope,
+           ROUND((n * slope_g + 200 * slope_p) / (n + 200), 4) AS shrunk_slope
+    FROM grp, pooled
+    """,
+)
+def shrunk_group_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial pooling: per-nation regression slopes shrunk toward the
+    pooled slope with precision weight n/(n+k), k=200 — the James-Stein
+    /hierarchical-model move that stops small groups from reporting
+    wild slopes while letting data-rich groups keep their own. The
+    per-group, pooled, and shrunk estimates ship side by side so the
+    shrinkage is auditable.
+
+    Determinism: both slopes are single-pass regr_slope moments over
+    identical inputs; the blend is a fixed IEEE dag rounded to 4.
+
+    Scale shape: one broadcast dim join, one |nations|-row group agg +
+    a 1-row pooled agg broadcast back. Partial pooling at 100 TB is
+    exactly this plan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+        "o_custkey",
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        (F.col("o_totalprice") * 100).alias("price_cents"),
+        (F.col("o_orderkey") % 100).alias("x"),
+    )
+    grp = j.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("regr_slope(price_cents, x)").alias("slope_g"),
+    )
+    pooled = j.agg(F.expr("regr_slope(price_cents, x)").alias("slope_p"))
+    return grp.crossJoin(F.broadcast(pooled)).select(
+        "nation",
+        "n",
+        F.round("slope_g", 4).alias("group_slope"),
+        F.round("slope_p", 4).alias("pooled_slope"),
+        F.round(
+            (F.col("n") * F.col("slope_g") + 200 * F.col("slope_p"))
+            / (F.col("n") + 200),
+            4,
+        ).alias("shrunk_slope"),
+    )
