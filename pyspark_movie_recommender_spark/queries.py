@@ -12637,6 +12637,7 @@ def lorenz_curve_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "modularity_trade_communities",
+    bench=True,
     oracle="""
     WITH fwd AS (
         SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
@@ -14425,6 +14426,7 @@ def gini_exact_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rolling_mau_stickiness",
+    bench=True,
     oracle="""
     WITH du AS (
         SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
@@ -16014,6 +16016,7 @@ def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shapley_channel_attribution",
+    bench=True,
     oracle="""
     WITH purchases AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -16941,4 +16944,84 @@ def shrunk_group_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") + 200),
             4,
         ).alias("shrunk_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 82: time-decayed popularity ranking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decayed_popularity_ranking",
+    oracle="""
+    WITH views AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+               epoch_us(ts) AS t
+        FROM events
+        WHERE event_type = 'view'
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), horizon AS (
+        SELECT MAX(t) AS now_us FROM views
+    ), scored AS (
+        SELECT item_id,
+               CAST(COUNT(*) AS BIGINT) AS n_views,
+               SUM(1.0 / pow((CAST(now_us - t AS DOUBLE) / 3600000000.0 + 2.0),
+                             1.5)) AS decayed
+        FROM views, horizon GROUP BY item_id
+    )
+    SELECT item_id, n_views, ROUND(decayed, 6) AS decayed_score
+    FROM scored
+    ORDER BY decayed DESC, item_id
+    LIMIT 15
+    """,
+)
+def decayed_popularity_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-decayed popularity feed ranking: each view contributes
+    1/(age_hours + 2)^1.5 (the classic news-feed decay curve), top-15
+    items by decayed score — recency-aware trending that a raw count
+    ranking ('all-time popular') can never express. 'Now' is pinned to
+    the max event time so the query is replayable.
+
+    Determinism note: the decayed score is a float SUM whose
+    accumulation order differs between engines — per-item sums here are
+    small (≤ a few hundred terms) and the ranking gap between items is
+    >> the 1-ulp noise, with item_id tie-breaks and 6-decimal rounding
+    on display; for adversarial scales the documented exact form is
+    micro-unit quantization per term (the `unigram_logprob_quality`
+    trick).
+
+    Scale shape: JSON-shredded views collapse per item in one hash agg
+    with map-side partials; TakeOrdered top-k. The decay needs no
+    refresh jobs — the score is a pure function of (now, view times).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    views = ev.filter(
+        (F.col("event_type") == "view")
+        & F.get_json_object("props", "$.k").isNotNull()
+    ).select(
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        us.alias("t"),
+    )
+    horizon = views.agg(F.max("t").alias("now_us"))
+    scored = (
+        views.crossJoin(F.broadcast(horizon))
+        .groupBy("item_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum(
+                1.0
+                / F.pow(
+                    (F.col("now_us") - F.col("t")).cast("double") / 3600000000.0
+                    + 2.0,
+                    1.5,
+                )
+            ).alias("decayed"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("decayed"), F.asc("item_id"))
+        .limit(15)
+        .select("item_id", "n_views", F.round("decayed", 6).alias("decayed_score"))
     )
