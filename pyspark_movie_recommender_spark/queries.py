@@ -17025,3 +17025,153 @@ def decayed_popularity_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("item_id", "n_views", F.round("decayed", 6).alias("decayed_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 83: SLO error-budget burn, difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "slo_error_budget_burn",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT day, n, errs,
+               SUM(errs) OVER (ORDER BY day) AS cum_errs,
+               SUM(n) OVER (ORDER BY day) AS cum_n
+        FROM daily
+    )
+    SELECT day, n, errs,
+           CAST(errs * 1000000 // n AS BIGINT) AS daily_error_ppm,
+           CAST(cum_errs AS BIGINT) AS cum_errors,
+           -- budget: 25% error-rate SLO; burn = cumulative errors as ppm
+           -- of the cumulative allowance
+           CAST(cum_errs * 4000000 // cum_n AS BIGINT) AS budget_burn_ppm
+    FROM cum
+    """,
+)
+def slo_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-down: daily error rate against a 25%
+    error-rate SLO, with the cumulative burn expressed as ppm of the
+    cumulative allowance (10⁶ = budget exactly spent; >10⁶ = SLO
+    breached, freeze launches) — the error-budget arithmetic of
+    SLO-based alerting as one exact-integer relation (burn =
+    cum_errors · (10⁶/0.25) ÷ cum_events). The fixture's ~20% error
+    share makes the burn hover meaningfully below breach.
+
+    Scale shape: one daily hash agg; two running windows over |days|
+    rows sharing one frame. Thresholds are config; the shape is the
+    operator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    daily = ev.groupBy(epoch_day("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        "n",
+        "errs",
+        F.sum("errs").over(w).alias("cum_errs"),
+        F.sum("n").over(w).alias("cum_n"),
+    )
+    return cum.select(
+        "day",
+        "n",
+        "errs",
+        F.expr("errs * 1000000L div n").cast("long").alias("daily_error_ppm"),
+        F.col("cum_errs").cast("long").alias("cum_errors"),
+        F.expr("cum_errs * 4000000L div cum_n").cast("long").alias("budget_burn_ppm"),
+    )
+
+
+@query(
+    "diff_in_diff_revenue",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_nationkey % 2 AS grp,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS day,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), bounds AS (
+        SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM o
+    ), cells AS (
+        SELECT grp, CASE WHEN day < mid THEN 0 ELSE 1 END AS post,
+               CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        FROM o, bounds GROUP BY 1, 2
+    )
+    SELECT
+        CAST(MAX(CASE WHEN grp = 1 AND post = 1 THEN s // n END) AS BIGINT)
+            AS treat_post,
+        CAST(MAX(CASE WHEN grp = 1 AND post = 0 THEN s // n END) AS BIGINT)
+            AS treat_pre,
+        CAST(MAX(CASE WHEN grp = 0 AND post = 1 THEN s // n END) AS BIGINT)
+            AS ctrl_post,
+        CAST(MAX(CASE WHEN grp = 0 AND post = 0 THEN s // n END) AS BIGINT)
+            AS ctrl_pre,
+        CAST(MAX(CASE WHEN grp = 1 AND post = 1 THEN s // n END)
+             - MAX(CASE WHEN grp = 1 AND post = 0 THEN s // n END)
+             - (MAX(CASE WHEN grp = 0 AND post = 1 THEN s // n END)
+                - MAX(CASE WHEN grp = 0 AND post = 0 THEN s // n END))
+             AS BIGINT) AS did_cents
+    FROM cells
+    """,
+)
+def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the change in mean order value for the
+    'treated' nation group (odd nation keys — a stand-in policy rollout)
+    minus the change in the control group across the period midpoint —
+    the workhorse quasi-experimental estimator when randomization isn't
+    available, assuming parallel trends (which the hash-split fixture
+    satisfies by construction, so DiD ≈ 0 here — the null case the
+    estimator should report). All four cell means are exact BIGINT
+    floor-divisions; the DiD is their integer combination.
+
+    Scale shape: one dim join (broadcast), a 4-cell conditional agg with
+    map-side partials, constant algebra after.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    o = orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+        "o_custkey",
+    ).select(
+        (F.col("c_nationkey") % 2).alias("grp"),
+        epoch_day("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = o.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
+    cells = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("grp", F.when(F.col("day") < F.col("mid"), 0).otherwise(1).alias("post"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+    )
+    mean = F.expr("s div n")
+    cell = lambda g, p: F.max(
+        F.when((F.col("grp") == g) & (F.col("post") == p), mean)
+    )
+    return cells.agg(
+        cell(1, 1).cast("long").alias("treat_post"),
+        cell(1, 0).cast("long").alias("treat_pre"),
+        cell(0, 1).cast("long").alias("ctrl_post"),
+        cell(0, 0).cast("long").alias("ctrl_pre"),
+        (cell(1, 1) - cell(1, 0) - (cell(0, 1) - cell(0, 0)))
+        .cast("long")
+        .alias("did_cents"),
+    )
