@@ -17175,3 +17175,153 @@ def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 84: generalized means, weighted Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "generalized_means_suite",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ), agg AS (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(ROUND(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT))
+                    AS BIGINT) AS ln_unats,
+               CAST(SUM(1000000000 // cents) AS BIGINT) AS recip_nanos
+        FROM m GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           CAST(s // n AS BIGINT) AS arith_mean_cents,
+           CAST(ROUND(exp(CAST(ln_unats // n AS DOUBLE) / 1000000)) AS BIGINT)
+               AS geo_mean_cents,
+           CAST(n * 1000000000 // recip_nanos AS BIGINT) AS harm_mean_cents
+    FROM agg
+    """,
+)
+def generalized_means_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean-means suite per order status: arithmetic
+    (exact integer), geometric (mean of micro-nat-quantized logs,
+    exponentiated — the mean for ratios and growth rates), and harmonic
+    (from nano-unit-quantized reciprocals — the mean for rates, e.g.
+    'average price per unit' done right). Every accumulation is a BIGINT
+    sum of pre-quantized terms, so all three means are
+    summation-order-proof; AM ≥ GM ≥ HM is test-pinned.
+
+    Scale shape: one partial+final hash agg carrying four BIGINTs per
+    group; constant arithmetic out.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.filter(F.col("o_totalprice") > 0).select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    agg = m.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.round(F.log(F.col("cents").cast("double")) * 1000000).cast("long")
+        )
+        .cast("long")
+        .alias("ln_unats"),
+        F.sum(F.expr("1000000000L div cents")).cast("long").alias("recip_nanos"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        F.expr("s div n").cast("long").alias("arith_mean_cents"),
+        F.round(F.exp(F.expr("CAST(ln_unats div n AS DOUBLE) / 1000000")))
+        .cast("long")
+        .alias("geo_mean_cents"),
+        F.expr("n * 1000000000L div recip_nanos").cast("long").alias(
+            "harm_mean_cents"
+        ),
+    )
+
+
+@query(
+    "weighted_jaccard_sources",
+    oracle="""
+    WITH tc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT source,
+                   unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(lower(trim(text)), '\\s+') END)
+                       AS w
+            FROM documents
+        ) GROUP BY source, w
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS min_sum
+        FROM tc a JOIN tc b ON b.w = a.w AND b.source > a.source
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM tc GROUP BY source
+    )
+    SELECT p.src_a, p.src_b, p.min_sum,
+           CAST(p.min_sum * 1000000
+                // (ta.tot + tb.tot - p.min_sum) AS BIGINT) AS wjaccard_ppm
+    FROM pairs p JOIN totals ta ON ta.source = p.src_a
+                 JOIN totals tb ON tb.source = p.src_b
+    WHERE p.min_sum * 1000000 // (ta.tot + tb.tot - p.min_sum) >= 300000
+    """,
+)
+def weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard similarity between source token-count
+    vectors: Σmin(c_a,c_b)/Σmax(c_a,c_b) in exact ppm, reported for
+    pairs above 0.30 — the multiplicity-aware twin of the distinct-
+    shingle `source_shingle_overlap` (two crawls can share every word
+    type yet have wildly different usage MIXES; this metric sees that).
+    Σmax is computed as tot_a + tot_b − Σmin, so only co-occurring
+    vocabulary ever joins. All BIGINT.
+
+    Scale shape: one (source, token) hash agg; the pair join is keyed
+    on the token with fan-out bounded by |sources| per token (never
+    quadratic in documents); totals broadcast onto the |sources|² result.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = tc.select(F.col("source").alias("src_a"), "w", F.col("c").alias("ca"))
+    b = tc.select(F.col("source").alias("src_b"), "w", F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("src_b") > F.col("src_a"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("min_sum"))
+    )
+    totals = tc.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    j = (
+        pairs.join(
+            F.broadcast(totals.select(F.col("source").alias("src_a"),
+                                      F.col("tot").alias("ta"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("src_b"),
+                                      F.col("tot").alias("tb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "min_sum",
+            F.expr("min_sum * 1000000L div (ta + tb - min_sum)")
+            .cast("long")
+            .alias("wjaccard_ppm"),
+        )
+    )
+    return j.filter(F.col("wjaccard_ppm") >= 300000)

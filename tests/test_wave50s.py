@@ -379,3 +379,12 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     )
     assert total6 == 6 * attributable
     assert all(0 <= x.share_ppm <= 1_000_000 for x in r)
+
+
+def test_pythagorean_mean_inequality(spark, sf_dir):
+    """AM >= GM >= HM for every group (strict for non-constant data),
+    up to the 1-unit quantization slack each mean carries."""
+    r = rows(spark, sf_dir, "generalized_means_suite")
+    for x in r:
+        assert x.arith_mean_cents + 2 >= x.geo_mean_cents >= x.harm_mean_cents - 2
+        assert x.harm_mean_cents > 0
