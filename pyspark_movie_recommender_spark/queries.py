@@ -17325,3 +17325,153 @@ def weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(F.col("wjaccard_ppm") >= 300000)
+
+
+# ---------------------------------------------------------------------------
+# wave 85: Cramér-von Mises drift, quantile treatment effects
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cramer_von_mises_drift",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS grp,
+               event_id
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), pooled AS (
+        SELECT grp,
+               ROW_NUMBER() OVER (ORDER BY cents, event_id) AS r,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents, event_id) AS i
+        FROM m
+    ), sums AS (
+        SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mm,
+               CAST(SUM(CASE WHEN grp = 0 THEN (r - i) * (r - i) END) AS HUGEINT)
+                   AS ua,
+               CAST(SUM(CASE WHEN grp = 1 THEN (r - i) * (r - i) END) AS HUGEINT)
+                   AS ub
+        FROM pooled
+    )
+    SELECT n AS n_view, mm AS n_purchase,
+           CAST(n * ua + mm * ub AS BIGINT) AS u_stat,
+           ROUND(CAST(n * ua + mm * ub AS DOUBLE) / (CAST(n AS DOUBLE) * mm * (n + mm))
+                 - (4.0 * n * mm - 1) / (6.0 * (n + mm)), 6) AS cvm_t
+    FROM sums
+    """,
+)
+def cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic between view and purchase
+    value distributions — the INTEGRATED-gap drift test beside KS's
+    max-gap (`ks_drift_view_purchase`): CvM sees distributed small
+    shifts across the whole distribution that a single crossing point
+    hides. Computed by the rank formula: U = n·Σ(r_i−i)² + m·Σ(s_j−j)²
+    over pooled vs within-group ranks — exact 128-bit integers with a
+    deterministic (value, event_id) tie order; T is two IEEE ops on
+    those exact sums.
+
+    Scale shape: one pooled rank (range-partitionable sort) plus
+    per-group ranks sharing the same order; the U aggregation is a
+    1-row reduce. No pairwise work.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    m = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("grp"),
+        "event_id",
+    )
+    pooled = m.select(
+        "grp",
+        F.row_number().over(Window.orderBy("cents", "event_id")).alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("cents", "event_id"))
+        .alias("i"),
+    )
+    d2 = ((F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))).cast(
+        "decimal(38,0)"
+    )
+    sums = pooled.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("mm"),
+        F.sum(F.when(F.col("grp") == 0, d2)).alias("ua"),
+        F.sum(F.when(F.col("grp") == 1, d2)).alias("ub"),
+    )
+    u = F.col("n") * F.col("ua") + F.col("mm") * F.col("ub")
+    return sums.select(
+        F.col("n").alias("n_view"),
+        F.col("mm").alias("n_purchase"),
+        u.cast("long").alias("u_stat"),
+        F.round(
+            u.cast("double")
+            / (F.col("n").cast("double") * F.col("mm") * (F.col("n") + F.col("mm")))
+            - (4.0 * F.col("n") * F.col("mm") - 1)
+            / (6.0 * (F.col("n") + F.col("mm"))),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+@query(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH m AS (
+        SELECT ((user_id * 2654435761) % 4294967296) % 2 AS arm,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), q AS (
+        SELECT arm,
+               quantile_cont(CAST(cents AS DOUBLE),
+                             [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        FROM m GROUP BY arm
+    ), wide AS (
+        SELECT g.i AS qi,
+               MAX(CASE WHEN arm = 0 THEN qs[g.i] END) AS q0,
+               MAX(CASE WHEN arm = 1 THEN qs[g.i] END) AS q1
+        FROM q, LATERAL (SELECT unnest(generate_series(1, 5)) AS i) g
+        GROUP BY g.i
+    )
+    SELECT CAST(qi AS BIGINT) AS quantile_idx,
+           ROUND(q0, 4) AS ctrl_cents, ROUND(q1, 4) AS treat_cents,
+           ROUND(q1 - q0, 4) AS qte_cents
+    FROM wide
+    """,
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the arm-1-minus-arm-0 difference at
+    the 10/25/50/75/90th percentiles of purchase value — the
+    DISTRIBUTIONAL uplift view that a mean difference (CUPED, bootstrap
+    uplift) collapses: a treatment can move the p90 while leaving the
+    median untouched, and only this readout shows it. Percentiles are
+    exact interpolations over BIGINT cents (engine-identical doubles);
+    the effect is one subtraction per row.
+
+    Scale shape: per-arm exact percentile aggs (sort-based within two
+    groups); the pivot runs on 10 values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.filter(F.col("event_type") == "purchase").select(
+        (((F.col("user_id") * 2654435761) % 4294967296) % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = m.groupBy("arm").agg(
+        F.expr(
+            "percentile(CAST(cents AS DOUBLE), array(0.1D,0.25D,0.5D,0.75D,0.9D))"
+        ).alias("qs")
+    )
+    wide = (
+        q.select("arm", F.posexplode("qs").alias("p", "v"))
+        .groupBy((F.col("p") + 1).alias("quantile_idx"))
+        .agg(
+            F.max(F.when(F.col("arm") == 0, F.col("v"))).alias("q0"),
+            F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("q1"),
+        )
+    )
+    return wide.select(
+        F.col("quantile_idx").cast("long").alias("quantile_idx"),
+        F.round("q0", 4).alias("ctrl_cents"),
+        F.round("q1", 4).alias("treat_cents"),
+        F.round(F.col("q1") - F.col("q0"), 4).alias("qte_cents"),
+    )
