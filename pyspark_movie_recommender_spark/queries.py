@@ -17475,3 +17475,149 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q1", 4).alias("treat_cents"),
         F.round(F.col("q1") - F.col("q0"), 4).alias("qte_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 86: UCB exploration ranking, char-entropy compressibility
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ucb_item_ranking",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS reward
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), arms AS (
+        SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(reward) AS BIGINT) AS k
+        FROM ev GROUP BY item_id
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM arms
+    )
+    SELECT item_id, n, k,
+           ROUND(CAST(k AS DOUBLE) / n
+                 + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / n), 6) AS ucb1
+    FROM arms, tot
+    ORDER BY CAST(k AS DOUBLE) / n
+             + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / n) DESC, item_id
+    LIMIT 15
+    """,
+)
+def ucb_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit scores per item: empirical purchase-per-interaction
+    rate plus the √(2·ln N / n) exploration bonus, top-15 — the
+    deterministic replay of the explore/exploit ranking an adaptive
+    system would serve (low-data items float UP via the bonus — exactly
+    what a pure popularity ranking suppresses; compare
+    `decayed_popularity_ranking`). Counts are exact; the score is a
+    fixed IEEE dag per arm with item-id tie-breaks; the separation
+    between arms dwarfs ulp noise.
+
+    Scale shape: JSON shred → per-item (n, k) hash agg; the scalar N
+    broadcasts; TakeOrdered top-k.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.get_json_object("props", "$.k").isNotNull()
+    ).select(
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("reward"),
+    )
+    arms = e.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("reward").cast("long").alias("k"),
+    )
+    tot = arms.agg(F.sum("n").cast("long").alias("big_n"))
+    ucb = F.col("k").cast("double") / F.col("n") + F.sqrt(
+        2.0 * F.log(F.col("big_n").cast("double")) / F.col("n")
+    )
+    return (
+        arms.crossJoin(F.broadcast(tot))
+        .orderBy(ucb.desc(), F.asc("item_id"))
+        .limit(15)
+        .select("item_id", "n", "k", F.round(ucb, 6).alias("ucb1"))
+    )
+
+
+@query(
+    "char_entropy_compressibility",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '')) AS ch
+        FROM documents WHERE trim(text) <> ''
+    ), counts AS (
+        SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars WHERE ch <> '' GROUP BY lang, ch
+    ), lstats AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS alphabet
+        FROM counts GROUP BY lang
+    ), ent AS (
+        SELECT c.lang,
+               CAST(SUM(c.c * CAST(ROUND(ln(CAST(c.c AS DOUBLE) / s.n) * 1000000)
+                    AS BIGINT)) AS BIGINT) AS neg_h_n_unats
+        FROM counts c JOIN lstats s ON s.lang = c.lang GROUP BY c.lang
+    )
+    SELECT s.lang, s.n AS n_chars, s.alphabet,
+           CAST(-e.neg_h_n_unats // s.n AS BIGINT) AS entropy_unats,
+           ROUND(CAST(-e.neg_h_n_unats // s.n AS DOUBLE) / 1000000 / ln(2.0), 4)
+               AS bits_per_char
+    FROM lstats s JOIN ent e ON e.lang = s.lang
+    """,
+)
+def char_entropy_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per language in bits/char — the
+    compressibility floor (an order-0 entropy coder can't beat it):
+    natural language sits near 4-4.5 bits/char, base64/random blobs
+    near 6, templated or repeated text far lower. The cheap
+    detect-the-garbage signal beside the token-level
+    `effective_vocab_size`, using the same micro-nat pre-quantization
+    so sums are exact integers on both engines.
+
+    Scale shape: char explode (map-side) → alphabet-bounded (lang, ch)
+    agg; entropy on the tiny count relation; constants out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.filter(F.trim(F.col("text")) != "").select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("lang", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lstats = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("alphabet"),
+    )
+    ent = (
+        counts.join(F.broadcast(lstats.select("lang", "n")), "lang")
+        .select(
+            "lang",
+            (
+                F.col("c")
+                * F.round(F.log(F.col("c").cast("double") / F.col("n")) * 1000000)
+                .cast("long")
+            ).alias("t"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("t").cast("long").alias("neg_h_n_unats"))
+    )
+    import math
+
+    return lstats.join(ent, "lang").select(
+        "lang",
+        F.col("n").alias("n_chars"),
+        "alphabet",
+        F.expr("-neg_h_n_unats div n").cast("long").alias("entropy_unats"),
+        F.round(
+            F.expr("CAST(-neg_h_n_unats div n AS DOUBLE) / 1000000")
+            / float(math.log(2.0)),
+            4,
+        ).alias("bits_per_char"),
+    )
