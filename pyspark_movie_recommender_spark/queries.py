@@ -17621,3 +17621,173 @@ def char_entropy_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bits_per_char"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 87: Herfindahl concentration, rich-club coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT nation, CAST(SUM(cents) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY nation
+    ), shares AS (
+        SELECT r.nation, t.n_suppliers,
+               r.cents * 1000000 // t.t AS share_ppm
+        FROM rev r JOIN tot t ON t.nation = r.nation
+    )
+    SELECT nation, CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+    FROM shares GROUP BY nation
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation's market, in exact ppm (10⁶ = monopoly; 10⁶/n = perfect
+    competition) — the antitrust/market-structure scalar beside the
+    customer-side Gini/Lorenz: HHI weights the BIG players
+    quadratically, so one dominant supplier moves it where Gini barely
+    stirs. Shares are floored ppm integers and HHI is their exact
+    squared sum — all BIGINT.
+
+    Scale shape: fact → (nation, supplier) collapse; totals broadcast
+    back; one |nations|-row final agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(
+            F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"),
+                                    "s_nationkey")),
+            "l_suppkey",
+        )
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    shares = rev.join(F.broadcast(tot), "nation").select(
+        "nation", "n_suppliers", F.expr("cents * 1000000L div t").alias("share_ppm")
+    )
+    return shares.groupBy("nation").agg(
+        F.max("n_suppliers").cast("long").alias("n_suppliers"),
+        F.expr("sum(share_ppm * share_ppm) div 1000000L")
+        .cast("long")
+        .alias("hhi_ppm"),
+    )
+
+
+@query(
+    "rich_club_coefficient",
+    oracle="""
+    WITH fwd AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT 'c' || CAST(ck AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst
+        FROM fwd
+        UNION ALL
+        SELECT 's' || CAST(sk AS VARCHAR), 'c' || CAST(ck AS VARCHAR) FROM fwd
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), ks AS (
+        SELECT unnest([4, 8, 16, 32]) AS k
+    ), club AS (
+        SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_club
+        FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k
+    ), club_edges AS (
+        SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e2
+        FROM ks JOIN edges e ON TRUE
+        JOIN deg ds ON ds.node = e.src AND ds.d > ks.k
+        JOIN deg dd ON dd.node = e.dst AND dd.d > ks.k
+        GROUP BY ks.k
+    )
+    SELECT c.k, c.n_club,
+           CAST(COALESCE(ce.e2, 0) AS BIGINT) AS directed_edges_in_club,
+           CAST(CASE WHEN c.n_club < 2 THEN 0
+                ELSE COALESCE(ce.e2, 0) * 1000000 // (c.n_club * (c.n_club - 1))
+                END AS BIGINT) AS phi_ppm
+    FROM club c LEFT JOIN club_edges ce ON ce.k = c.k
+    """,
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the bidirected trade graph at
+    degree thresholds {4,8,16,32}: the edge density among nodes of
+    degree > k, in exact ppm — 'do the hubs form their own dense club?'
+    (with modularity, assortativity, k-core, triangles this completes
+    the structural-metrics shelf). A bipartite graph CAN'T close
+    hub-hub edges within a side, so low φ here is the expected
+    signature — which is the point: the metric exposes bipartiteness.
+
+    Scale shape: degrees are one hash agg; club membership is a
+    broadcast-joined filter on the edge list per threshold (4 passes
+    over a narrow edge relation, or one pass with an array contains at
+    scale); counts are exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    e1 = fwd.select(
+        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("sk").cast("string")).alias("dst"),
+    )
+    e2 = fwd.select(
+        F.concat(F.lit("s"), F.col("sk").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ks = spark.createDataFrame([(4,), (8,), (16,), (32,)], "k long")
+    club = ks.join(deg, deg.d > ks.k).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_club")
+    )
+    ce = (
+        ks.crossJoin(edges)
+        .join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("ds")), "src"
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")), "dst"
+        )
+        .filter((F.col("ds") > F.col("k")) & (F.col("dd") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e2"))
+    )
+    return (
+        club.join(ce, "k", "left")
+        .select(
+            "k",
+            "n_club",
+            F.coalesce("e2", F.lit(0)).cast("long").alias("directed_edges_in_club"),
+            F.when(F.col("n_club") < 2, 0)
+            .otherwise(
+                F.expr(
+                    "coalesce(e2, 0L) * 1000000L div (n_club * (n_club - 1))"
+                )
+            )
+            .cast("long")
+            .alias("phi_ppm"),
+        )
+    )
