@@ -17791,3 +17791,143 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("phi_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 88: log-rank test between arms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "logrank_test_arms",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               ((user_id * 2654435761) % 4294967296) % 2 AS arm,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS buy_ts
+        FROM events GROUP BY user_id
+    ), horizon AS (
+        SELECT MAX(ts) AS max_ts FROM events
+    ), durations AS (
+        SELECT arm,
+               CAST(CASE WHEN buy_ts IS NOT NULL AND buy_ts >= signup_ts
+                    THEN date_diff('day', signup_ts, buy_ts)
+                    ELSE date_diff('day', signup_ts, max_ts) END AS BIGINT)
+                   AS t_days,
+               CASE WHEN buy_ts IS NOT NULL AND buy_ts >= signup_ts
+                    THEN 1 ELSE 0 END AS event
+        FROM per_user, horizon WHERE signup_ts IS NOT NULL
+    ), day_counts AS (
+        SELECT t_days,
+               CAST(SUM(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(event) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+               CAST(COUNT(*) AS BIGINT) AS h
+        FROM durations GROUP BY t_days
+    ), risk AS (
+        SELECT t_days, d1, d,
+               CAST((SELECT SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                     FROM durations)
+                    - COALESCE(SUM(h1) OVER (ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n1,
+               CAST((SELECT COUNT(*) FROM durations)
+                    - COALESCE(SUM(h) OVER (ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n
+        FROM day_counts
+    ), terms AS (
+        SELECT d1, d, n1, n,
+               d * n1 * 1000000 // n AS e1_u,
+               CASE WHEN n <= 1 THEN 0
+                    ELSE d * n1 * (n - n1) * (n - d) * 1000000
+                         // (n * n * (n - 1)) END AS v_u
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           CAST(SUM(e1_u) AS BIGINT) AS e1_unats,
+           CAST(SUM(v_u) AS BIGINT) AS v_unats,
+           ROUND((SUM(d1) * 1000000.0 - SUM(e1_u))
+                 / sqrt(CAST(SUM(v_u) AS DOUBLE) * 1000000.0), 6) AS z
+    FROM terms
+    """,
+)
+def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two hash arms' signup→purchase survival
+    curves — the standard 'are these two time-to-event curves the same'
+    test, with full right-censoring handling (censored users leave the
+    risk set without counting as events). O₁−E₁ accumulates per-death-day
+    hypergeometric expectations and variances as FLOOR-quantized
+    micro-unit integers (each term d·n₁/n and its variance is one exact
+    integer division), so the sums are engine-identical; z does one
+    final sqrt+divide. Null case by construction on hash arms.
+
+    Scale shape: the duration relation is per-user; at-risk counts come
+    from one ordered cumsum window over |distinct days| rows (no
+    per-day rescans); the test statistic is a 1-row reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("buy_ts"),
+    ).select(
+        (((F.col("user_id") * 2654435761) % 4294967296) % 2).alias("arm"),
+        "signup_ts",
+        "buy_ts",
+    )
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    has_buy = F.col("buy_ts").isNotNull() & (F.col("buy_ts") >= F.col("signup_ts"))
+    durations = (
+        per_user.filter(F.col("signup_ts").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "arm",
+            F.when(
+                has_buy, F.datediff(F.col("buy_ts"), F.col("signup_ts"))
+            )
+            .otherwise(F.datediff(F.col("max_ts"), F.col("signup_ts")))
+            .cast("long")
+            .alias("t_days"),
+            F.when(has_buy, 1).otherwise(0).alias("event"),
+        )
+    )
+    day_counts = durations.groupBy("t_days").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("event")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("event").cast("long").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("h1"),
+        F.count(F.lit(1)).cast("long").alias("h"),
+    )
+    totals = durations.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("t1"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    wprev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    risk = day_counts.crossJoin(F.broadcast(totals)).select(
+        "t_days",
+        "d1",
+        "d",
+        (F.col("t1") - F.coalesce(F.sum("h1").over(wprev), F.lit(0))).alias("n1"),
+        (F.col("t") - F.coalesce(F.sum("h").over(wprev), F.lit(0))).alias("n"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "d1",
+        F.expr("d * n1 * 1000000L div n").alias("e1_u"),
+        F.when(F.col("n") <= 1, 0)
+        .otherwise(
+            F.expr("d * n1 * (n - n1) * (n - d) * 1000000L div (n * n * (n - 1))")
+        )
+        .alias("v_u"),
+    )
+    return terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_u").cast("long").alias("e1_unats"),
+        F.sum("v_u").cast("long").alias("v_unats"),
+        F.round(
+            (F.sum("d1") * 1000000.0 - F.sum("e1_u"))
+            / F.sqrt(F.sum("v_u").cast("double") * 1000000.0),
+            6,
+        ).alias("z"),
+    )
