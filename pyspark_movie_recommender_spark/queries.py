@@ -17931,3 +17931,186 @@ def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 89: empirical-Bayes rate shrinkage, weekly rank movers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eb_shrunk_ctr",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), arms AS (
+        SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS k
+        FROM ev GROUP BY item_id
+    ), mom AS (
+        -- method-of-moments beta prior from the cross-item rate spread
+        SELECT AVG(CAST(k AS DOUBLE) / n) AS mu,
+               AVG(CAST(k AS DOUBLE) / n * (CAST(k AS DOUBLE) / n)) AS m2,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM arms
+    ), prior AS (
+        SELECT mu,
+               CASE WHEN m2 - mu * mu <= 0 THEN 100.0
+                    ELSE mu * (1 - mu) / (m2 - mu * mu) - 1 END AS nu
+        FROM mom
+    )
+    SELECT a.item_id, a.n, a.k,
+           ROUND(CAST(a.k AS DOUBLE) / a.n, 6) AS raw_rate,
+           ROUND((a.k + p.mu * GREATEST(p.nu, 1.0))
+                 / (a.n + GREATEST(p.nu, 1.0)), 6) AS shrunk_rate
+    FROM arms a, prior p
+    """,
+)
+def eb_shrunk_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes conversion-rate smoothing: every item's raw
+    purchase rate shrunk toward the cross-item mean by a beta prior fit
+    by method of moments (prior strength ν = μ(1−μ)/var − 1, floored at
+    1) — the industrial fix for 1-view-1-purchase items topping naive
+    rankings; the rate counterpart of `shrunk_group_slopes`. Raw and
+    shrunk rates ship side by side so the shrinkage is auditable.
+
+    Determinism: counts exact; μ and ν are fixed IEEE dags over AVG
+    moments of per-item exact ratios (item count is small enough that
+    averaging order noise is below the 6-decimal rounding; the exact
+    micro-unit path is documented for adversarial scale).
+
+    Scale shape: one per-item agg, a 1-row prior, broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.get_json_object("props", "$.k").isNotNull()
+    ).select(
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    arms = e.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("k"),
+    )
+    rate = F.col("k").cast("double") / F.col("n")
+    mom = arms.agg(
+        F.avg(rate).alias("mu"),
+        F.avg(rate * rate).alias("m2"),
+    )
+    prior = mom.select(
+        "mu",
+        F.when(F.col("m2") - F.col("mu") * F.col("mu") <= 0, 100.0)
+        .otherwise(
+            F.col("mu") * (1 - F.col("mu")) / (F.col("m2") - F.col("mu") * F.col("mu"))
+            - 1
+        )
+        .alias("nu"),
+    )
+    nu = F.greatest(F.col("nu"), F.lit(1.0))
+    return arms.crossJoin(F.broadcast(prior)).select(
+        "item_id",
+        "n",
+        "k",
+        F.round(rate, 6).alias("raw_rate"),
+        F.round((F.col("k") + F.col("mu") * nu) / (F.col("n") + nu), 6).alias(
+            "shrunk_rate"
+        ),
+    )
+
+
+@query(
+    "rank_movers_weekly",
+    oracle="""
+    WITH views AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+        FROM events
+        WHERE event_type = 'view'
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), weeks AS (
+        SELECT MAX(week) AS cur FROM views
+    ), counts AS (
+        SELECT item_id, week, CAST(COUNT(*) AS BIGINT) AS n
+        FROM views, weeks WHERE week IN (cur, cur - 1) GROUP BY item_id, week
+    ), ranked AS (
+        SELECT item_id, week, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY week ORDER BY n DESC, item_id)
+                    AS BIGINT) AS rnk
+        FROM counts
+    ), wide AS (
+        SELECT c.item_id,
+               MAX(CASE WHEN week = w.cur THEN rnk END) AS rank_now,
+               MAX(CASE WHEN week = w.cur - 1 THEN rnk END) AS rank_prev
+        FROM ranked c, weeks w GROUP BY c.item_id
+    )
+    SELECT item_id, rank_now, rank_prev,
+           CAST(rank_prev - rank_now AS BIGINT) AS places_gained
+    FROM wide
+    WHERE rank_now IS NOT NULL AND rank_prev IS NOT NULL
+    ORDER BY rank_prev - rank_now DESC, item_id
+    LIMIT 10
+    """,
+)
+def rank_movers_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly rank movers: the top-10 items that climbed the most
+    view-count rank positions between the last two epoch weeks — the
+    'trending up' report a raw leaderboard hides (an item going
+    40th→12th matters more than the stable #1). Ranks are tie-broken on
+    item_id, weeks are pure epoch-week arithmetic, and the mover score
+    is an integer rank delta — fully hash-stable.
+
+    Scale shape: views collapse per (item, week) for just two weeks
+    (pushed predicate); two in-partition rank windows; the pivot and
+    top-k run on the item summary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    views = ev.filter(
+        (F.col("event_type") == "view")
+        & F.get_json_object("props", "$.k").isNotNull()
+    ).select(
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+        F.expr(
+            "unix_micros(CAST(ts AS timestamp_ltz)) div 604800000000"
+        ).cast("long").alias("week"),
+    )
+    weeks = views.agg(F.max("week").alias("cur"))
+    counts = (
+        views.crossJoin(F.broadcast(weeks))
+        .filter((F.col("week") == F.col("cur")) | (F.col("week") == F.col("cur") - 1))
+        .groupBy("item_id", "week", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = counts.select(
+        "item_id",
+        "week",
+        "cur",
+        F.row_number()
+        .over(Window.partitionBy("week").orderBy(F.desc("n"), F.asc("item_id")))
+        .cast("long")
+        .alias("rnk"),
+    )
+    wide = ranked.groupBy("item_id").agg(
+        F.max(F.when(F.col("week") == F.col("cur"), F.col("rnk"))).alias("rank_now"),
+        F.max(F.when(F.col("week") == F.col("cur") - 1, F.col("rnk"))).alias(
+            "rank_prev"
+        ),
+    )
+    return (
+        wide.filter(F.col("rank_now").isNotNull() & F.col("rank_prev").isNotNull())
+        .select(
+            "item_id",
+            "rank_now",
+            "rank_prev",
+            (F.col("rank_prev") - F.col("rank_now")).cast("long").alias(
+                "places_gained"
+            ),
+        )
+        .orderBy(F.desc("places_gained"), F.asc("item_id"))
+        .limit(10)
+    )
