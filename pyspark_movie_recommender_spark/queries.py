@@ -18114,3 +18114,162 @@ def rank_movers_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("places_gained"), F.asc("item_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 90: post-stratified comparison, dose-response curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stratified_arm_comparison",
+    oracle="""
+    WITH j AS (
+        SELECT ((e.user_id * 2654435761) % 4294967296) % 2 AS arm,
+               c.c_mktsegment AS stratum,
+               CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        WHERE e.event_type = 'purchase'
+    ), cells AS (
+        SELECT stratum, arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM j GROUP BY 1, 2
+    ), strata AS (
+        SELECT stratum,
+               MAX(CASE WHEN arm = 0 THEN s // n END) AS m0,
+               MAX(CASE WHEN arm = 1 THEN s // n END) AS m1,
+               CAST(SUM(n) AS BIGINT) AS w
+        FROM cells GROUP BY stratum
+    ), tot AS (
+        SELECT SUM(w) AS tw FROM strata WHERE m0 IS NOT NULL AND m1 IS NOT NULL
+    )
+    SELECT stratum, w AS n_purchases,
+           CAST(m0 AS BIGINT) AS ctrl_mean_cents,
+           CAST(m1 AS BIGINT) AS treat_mean_cents,
+           CAST(m1 - m0 AS BIGINT) AS diff_cents,
+           CAST(SUM((m1 - m0) * w) OVER () // MAX(tot.tw) OVER ()
+                AS BIGINT) AS stratified_diff_cents
+    FROM strata, tot
+    WHERE m0 IS NOT NULL AND m1 IS NOT NULL
+    """,
+)
+def stratified_arm_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified treatment comparison: within-segment arm
+    differences in mean purchase cents, combined into one
+    size-weighted stratified estimate (repeated on every row for the
+    gate) — the confounder adjustment when arms are imbalanced across
+    segments, where a pooled difference silently mixes segment effects
+    (Simpson's trap). All cell means and the weighted combination are
+    exact BIGINT integer arithmetic.
+
+    Scale shape: one dim join (broadcast), a |strata|×2 cell agg,
+    constant-size windows over the strata relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(
+            F.broadcast(
+                cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+            ),
+            "user_id",
+        )
+        .select(
+            (((F.col("user_id") * 2654435761) % 4294967296) % 2).alias("arm"),
+            F.col("c_mktsegment").alias("stratum"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    cells = j.groupBy("stratum", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    mean = F.expr("s div n")
+    strata = cells.groupBy("stratum").agg(
+        F.max(F.when(F.col("arm") == 0, mean)).alias("m0"),
+        F.max(F.when(F.col("arm") == 1, mean)).alias("m1"),
+        F.sum("n").cast("long").alias("w"),
+    ).filter(F.col("m0").isNotNull() & F.col("m1").isNotNull())
+    wall = Window.partitionBy()
+    return strata.select(
+        "stratum",
+        F.col("w").alias("n_purchases"),
+        F.col("m0").cast("long").alias("ctrl_mean_cents"),
+        F.col("m1").cast("long").alias("treat_mean_cents"),
+        (F.col("m1") - F.col("m0")).cast("long").alias("diff_cents"),
+        (
+            F.sum((F.col("m1") - F.col("m0")) * F.col("w")).over(wall)
+            / F.sum("w").over(wall)
+        )
+        .cast("long")
+        .alias("stratified_diff_cents"),
+    )
+
+
+@query(
+    "dose_response_curve",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS views,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+        FROM events GROUP BY user_id
+    ), bucketed AS (
+        SELECT CASE WHEN views = 0 THEN 0
+                    WHEN views <= 1 THEN 1
+                    WHEN views <= 2 THEN 2
+                    WHEN views <= 4 THEN 3
+                    ELSE 4 END AS dose_bucket,
+               bought
+        FROM per_user
+    )
+    SELECT dose_bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(bought) AS BIGINT) AS n_converted,
+           CAST(SUM(bought) * 1000000 // COUNT(*) AS BIGINT) AS conversion_ppm
+    FROM bucketed GROUP BY dose_bucket
+    """,
+)
+def dose_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dose-response curve: conversion probability by exposure bucket
+    (0 / 1 / 2 / 3-4 / 5+ views) — the monotonicity check behind 'does
+    more exposure actually convert more', and the saturation-point
+    finder for frequency capping. Exact BIGINT counts and ppm rates;
+    buckets are fixed integer thresholds.
+
+    Scale shape: one per-user collapse with map-side partials; the
+    curve is a 5-row census.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("views"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "bought"
+        ),
+    )
+    bucket = (
+        F.when(F.col("views") == 0, 0)
+        .when(F.col("views") <= 1, 1)
+        .when(F.col("views") <= 2, 2)
+        .when(F.col("views") <= 4, 3)
+        .otherwise(4)
+    )
+    return (
+        per_user.select(bucket.alias("dose_bucket"), "bought")
+        .groupBy("dose_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("bought").cast("long").alias("n_converted"),
+        )
+        .select(
+            "dose_bucket",
+            "n_users",
+            "n_converted",
+            F.expr("n_converted * 1000000L div n_users")
+            .cast("long")
+            .alias("conversion_ppm"),
+        )
+    )
