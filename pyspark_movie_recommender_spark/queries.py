@@ -18217,29 +18217,30 @@ def stratified_arm_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
         FROM events GROUP BY user_id
     ), bucketed AS (
-        SELECT CASE WHEN views = 0 THEN 0
-                    WHEN views <= 1 THEN 1
-                    WHEN views <= 2 THEN 2
-                    WHEN views <= 4 THEN 3
-                    ELSE 4 END AS dose_bucket,
-               bought
+        SELECT NTILE(4) OVER (ORDER BY views, user_id) AS dose_quartile,
+               views, bought
         FROM per_user
     )
-    SELECT dose_bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+    SELECT dose_quartile, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(views) AS BIGINT) AS min_views,
+           CAST(MAX(views) AS BIGINT) AS max_views,
            CAST(SUM(bought) AS BIGINT) AS n_converted,
            CAST(SUM(bought) * 1000000 // COUNT(*) AS BIGINT) AS conversion_ppm
-    FROM bucketed GROUP BY dose_bucket
+    FROM bucketed GROUP BY dose_quartile
     """,
 )
 def dose_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dose-response curve: conversion probability by exposure bucket
-    (0 / 1 / 2 / 3-4 / 5+ views) — the monotonicity check behind 'does
-    more exposure actually convert more', and the saturation-point
-    finder for frequency capping. Exact BIGINT counts and ppm rates;
-    buckets are fixed integer thresholds.
+    """Dose-response curve: conversion probability by exposure QUARTILE
+    (views per user, custkey-tie-broken ntile so the curve adapts to
+    any exposure distribution instead of hardcoding thresholds the data
+    may never hit) — the monotonicity check behind 'does more exposure
+    actually convert more', and the saturation-point finder for
+    frequency capping. Each quartile reports its actual view range.
+    Exact BIGINT counts and ppm rates.
 
     Scale shape: one per-user collapse with map-side partials; the
-    curve is a 5-row census.
+    quartile ntile sorts only the user summary; the curve is a 4-row
+    census.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -18250,23 +18251,24 @@ def dose_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bought"
         ),
     )
-    bucket = (
-        F.when(F.col("views") == 0, 0)
-        .when(F.col("views") <= 1, 1)
-        .when(F.col("views") <= 2, 2)
-        .when(F.col("views") <= 4, 3)
-        .otherwise(4)
+    bucketed = per_user.select(
+        F.ntile(4).over(Window.orderBy("views", "user_id")).alias("dose_quartile"),
+        "views",
+        "bought",
     )
     return (
-        per_user.select(bucket.alias("dose_bucket"), "bought")
-        .groupBy("dose_bucket")
+        bucketed.groupBy("dose_quartile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("views").cast("long").alias("min_views"),
+            F.max("views").cast("long").alias("max_views"),
             F.sum("bought").cast("long").alias("n_converted"),
         )
         .select(
-            "dose_bucket",
+            "dose_quartile",
             "n_users",
+            "min_views",
+            "max_views",
             "n_converted",
             F.expr("n_converted * 1000000L div n_users")
             .cast("long")
