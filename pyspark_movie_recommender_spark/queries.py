@@ -18275,3 +18275,99 @@ def dose_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conversion_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 91: l-diversity / t-closeness privacy audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l_diversity_t_closeness_audit",
+    oracle="""
+    WITH q AS (
+        SELECT n.n_name AS nation,
+               CAST(FLOOR(c.c_acctbal / 2000) AS BIGINT) AS bal_band,
+               c.c_mktsegment AS sensitive
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), cells AS (
+        SELECT nation, bal_band, sensitive, CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY 1, 2, 3
+    ), groups AS (
+        SELECT nation, bal_band,
+               CAST(SUM(n) AS BIGINT) AS group_n,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct
+        FROM cells GROUP BY 1, 2
+    ), gdist AS (
+        SELECT sensitive, CAST(SUM(n) AS BIGINT) AS gn,
+               (SELECT SUM(n) FROM cells) AS tot
+        FROM cells GROUP BY sensitive
+    ), tvd AS (
+        SELECT g.nation, g.bal_band,
+               CAST(SUM(ABS(COALESCE(c.n, 0) * 1000000 // g.group_n
+                            - gl.gn * 1000000 // gl.tot)) // 2 AS BIGINT)
+                   AS tvd_ppm
+        FROM groups g
+        CROSS JOIN gdist gl
+        LEFT JOIN cells c ON c.nation = g.nation AND c.bal_band = g.bal_band
+                          AND c.sensitive = gl.sensitive
+        GROUP BY g.nation, g.bal_band
+    )
+    SELECT g.nation, g.bal_band, g.group_n, g.l_distinct, t.tvd_ppm,
+           CASE WHEN g.l_distinct < 3 THEN 1 ELSE 0 END AS l_violation,
+           CASE WHEN t.tvd_ppm > 500000 THEN 1 ELSE 0 END AS t_violation
+    FROM groups g JOIN tvd t ON t.nation = g.nation AND t.bal_band = g.bal_band
+    """,
+)
+def l_diversity_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy audits BEYOND k-anonymity: per quasi-identifier group
+    (nation × $2000 balance band), l-diversity (distinct sensitive
+    market segments — a group of 50 where everyone shares one segment
+    is k-anonymous yet leaks the attribute) and t-closeness via total
+    variation distance between the group's sensitive distribution and
+    the global one in exact ppm (skewed groups leak by inference even
+    when diverse). Flags at l<3 and TVD>0.5; completes the privacy
+    shelf: k-anonymity census → these inference audits → DP noisy
+    counts → GDPR erasure.
+
+    Scale shape: one (QI, sensitive) cell agg; group and global
+    marginals broadcast back onto the cell lattice (groups ×
+    |segments|); all shares floored-ppm BIGINTs.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    q = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    cells = q.groupBy("nation", "bal_band", "sensitive").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    groups = cells.groupBy("nation", "bal_band").agg(
+        F.sum("n").cast("long").alias("group_n"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+    )
+    tot = cells.agg(F.sum("n").alias("tot"))
+    glob = cells.groupBy("sensitive").agg(F.sum("n").cast("long").alias("gn"))
+    glob = glob.crossJoin(F.broadcast(tot))
+    lattice = groups.crossJoin(F.broadcast(glob)).join(
+        cells, ["nation", "bal_band", "sensitive"], "left"
+    )
+    tvd = lattice.groupBy("nation", "bal_band").agg(
+        F.expr(
+            "CAST(sum(abs(coalesce(n, 0) * 1000000L div group_n"
+            " - gn * 1000000L div tot)) div 2 AS BIGINT)"
+        ).alias("tvd_ppm")
+    )
+    return groups.join(tvd, ["nation", "bal_band"]).select(
+        "nation",
+        "bal_band",
+        "group_n",
+        "l_distinct",
+        "tvd_ppm",
+        F.when(F.col("l_distinct") < 3, 1).otherwise(0).alias("l_violation"),
+        F.when(F.col("tvd_ppm") > 500000, 1).otherwise(0).alias("t_violation"),
+    )
