@@ -18371,3 +18371,223 @@ def l_diversity_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(F.col("l_distinct") < 3, 1).otherwise(0).alias("l_violation"),
         F.when(F.col("tvd_ppm") > 500000, 1).otherwise(0).alias("t_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 92: price-volume bridge, shift-share decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "price_volume_bridge",
+    oracle="""
+    WITH m AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT)
+                    < (SELECT (MIN(CAST(epoch_us(l_shipdate) // 86400000000
+                               AS BIGINT))
+                             + MAX(CAST(epoch_us(l_shipdate) // 86400000000
+                               AS BIGINT))) // 2 FROM lineitem)
+                    THEN 0 ELSE 1 END AS period,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT brand,
+               MAX(CASE WHEN period = 0 THEN qty END) AS q0,
+               MAX(CASE WHEN period = 1 THEN qty END) AS q1,
+               MAX(CASE WHEN period = 0 THEN cents END) AS r0,
+               MAX(CASE WHEN period = 1 THEN cents END) AS r1
+        FROM m GROUP BY brand
+        HAVING MAX(CASE WHEN period = 0 THEN qty END) IS NOT NULL
+           AND MAX(CASE WHEN period = 1 THEN qty END) IS NOT NULL
+    )
+    SELECT brand,
+           CAST(r1 - r0 AS BIGINT) AS delta_cents,
+           -- volume effect at old unit price: (q1-q0) * (r0/q0), floored
+           CAST((q1 - q0) * r0 // q0 AS BIGINT) AS volume_effect_cents,
+           -- price effect on new volume: r1 - q1*(r0/q0), exact residual
+           CAST(r1 - q1 * r0 // q0 AS BIGINT) AS price_effect_cents
+    FROM wide
+    """,
+)
+def price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge per brand between the two shipdate halves:
+    the revenue delta decomposed into 'we sold MORE' (volume effect at
+    the old unit price) and 'we sold DEARER' (price effect on the new
+    volume) — the finance-review explanation of every revenue move,
+    with the two effects summing EXACTLY to the delta by construction
+    (the price effect is the exact integer residual, so no
+    floor-division cent ever leaks; test-pinned).
+
+    Scale shape: fact → (brand, period) collapse with map-side
+    partials; the bridge is per-brand constant algebra.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    days = li.agg(
+        F.expr(
+            "(min(unix_micros(CAST(l_shipdate AS timestamp_ltz))"
+            " div 86400000000)"
+            " + max(unix_micros(CAST(l_shipdate AS timestamp_ltz))"
+            " div 86400000000)) div 2"
+        ).alias("mid")
+    )
+    m = (
+        li.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+            "l_partkey",
+        )
+        .crossJoin(F.broadcast(days))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(epoch_day("l_shipdate") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    wide = (
+        m.groupBy("brand")
+        .agg(
+            F.max(F.when(F.col("period") == 0, F.col("qty"))).alias("q0"),
+            F.max(F.when(F.col("period") == 1, F.col("qty"))).alias("q1"),
+            F.max(F.when(F.col("period") == 0, F.col("cents"))).alias("r0"),
+            F.max(F.when(F.col("period") == 1, F.col("cents"))).alias("r1"),
+        )
+        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    return wide.select(
+        "brand",
+        (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
+        F.expr("(q1 - q0) * r0 div q0").cast("long").alias("volume_effect_cents"),
+        F.expr("r1 - q1 * r0 div q0").cast("long").alias("price_effect_cents"),
+    )
+
+
+@query(
+    "shift_share_decomposition",
+    oracle="""
+    WITH m AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                    < (SELECT (MIN(CAST(epoch_us(o_orderdate) // 86400000000
+                               AS BIGINT))
+                             + MAX(CAST(epoch_us(o_orderdate) // 86400000000
+                               AS BIGINT))) // 2 FROM orders)
+                    THEN 0 ELSE 1 END AS period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT period, CAST(SUM(n) AS BIGINT) AS tn FROM m GROUP BY period
+    ), wide AS (
+        SELECT segment,
+               MAX(CASE WHEN m.period = 0 THEN n END) AS n0,
+               MAX(CASE WHEN m.period = 1 THEN n END) AS n1,
+               MAX(CASE WHEN m.period = 0 THEN cents END) AS r0,
+               MAX(CASE WHEN m.period = 1 THEN cents END) AS r1,
+               MAX(CASE WHEN m.period = 0 THEN t.tn END) AS t0,
+               MAX(CASE WHEN m.period = 1 THEN t.tn END) AS t1
+        FROM m JOIN tot t ON t.period = m.period
+        GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n1 * 1000000 // t1 - n0 * 1000000 // t0 AS BIGINT)
+               AS share_shift_ppm,
+           CAST(r1 // n1 - r0 // n0 AS BIGINT) AS rate_change_cents,
+           CAST((n1 * 1000000 // t1 - n0 * 1000000 // t0) * (r0 // n0) // 1000000
+                AS BIGINT) AS mix_effect_cents_per_order,
+           CAST((r1 // n1 - r0 // n0) * (n1 * 1000000 // t1) // 1000000 AS BIGINT)
+               AS rate_effect_cents_per_order
+    FROM wide
+    WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+    """,
+)
+def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share (mix-vs-rate) decomposition of average order value by
+    customer segment between the two halves: did the blended mean move
+    because the MIX shifted toward a different segment (share shift ×
+    old rate) or because segments' own RATES changed (rate change ×
+    new share)? The 'why did the KPI move' explanation every metrics
+    review needs, in exact floored-ppm/cents integers.
+
+    Scale shape: one dim join + (segment, period) collapse; totals per
+    period broadcast; the decomposition is constant algebra per segment.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    mid = orders.agg(
+        F.expr(
+            "(min(unix_micros(CAST(o_orderdate AS timestamp_ltz))"
+            " div 86400000000)"
+            " + max(unix_micros(CAST(o_orderdate AS timestamp_ltz))"
+            " div 86400000000)) div 2"
+        ).alias("mid")
+    )
+    m = (
+        orders.join(
+            F.broadcast(
+                cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+            ),
+            "o_custkey",
+        )
+        .crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(epoch_day("o_orderdate") < F.col("mid"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    tot = m.groupBy("period").agg(F.sum("n").cast("long").alias("tn"))
+    wide = (
+        m.join(F.broadcast(tot), "period")
+        .groupBy("segment")
+        .agg(
+            F.max(F.when(F.col("period") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("period") == 1, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("period") == 0, F.col("cents"))).alias("r0"),
+            F.max(F.when(F.col("period") == 1, F.col("cents"))).alias("r1"),
+            F.max(F.when(F.col("period") == 0, F.col("tn"))).alias("t0"),
+            F.max(F.when(F.col("period") == 1, F.col("tn"))).alias("t1"),
+        )
+        .filter(F.col("n0").isNotNull() & F.col("n1").isNotNull())
+    )
+    return wide.select(
+        "segment",
+        F.expr("n1 * 1000000L div t1 - n0 * 1000000L div t0")
+        .cast("long")
+        .alias("share_shift_ppm"),
+        F.expr("r1 div n1 - r0 div n0").cast("long").alias("rate_change_cents"),
+        F.expr(
+            "(n1 * 1000000L div t1 - n0 * 1000000L div t0) * (r0 div n0)"
+            " div 1000000L"
+        )
+        .cast("long")
+        .alias("mix_effect_cents_per_order"),
+        F.expr(
+            "(r1 div n1 - r0 div n0) * (n1 * 1000000L div t1) div 1000000L"
+        )
+        .cast("long")
+        .alias("rate_effect_cents_per_order"),
+    )

@@ -388,3 +388,12 @@ def test_pythagorean_mean_inequality(spark, sf_dir):
     for x in r:
         assert x.arith_mean_cents + 2 >= x.geo_mean_cents >= x.harm_mean_cents - 2
         assert x.harm_mean_cents > 0
+
+
+def test_price_volume_bridge_reconciles(spark, sf_dir):
+    """Volume + price effects must sum exactly to the revenue delta
+    (the price effect is the exact residual by construction)."""
+    r = rows(spark, sf_dir, "price_volume_bridge")
+    assert r
+    for x in r:
+        assert x.volume_effect_cents + x.price_effect_cents == x.delta_cents
