@@ -18406,8 +18406,9 @@ def l_diversity_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT brand,
            CAST(r1 - r0 AS BIGINT) AS delta_cents,
-           -- volume effect at old unit price: (q1-q0) * (r0/q0), floored
-           CAST((q1 - q0) * r0 // q0 AS BIGINT) AS volume_effect_cents,
+           -- volume effect at old unit price, expressed so the bridge
+           -- closes exactly: q1*(r0/q0) - r0 with ONE shared floor
+           CAST(q1 * r0 // q0 - r0 AS BIGINT) AS volume_effect_cents,
            -- price effect on new volume: r1 - q1*(r0/q0), exact residual
            CAST(r1 - q1 * r0 // q0 AS BIGINT) AS price_effect_cents
     FROM wide
@@ -18469,7 +18470,7 @@ def price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "brand",
         (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
-        F.expr("(q1 - q0) * r0 div q0").cast("long").alias("volume_effect_cents"),
+        F.expr("q1 * r0 div q0 - r0").cast("long").alias("volume_effect_cents"),
         F.expr("r1 - q1 * r0 div q0").cast("long").alias("price_effect_cents"),
     )
 
