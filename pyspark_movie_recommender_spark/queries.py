@@ -18592,3 +18592,102 @@ def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rate_effect_cents_per_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 93: growth accounting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(week) AS first_week FROM wk GROUP BY user_id
+    ), lagged AS (
+        SELECT w.user_id, w.week, f.first_week,
+               LAG(w.week) OVER (PARTITION BY w.user_id ORDER BY w.week)
+                   AS prev_active
+        FROM wk w JOIN firsts f ON f.user_id = w.user_id
+    ), classified AS (
+        SELECT week,
+               CASE WHEN week = first_week THEN 'new'
+                    WHEN prev_active = week - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM lagged
+    ), actives AS (
+        SELECT week, status, CAST(COUNT(*) AS BIGINT) AS n
+        FROM classified GROUP BY week, status
+    ), churned AS (
+        SELECT a.week + 1 AS week, 'churned' AS status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM wk a LEFT JOIN wk b
+          ON b.user_id = a.user_id AND b.week = a.week + 1
+        WHERE b.user_id IS NULL
+          AND a.week < (SELECT MAX(week) FROM wk)
+        GROUP BY a.week + 1
+    )
+    SELECT week, status, n FROM actives
+    UNION ALL
+    SELECT week, status, n FROM churned
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — every active user classified as NEW
+    (first-ever week), RETAINED (also active the immediately previous
+    week), or RESURRECTED (returning after a gap), plus the CHURNED
+    count (active last week, absent this week) — the canonical
+    MAU-accounting identity (ΔMAU = new + resurrected − churned,
+    test-pinned) that tells you whether growth is acquisition or
+    retention. Epoch-week arithmetic; exact counts; lag-over-weeks
+    classification needs no self-join for the active classes.
+
+    Scale shape: events collapse to the distinct (user, week) relation
+    once; classification is one user-keyed lag window; churn is one
+    week-shifted anti-join on the same narrow relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS timestamp_ltz)) div 604800000000")
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    firsts = wk.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    lagged = wk.join(firsts, "user_id").select(
+        "user_id",
+        "week",
+        "first_week",
+        F.lag("week").over(Window.partitionBy("user_id").orderBy("week")).alias(
+            "prev_active"
+        ),
+    )
+    classified = lagged.select(
+        "week",
+        F.when(F.col("week") == F.col("first_week"), "new")
+        .when(F.col("prev_active") == F.col("week") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    actives = classified.groupBy("week", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    maxw = wk.agg(F.max("week").alias("mw"))
+    # churned = active in week w, absent in w+1: anti-join on (user, week+1)
+    churned = (
+        wk.crossJoin(F.broadcast(maxw))
+        .filter(F.col("week") < F.col("mw"))
+        .select("user_id", (F.col("week") + 1).alias("week"))
+        .join(wk, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("week", F.lit("churned").alias("status"), "n")
+    )
+    return actives.unionByName(churned)

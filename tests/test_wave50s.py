@@ -397,3 +397,27 @@ def test_price_volume_bridge_reconciles(spark, sf_dir):
     assert r
     for x in r:
         assert x.volume_effect_cents + x.price_effect_cents == x.delta_cents
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """ΔWAU between consecutive weeks == new + resurrected − churned."""
+    from collections import defaultdict
+
+    r = rows(spark, sf_dir, "growth_accounting_weekly")
+    by_week = defaultdict(dict)
+    for x in r:
+        by_week[x.week][x.status] = x.n
+    weeks = sorted(by_week)
+    wau = {
+        w: sum(v for k, v in by_week[w].items() if k != "churned") for w in weeks
+    }
+    for w in weeks[1:]:
+        if w - 1 not in wau:
+            continue
+        delta = wau[w] - wau[w - 1]
+        expect = (
+            by_week[w].get("new", 0)
+            + by_week[w].get("resurrected", 0)
+            - by_week[w].get("churned", 0)
+        )
+        assert delta == expect, (w, delta, expect)
