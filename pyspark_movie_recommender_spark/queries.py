@@ -18691,3 +18691,96 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("week", F.lit("churned").alias("status"), "n")
     )
     return actives.unionByName(churned)
+
+
+# ---------------------------------------------------------------------------
+# wave 94: code-switch / foreign-token ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "code_switch_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS w
+        FROM documents
+    ), vocab_major AS (
+        SELECT w, lang AS major_lang
+        FROM (
+            SELECT w, lang, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY w
+                                      ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM toks GROUP BY w, lang
+        ) WHERE rn = 1
+    ), scored AS (
+        SELECT t.doc_id, t.lang,
+               CASE WHEN v.major_lang <> t.lang THEN 1 ELSE 0 END AS is_foreign
+        FROM toks t JOIN vocab_major v ON v.w = t.w
+    ), per_doc AS (
+        SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(is_foreign) AS BIGINT) AS n_foreign
+        FROM scored GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_foreign) * 1000000 // SUM(n_tokens) AS BIGINT)
+               AS foreign_ppm,
+           CAST(SUM(CASE WHEN n_foreign * 10 > n_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_heavy_switch_docs
+    FROM per_doc GROUP BY lang
+    """,
+)
+def code_switch_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching audit: per language, the share of token
+    occurrences whose corpus-majority language differs from the
+    document's label (exact ppm), plus the count of heavy-switch
+    documents (>10% foreign tokens) — the mislabeled-document and
+    mixed-language detector that sits between per-doc language ID and
+    corpus-level keyness: a 'French' doc full of majority-English
+    tokens is either code-switched or mislabeled, and both matter for
+    training mixtures. The majority-language vocabulary is tie-broken
+    (count desc, lang asc) so every token's verdict is deterministic.
+
+    Scale shape: one (token, lang) agg builds the vocab-majority
+    relation (vocab-sized, broadcast at corpus scale); the verdict join
+    is token-keyed; per-doc and per-lang censuses collapse map-side.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    vocab_major = (
+        toks.groupBy("w", F.col("lang").alias("major_lang"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "w",
+            "major_lang",
+            F.row_number()
+            .over(Window.partitionBy("w").orderBy(F.desc("c"), F.asc("major_lang")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("w", "major_lang")
+    )
+    scored = toks.join(F.broadcast(vocab_major), "w").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("major_lang") != F.col("lang"), 1).otherwise(0).alias("foreign"),
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("foreign").cast("long").alias("n_foreign"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(n_foreign) * 1000000L div sum(n_tokens)")
+        .cast("long")
+        .alias("foreign_ppm"),
+        F.sum(F.when(F.col("n_foreign") * 10 > F.col("n_tokens"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_heavy_switch_docs"),
+    )
