@@ -18784,3 +18784,116 @@ def code_switch_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_heavy_switch_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 95: order aging buckets, lateral alias dialect pin
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_aging_buckets",
+    oracle="""
+    WITH horizon AS (
+        SELECT MAX(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)) AS now_d
+        FROM orders
+    ), open_orders AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               now_d - CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS age_days
+        FROM orders, horizon WHERE o_orderstatus = 'O'
+    ), bucketed AS (
+        SELECT CASE WHEN age_days <= 180 THEN '0-180'
+                    WHEN age_days <= 365 THEN '181-365'
+                    WHEN age_days <= 730 THEN '366-730'
+                    ELSE '730+' END AS age_bucket,
+               cents
+        FROM open_orders
+    ), agg AS (
+        SELECT age_bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM bucketed GROUP BY age_bucket
+    ), tot AS (
+        SELECT SUM(cents) AS t FROM agg
+    )
+    SELECT age_bucket, n_orders, cents,
+           CAST(cents * 1000000 // t AS BIGINT) AS share_ppm
+    FROM agg, tot
+    """,
+)
+def order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: outstanding ('O') orders bucketed by age
+    relative to the data horizon, with exact cents and value-share ppm
+    per bucket — the receivables-aging / stuck-work census every
+    operations and finance review starts from (old open value is where
+    the write-offs and the process failures live). Age is pure
+    epoch-day arithmetic; buckets are fixed thresholds; all BIGINT.
+
+    Scale shape: one pushed status filter, map-side age math, a 4-row
+    census plus a 1-row total broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    horizon = orders.agg(F.max(epoch_day("o_orderdate")).alias("now_d"))
+    open_orders = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("now_d") - epoch_day("o_orderdate")).alias("age_days"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 180, "0-180")
+        .when(F.col("age_days") <= 365, "181-365")
+        .when(F.col("age_days") <= 730, "366-730")
+        .otherwise("730+")
+    )
+    agg = open_orders.select(bucket.alias("age_bucket"), "cents").groupBy(
+        "age_bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = agg.agg(F.sum("cents").alias("t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "age_bucket",
+        "n_orders",
+        "cents",
+        F.expr("cents * 1000000L div t").cast("long").alias("share_ppm"),
+    )
+
+
+@query(
+    "lateral_alias_chain",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           cents // 100 AS dollars,
+           dollars // 1000 AS kilodollars
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def lateral_alias_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column-alias chaining (Spark 3.4 / SPARK-27561): each
+    select-list expression references the ALIAS defined just before it
+    (cents → dollars → kilodollars) instead of repeating the whole
+    subexpression — the analyst-ergonomics dialect feature pinned
+    value-equal across engines (DuckDB resolves the same chain). The
+    plan is identical to the fully-expanded form: one partial+final
+    hash agg, aliases folded at analysis time.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("lac_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               cents div 100 AS dollars,
+               dollars div 1000 AS kilodollars
+        FROM lac_orders GROUP BY o_orderstatus
+        """
+    )
