@@ -18897,3 +18897,79 @@ def lateral_alias_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lac_orders GROUP BY o_orderstatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 96: ABC / Pareto classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "abc_part_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+               (SELECT SUM(cents) FROM rev) AS tot
+        FROM rev
+    ), classified AS (
+        SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                    WHEN cum * 100 <= tot * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM ranked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) * 1000000 // MAX(tot) AS BIGINT) AS revenue_share_ppm
+    FROM classified, (SELECT SUM(cents) AS tot FROM rev) t
+    GROUP BY abc_class
+    """,
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: the top parts
+    covering 80% of cumulative revenue are class A, the next 15% B, the
+    long tail C — the inventory-management triage (count A parts daily,
+    B weekly, C quarterly) and the discrete operational cousin of the
+    Lorenz curve. The cumulative boundary test is pure integer
+    cross-multiplication (cum·100 ≤ tot·80 — no float shares), ranks
+    tie-break on partkey, and the census reports each class's exact
+    cents and revenue share in ppm.
+
+    Scale shape: fact → per-part collapse; ONE cumulative window over
+    the part summary (range-partitioned sort at scale); 3-row census.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "cents", F.sum("cents").over(w).alias("cum"), "tot"
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "cents", "tot")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.expr("sum(cents) * 1000000L div max(tot)")
+            .cast("long")
+            .alias("revenue_share_ppm"),
+        )
+    )
