@@ -18973,3 +18973,110 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 97: TRY-arithmetic semantics, single-source supply risk
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "try_arithmetic_suite",
+    oracle="""
+    SELECT 'add_overflow' AS op, TRUE AS is_null
+    UNION ALL SELECT 'mul_overflow', TRUE
+    UNION ALL SELECT 'div_zero', TRUE
+    UNION ALL SELECT 'neg_overflow', TRUE
+    UNION ALL SELECT 'add_ok', FALSE
+    UNION ALL SELECT 'sum_in_range', FALSE
+    """,
+)
+def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY-arithmetic contract pinned: under ANSI mode the raw
+    operators RAISE on BIGINT overflow and division by zero (the
+    corruption-proof default this engine runs with), and the try_*
+    family converts exactly those failures to NULL so pipelines can
+    dead-letter bad rows instead of dying. The relation asserts each
+    case's nullness engine-side (computed, not literal) against the
+    oracle's expected truth table — DuckDB has no try_* family, so the
+    CONTRACT is the shared object, which is the point: this pin
+    documents engine behaviour the dialect can't express.
+
+    Scale shape: six constant rows; the value is the semantics.
+    """
+    rows = [
+        ("add_overflow", F.expr("try_add(9223372036854775807L, 1L)")),
+        ("mul_overflow", F.expr("try_multiply(9223372036854775807L, 2L)")),
+        ("div_zero", F.expr("try_divide(1L, 0L)")),
+        ("neg_overflow", F.expr("try_subtract(-9223372036854775808L, 1L)")),
+        ("add_ok", F.expr("try_add(1L, 2L)")),
+        ("sum_in_range", F.expr("try_multiply(3L, 4L)")),
+    ]
+    dfs = None
+    for name, expr in rows:
+        d = (
+            load_table(spark, sf_dir, "region")
+            .limit(1)
+            .select(F.lit(name).alias("op"), expr.isNull().alias("is_null"))
+        )
+        dfs = d if dfs is None else dfs.unionByName(d)
+    return dfs
+
+
+@query(
+    "single_source_risk",
+    oracle="""
+    WITH srcs AS (
+        SELECT l_partkey,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT SUM(cents) AS t FROM srcs
+    )
+    SELECT CASE WHEN n_suppliers = 1 THEN 'single_source'
+                WHEN n_suppliers = 2 THEN 'dual_source'
+                ELSE 'multi_source' END AS sourcing,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) * 1000000 // MAX(t) AS BIGINT) AS revenue_at_risk_ppm
+    FROM srcs, tot
+    GROUP BY 1
+    """,
+)
+def single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk: parts grouped by how many
+    distinct suppliers ship them (single / dual / multi sourced) with
+    the revenue share each tier puts at risk in exact ppm — the
+    resilience census behind 'one supplier failure costs us X% of
+    revenue', complementing the demand-side HHI. All BIGINT.
+
+    Scale shape: one per-part agg (distinct-supplier count rides the
+    same shuffle as the cents sum); 3-row census with a broadcast total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    srcs = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    tot = srcs.agg(F.sum("cents").alias("t"))
+    tier = (
+        F.when(F.col("n_suppliers") == 1, "single_source")
+        .when(F.col("n_suppliers") == 2, "dual_source")
+        .otherwise("multi_source")
+    )
+    return (
+        srcs.crossJoin(F.broadcast(tot))
+        .select(tier.alias("sourcing"), "cents", "t")
+        .groupBy("sourcing")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.expr("sum(cents) * 1000000L div max(t)")
+            .cast("long")
+            .alias("revenue_at_risk_ppm"),
+        )
+    )
