@@ -305,3 +305,104 @@ def test_largest_remainder_allocation_laws(spark, counts, budget):
     for r in rows:
         quota = budget * r.n / r.tot
         assert quota - 1 < r.alloc < quota + 1
+
+
+# --- wave 50s-90s operator laws --------------------------------------------
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # key
+        st.integers(0, 1000),       # time
+        st.booleans(),              # is_right (view side)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events=asof_events)
+@settings(**SETTINGS)
+def test_asof_nearest_equals_bruteforce(spark, events):
+    """asof_nearest == the naive per-row nearest scan for any input,
+    including ties (tie → preceding by the <=/>= convention)."""
+    from pyspark_movie_recommender_spark.operators.asof import asof_nearest
+
+    lefts = [
+        (i, k, t) for i, (k, t, r) in enumerate(events) if not r
+    ]
+    rights = [(k, t) for (k, t, r) in events if r]
+    if not lefts:
+        lefts = [(999, 0, 0)]
+    left = spark.createDataFrame(lefts, "id long, k long, t long")
+    right = spark.createDataFrame(rights or [(98, -10**9)], "k long, t long")
+    if not rights:
+        right = right.limit(0)
+    got = {
+        r.id: (r.nearest_dir, r.gap)
+        for r in asof_nearest(left, right, on="t", key="k").collect()
+    }
+    for (i, k, t) in lefts:
+        prevs = [rt for (rk, rt) in rights if rk == k and rt <= t]
+        nexts = [rt for (rk, rt) in rights if rk == k and rt >= t]
+        if not prevs and not nexts:
+            want = ("none", None)
+        elif not nexts:
+            want = ("prev", t - max(prevs))
+        elif not prevs:
+            want = ("next", min(nexts) - t)
+        else:
+            b, f = t - max(prevs), min(nexts) - t
+            want = ("prev", b) if b <= f else ("next", f)
+        assert got[i] == want, (i, got[i], want)
+
+
+@given(
+    xs=st.lists(st.integers(-1000, 1000), min_size=2, max_size=20),
+    shift=st.integers(-500, 500),
+)
+@settings(**SETTINGS)
+def test_mean_cleared_devs_laws(spark, xs, shift):
+    """Σd = 0 exactly, and devs are invariant to constant shifts of the
+    series (the property that makes the ACF/CUSUM family exact)."""
+    from pyspark_movie_recommender_spark.operators.timeseries import (
+        mean_cleared_devs,
+    )
+
+    daily = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "day long, x long"
+    )
+    devs = {r.day: int(r.d) for r in mean_cleared_devs(daily).collect()}
+    assert sum(devs.values()) == 0
+    shifted = spark.createDataFrame(
+        [(i, x + shift) for i, x in enumerate(xs)], "day long, x long"
+    )
+    devs2 = {r.day: int(r.d) for r in mean_cleared_devs(shifted).collect()}
+    assert devs == devs2
+
+
+@given(
+    ranks_a=st.lists(st.integers(0, 30), min_size=0, max_size=10, unique=True),
+    ranks_b=st.lists(st.integers(0, 30), min_size=0, max_size=10, unique=True),
+)
+@settings(**SETTINGS)
+def test_rrf_fuse_matches_formula(spark, ranks_a, ranks_b):
+    """rrf(id) == Σ present-list 1/(k+rank) for every id, any overlap."""
+    from pyspark_movie_recommender_spark.operators.rank import rrf_fuse
+
+    la = [(i, r + 1) for i, r in enumerate(ranks_a)]
+    lb = [(i + 5, r + 1) for i, r in enumerate(ranks_b)]  # partial overlap
+    if not la and not lb:
+        la = [(0, 1)]
+    a = spark.createDataFrame(la or [(0, 1)], "doc_id long, rank long")
+    if not la:
+        a = a.limit(0)
+    b = spark.createDataFrame(lb or [(0, 1)], "doc_id long, rank long")
+    if not lb:
+        b = b.limit(0)
+    got = {r.doc_id: r.rrf for r in rrf_fuse([a, b], k=60).collect()}
+    da, db = dict(la), dict(lb)
+    for i in set(da) | set(db):
+        want = (1.0 / (60 + da[i]) if i in da else 0.0) + (
+            1.0 / (60 + db[i]) if i in db else 0.0
+        )
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
