@@ -19080,3 +19080,178 @@ def single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_at_risk_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 98: in-row quality gate, Heaps-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "in_row_quality_gate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tok,
+               CASE WHEN len(toks) = 0 THEN 0
+                    ELSE (SELECT MAX(c) FROM (
+                        SELECT COUNT(*) AS c FROM unnest(toks) AS u(w) GROUP BY w
+                    )) END AS top_tok,
+               CASE WHEN len(toks) = 0 THEN 0
+                    ELSE (SELECT COUNT(DISTINCT w)
+                          FROM unnest(toks) AS u(w)) END AS n_distinct
+        FROM t
+    ), gated AS (
+        SELECT source,
+               CASE WHEN n_tok >= 30
+                     AND top_tok * 5 <= n_tok
+                     AND n_distinct * 2 >= n_tok
+                    THEN 1 ELSE 0 END AS keep
+        FROM feats
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm
+    FROM gated GROUP BY source
+    """,
+)
+def in_row_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZERO-SHUFFLE quality gate: per-document keep/drop decided
+    entirely in-row (length floor ≥30 tokens, top-token share ≤20% via
+    an in-row HOF count, type-token ratio ≥50%) — the map-side fast
+    pass a curation pipeline runs BEFORE any corpus-level statistic
+    (`quality_filter_gopher` needs corpus-side aggregates; this tier
+    needs only the row), so it filters at scan speed and shrinks
+    everything downstream. Integer cross-multiplied thresholds; the
+    per-source yield census is the only aggregation.
+
+    Scale shape: every feature comes from array HOFs on the row's own
+    tokens (aggregate over distinct counts — no explode leaves the
+    row); one |sources|-row census agg. At 100 TB this is the operator
+    that touches all bytes once and drops half of them.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    feats = toks.select(
+        "source",
+        F.size("toks").alias("n_tok"),
+        F.expr(
+            "CASE WHEN size(toks) = 0 THEN 0 ELSE"
+            " array_max(transform(array_distinct(toks),"
+            "   w -> size(filter(toks, x -> x = w)))) END"
+        ).alias("top_tok"),
+        F.expr("size(array_distinct(toks))").alias("n_distinct"),
+    )
+    gated = feats.select(
+        "source",
+        F.when(
+            (F.col("n_tok") >= 30)
+            & (F.col("top_tok") * 5 <= F.col("n_tok"))
+            & (F.col("n_distinct") * 2 >= F.col("n_tok")),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.expr("sum(keep) * 1000000L div count(1)").cast("long").alias("keep_ppm"),
+    )
+
+
+@query(
+    "heaps_law_vocab_growth",
+    oracle="""
+    WITH tagged AS (
+        SELECT ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    ), tiers AS (
+        SELECT * FROM (VALUES (1), (10), (100)) x(tier)
+    ), toks AS (
+        SELECT tier, unnest(t) AS w
+        FROM tagged, tiers WHERE bucket < tier
+    ), stats AS (
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab
+        FROM toks GROUP BY tier
+    ), lagged AS (
+        SELECT tier, n_tokens, vocab,
+               LAG(n_tokens) OVER (ORDER BY tier) AS pn,
+               LAG(vocab) OVER (ORDER BY tier) AS pv
+        FROM stats
+    )
+    SELECT tier, n_tokens, vocab,
+           ROUND(CASE WHEN pn IS NULL THEN NULL
+                 ELSE ln(CAST(vocab AS DOUBLE) / pv)
+                      / ln(CAST(n_tokens AS DOUBLE) / pn) END, 4) AS heaps_beta
+    FROM lagged
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over the NESTED 1%/10%/100% hash
+    tiers (the same strict-subset construction as
+    `nested_scaling_samples`): distinct-vocabulary size at each corpus
+    scale and the between-tier Heaps exponent β = Δln V / Δln N —
+    natural corpora sit at β ≈ 0.4-0.6; a β collapsing toward 0 means
+    the corpus is recycling its vocabulary (templates) and more data
+    won't buy more diversity. The empirical-growth companion to the
+    static Zipf fit.
+
+    Exactness: tier membership is pure hash arithmetic (small tiers are
+    strict subsets); token and vocab counts are exact; β is one ln
+    ratio of exact integers per tier, rounded.
+
+    Scale shape: the tier fan-out multiplies tokens ×3 map-side but
+    tiers prune by the hash predicate; the (tier, word) distinct agg is
+    vocab-bounded per tier.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        (((F.col("doc_id") * 2654435761) % 4294967296) % 100).alias("bucket"),
+        ws_tokens(F.lower(F.col("text"))).alias("t"),
+    )
+    tiers = spark.createDataFrame([(1,), (10,), (100,)], "tier int")
+    toks = (
+        tagged.crossJoin(F.broadcast(tiers))
+        .filter(F.col("bucket") < F.col("tier"))
+        .select("tier", F.explode("t").alias("w"))
+    )
+    stats = toks.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("vocab"),
+    )
+    lw = Window.orderBy("tier")
+    lagged = stats.select(
+        "tier",
+        "n_tokens",
+        "vocab",
+        F.lag("n_tokens").over(lw).alias("pn"),
+        F.lag("vocab").over(lw).alias("pv"),
+    )
+    return lagged.select(
+        "tier",
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.when(
+                F.col("pn").isNotNull(),
+                F.log(F.col("vocab").cast("double") / F.col("pv"))
+                / F.log(F.col("n_tokens").cast("double") / F.col("pn")),
+            ),
+            4,
+        ).alias("heaps_beta"),
+    )
