@@ -19255,3 +19255,780 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("heaps_beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 99: HITS hub/authority ranking, largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hits_hub_authority",
+    oracle="""
+    WITH fwd AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), a1r AS (
+        SELECT s, CAST(COUNT(*) AS DOUBLE) AS v FROM fwd GROUP BY s
+    ), a1 AS (
+        SELECT s, v / (SELECT MAX(v) FROM a1r) AS v FROM a1r
+    ), h1r AS (
+        SELECT c, SUM(a1.v) AS v FROM fwd JOIN a1 USING (s) GROUP BY c
+    ), h1 AS (
+        SELECT c, v / (SELECT MAX(v) FROM h1r) AS v FROM h1r
+    ), a2r AS (
+        SELECT s, SUM(h1.v) AS v FROM fwd JOIN h1 USING (c) GROUP BY s
+    ), a2 AS (
+        SELECT s, v / (SELECT MAX(v) FROM a2r) AS v FROM a2r
+    ), h2r AS (
+        SELECT c, SUM(a2.v) AS v FROM fwd JOIN a2 USING (s) GROUP BY c
+    ), h2 AS (
+        SELECT c, v / (SELECT MAX(v) FROM h2r) AS v FROM h2r
+    ), a3r AS (
+        SELECT s, SUM(h2.v) AS v FROM fwd JOIN h2 USING (c) GROUP BY s
+    ), a3 AS (
+        SELECT s, v / (SELECT MAX(v) FROM a3r) AS v FROM a3r
+    ), h3r AS (
+        SELECT c, SUM(a3.v) AS v FROM fwd JOIN a3 USING (s) GROUP BY c
+    ), h3 AS (
+        SELECT c, v / (SELECT MAX(v) FROM h3r) AS v FROM h3r
+    )
+    SELECT 'hub' AS kind, CAST(c AS BIGINT) AS node_key,
+           ROUND(v, 6) AS score FROM h3
+    UNION ALL
+    SELECT 'authority' AS kind, CAST(s AS BIGINT) AS node_key,
+           ROUND(v, 6) AS score FROM a3
+    """,
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities, 3 synchronous iterations,
+    max-normalized per half-step) over the customer→supplier bipartite
+    trade graph: customers are hubs (they point at many good
+    suppliers), suppliers are authorities (pointed at by many good
+    hubs) — the mutually-recursive ranking that PageRank's single
+    score conflates, oracle-checked against the same three iterations
+    unrolled as chained CTEs.
+
+    Max-normalization (not L2) keeps every half-step a join + hash agg
+    + one broadcast scalar — no sqrt-of-sum-of-squares reduction — and
+    bounds scores in (0, 1] so 3 iterations cannot overflow. Engines
+    sum incoming mass in different orders; scores round to 6 (drift
+    ≪ 1e-12 after 3 rounds).
+
+    Scale shape: the deduped INTEGER edge list is tracked-persisted
+    once and feeds all 6 half-steps; each half-step shuffles only the
+    narrow (key, score) relation; the max is a 1-row broadcast. Per
+    round ends in localCheckpoint so round k+1 replans from
+    materialized scores, exactly like pagerank_trade_graph (swap for
+    reliable checkpoint(dir) on a cluster).
+    """
+    from pyspark_movie_recommender_spark.operators.cache import track
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = track(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+    def _norm(df: DataFrame, key: str) -> DataFrame:
+        mx = df.agg(F.max("v").alias("mx"))
+        return (
+            df.crossJoin(F.broadcast(mx))
+            .select(key, (F.col("v") / F.col("mx")).alias("v"))
+            .localCheckpoint()
+        )
+
+    # a1 from h0 == 1.0 for every customer: plain in-degree of s
+    auth = _norm(
+        fwd.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("v")), "s"
+    )
+    hub = _norm(
+        fwd.join(auth, "s").groupBy("c").agg(F.sum("v").alias("v")), "c"
+    )
+    for _ in range(2):
+        auth = _norm(
+            fwd.join(hub, "c").groupBy("s").agg(F.sum("v").alias("v")), "s"
+        )
+        hub = _norm(
+            fwd.join(auth, "s").groupBy("c").agg(F.sum("v").alias("v")), "c"
+        )
+    return hub.select(
+        F.lit("hub").alias("kind"),
+        F.col("c").cast("long").alias("node_key"),
+        F.round("v", 6).alias("score"),
+    ).unionByName(
+        auth.select(
+            F.lit("authority").alias("kind"),
+            F.col("s").cast("long").alias("node_key"),
+            F.round("v", 6).alias("score"),
+        )
+    )
+
+
+@query(
+    "seat_apportionment_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name, n.n_nationkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, n.n_nationkey
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev
+    ), quota AS (
+        SELECT n_name, n_nationkey, cents,
+               (cents * 100) // t AS floor_seats,
+               (cents * 100) % t  AS rem
+        FROM rev, tot
+    ), short AS (
+        SELECT 100 - CAST(SUM(floor_seats) AS BIGINT) AS k FROM quota
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, n_nationkey) AS rnk
+        FROM quota
+    )
+    SELECT n_name, cents,
+           CAST(floor_seats + CASE WHEN rnk <= k THEN 1 ELSE 0 END AS BIGINT)
+               AS seats
+    FROM ranked, short
+    """,
+)
+def seat_apportionment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: divide EXACTLY 100
+    budget seats across nations in proportion to order revenue — floor
+    of each nation's scaled quota, then the leftover seats go to the
+    largest fractional remainders (ties broken by nationkey). The
+    integer-exact allocation primitive behind budget splits, shard
+    assignment, and proportional sampling quotas, where naive
+    round(share*100) over- or under-shoots the total.
+
+    Exactness: revenue is summed in integer cents (round-then-cast —
+    Spark's double→long cast truncates while DuckDB's rounds, so both
+    sides round first); quota arithmetic is pure integer floor-div and
+    mod against the same denominator, so ranking by remainder needs no
+    division at all. Hash-exact, no float anywhere. BIGINT headroom:
+    cents·100 caps at ~1.5e15 at sf0.1 — switch the two products to
+    DECIMAL(38,0) past sf100.
+
+    Scale shape: one fact-side hash agg to |nations| rows; everything
+    after (total, ranks, bonus seats) is arithmetic on a 25-row
+    relation — single-partition window is free at that size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "n_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_nationkey",
+        "cents",
+        F.expr("(cents * 100) div t").alias("floor_seats"),
+        F.expr("(cents * 100) % t").alias("rem"),
+    )
+    short = quota.agg((F.lit(100) - F.sum("floor_seats")).cast("long").alias("k"))
+    ranked = quota.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("n_nationkey"))
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "n_name",
+        "cents",
+        (
+            F.col("floor_seats")
+            + F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("seats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 100: BH-FDR multiple testing, SPC p-chart control limits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bh_fdr_nation_urgent",
+    oracle="""
+    WITH per AS (
+        SELECT c.c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(k) AS BIGINT) AS kk,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM per
+    ), z AS (
+        SELECT n_name, n, k, m,
+               (CAST(k AS DOUBLE)/n - CAST(kk - k AS DOUBLE)/(nn - n))
+               / sqrt((CAST(kk AS DOUBLE)/nn) * (1 - CAST(kk AS DOUBLE)/nn)
+                      * (1.0/n + 1.0/(nn - n))) AS zval
+        FROM per JOIN nation ON n_nationkey = c_nationkey, tot
+    ), pv AS (
+        SELECT n_name, n, k, m,
+               ROUND((1/(1 + 0.3275911*(abs(zval)/sqrt(2))))
+                 * (0.254829592 + (1/(1 + 0.3275911*(abs(zval)/sqrt(2))))
+                 * (-0.284496736 + (1/(1 + 0.3275911*(abs(zval)/sqrt(2))))
+                 * (1.421413741 + (1/(1 + 0.3275911*(abs(zval)/sqrt(2))))
+                 * (-1.453152027 + (1/(1 + 0.3275911*(abs(zval)/sqrt(2))))
+                 * 1.061405417))))
+                 * exp(-(abs(zval)/sqrt(2))*(abs(zval)/sqrt(2))), 6) AS p_value
+        FROM z
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, n_name)
+                       AS BIGINT) AS rnk
+        FROM pv
+    ), kstar AS (
+        SELECT COALESCE(MAX(CASE WHEN p_value * m <= rnk * 0.05
+                                 THEN rnk END), 0) AS ks
+        FROM ranked
+    )
+    SELECT n_name, n, k, p_value, rnk,
+           CAST(CASE WHEN rnk <= ks THEN 1 ELSE 0 END AS BIGINT) AS rejected
+    FROM ranked, kstar
+    """,
+)
+def bh_fdr_nation_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of hypothesis tests:
+    for every nation, a two-proportion z-test of "do this nation's
+    customers place URGENT orders at a different rate than everyone
+    else?", converted to a two-sided p-value with the Abramowitz-Stegun
+    7.1.26 erfc polynomial (identical Horner dag on both engines — no
+    erf built-in exists in either), then the BH step-up: reject the k*
+    smallest p-values where k* = max{i : p_(i) ≤ i·α/m}, α = 0.05.
+    The multiple-testing guard every per-segment dashboard needs —
+    with 25 segments, one nominal p<0.05 "winner" is expected by
+    chance alone.
+
+    Determinism: counts are exact; p-values are rounded to 6 BEFORE
+    ranking so both engines rank identical keys (ties broken by
+    n_name); the step-up comparison is on p·m ≤ i·α (no division).
+
+    Scale shape: one fact-side hash agg to |nations| rows; the z/p/BH
+    cascade is arithmetic + one single-partition window on a 25-row
+    relation. The census total is a broadcast scalar.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("k").cast("long").alias("kk"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    z = (
+        per.join(F.broadcast(n), per.c_nationkey == n.n_nationkey)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            "n",
+            "k",
+            "m",
+            (
+                (
+                    F.col("k").cast("double") / F.col("n")
+                    - (F.col("kk") - F.col("k")).cast("double")
+                    / (F.col("nn") - F.col("n"))
+                )
+                / F.sqrt(
+                    (F.col("kk").cast("double") / F.col("nn"))
+                    * (1 - F.col("kk").cast("double") / F.col("nn"))
+                    * (1.0 / F.col("n") + 1.0 / (F.col("nn") - F.col("n")))
+                )
+            ).alias("zval"),
+        )
+    )
+    # A&S 7.1.26: erfc(x) = t·(a1 + t·(a2 + t·(a3 + t·(a4 + t·a5))))·e^(−x²),
+    # t = 1/(1+0.3275911x); two-sided p = erfc(|z|/√2). Same Horner dag as
+    # the oracle string above.
+    pv = z.select(
+        "n_name",
+        "n",
+        "k",
+        "m",
+        F.round(
+            F.expr(
+                "(1/(1 + 0.3275911*(abs(zval)/sqrt(2))))"
+                " * (0.254829592 + (1/(1 + 0.3275911*(abs(zval)/sqrt(2))))"
+                " * (-0.284496736 + (1/(1 + 0.3275911*(abs(zval)/sqrt(2))))"
+                " * (1.421413741 + (1/(1 + 0.3275911*(abs(zval)/sqrt(2))))"
+                " * (-1.453152027 + (1/(1 + 0.3275911*(abs(zval)/sqrt(2))))"
+                " * 1.061405417))))"
+                " * exp(-(abs(zval)/sqrt(2))*(abs(zval)/sqrt(2)))"
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    ranked = pv.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy("p_value", "n_name"))
+        .cast("long"),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") * F.col("m") <= F.col("rnk") * 0.05,
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("ks")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "n_name",
+        "n",
+        "k",
+        "p_value",
+        "rnk",
+        F.when(F.col("rnk") <= F.col("ks"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rejected"),
+    )
+
+
+@query(
+    "p_chart_weekly_late_orders",
+    oracle="""
+    WITH flagged AS (
+        SELECT CAST(date_trunc('week', o.o_orderdate) AS DATE) AS week,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey
+                     AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+               ) THEN 1 ELSE 0 END AS late
+        FROM orders o
+    ), weekly AS (
+        SELECT week, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(late) AS BIGINT) AS n_late
+        FROM flagged GROUP BY week
+    ), pooled AS (
+        SELECT CAST(SUM(n_late) AS DOUBLE) / SUM(n_orders) AS pbar FROM weekly
+    )
+    SELECT week, n_orders, n_late,
+           ROUND(CAST(n_late AS DOUBLE) / n_orders, 6) AS p_hat,
+           ROUND(pbar + 3*sqrt(pbar*(1-pbar)/n_orders), 6) AS ucl,
+           ROUND(greatest(0.0, pbar - 3*sqrt(pbar*(1-pbar)/n_orders)), 6)
+               AS lcl,
+           CAST(CASE WHEN CAST(n_late AS DOUBLE)/n_orders
+                          > pbar + 3*sqrt(pbar*(1-pbar)/n_orders)
+                      OR CAST(n_late AS DOUBLE)/n_orders
+                          < greatest(0.0, pbar - 3*sqrt(pbar*(1-pbar)/n_orders))
+                     THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM weekly, pooled
+    """,
+)
+def p_chart_weekly_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart (statistical process control) on the weekly
+    late-shipment proportion: each ISO week's share of orders with a
+    >60-day-late lineitem, against 3σ binomial control limits around
+    the pooled rate p̄ ± 3·√(p̄(1−p̄)/n_w) — the classic "is this week's
+    defect rate common-cause noise or a real signal" chart, with
+    per-week limits widening for thin weeks. Complements CUSUM (drift
+    onset) and the EWMA smoother with the canonical control-limit
+    flag.
+
+    Determinism: the late flag and weekly counts are exact integers
+    (same EXISTS → semi-join as late_shipment_priority_counts); p̄ is
+    one ratio of exact sums; limits and flags round to 6.
+
+    Scale shape: semi join on orderkey (no fan-out — an order with 5
+    late lines counts once), one hash agg to |weeks| rows, pooled rate
+    as a broadcast scalar. Nothing wide after the semi join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_orders = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    ).select("o_orderkey")
+    flagged = o.select(
+        F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("week"),
+        "o_orderkey",
+    ).join(late_orders.withColumn("late", F.lit(1)), "o_orderkey", "left")
+    weekly = flagged.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.coalesce(F.col("late"), F.lit(0))).cast("long").alias("n_late"),
+    )
+    pooled = weekly.agg(
+        (F.sum("n_late").cast("double") / F.sum("n_orders")).alias("pbar")
+    )
+    p_hat = F.col("n_late").cast("double") / F.col("n_orders")
+    sigma = F.sqrt(
+        F.col("pbar") * (1 - F.col("pbar")) / F.col("n_orders")
+    )
+    ucl = F.col("pbar") + 3 * sigma
+    lcl = F.greatest(F.lit(0.0), F.col("pbar") - 3 * sigma)
+    return weekly.crossJoin(F.broadcast(pooled)).select(
+        "week",
+        "n_orders",
+        "n_late",
+        F.round(p_hat, 6).alias("p_hat"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        F.when((p_hat > ucl) | (p_hat < lcl), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("out_of_control"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 101: Jensen-Shannon source divergence, Simpson's-paradox slope audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jsd_source_unigrams",
+    oracle="""
+    WITH tok AS (
+        SELECT source AS s,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), cnt AS (
+        SELECT s, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY s, w
+    ), nt AS (
+        SELECT s, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY s
+    ), probs AS (
+        SELECT cnt.s, w, CAST(c AS DOUBLE) / t AS p
+        FROM cnt JOIN nt USING (s)
+    ), hs AS (
+        SELECT s, SUM(-p * ln(p)) AS h FROM probs GROUP BY s
+    ), pairs AS (
+        SELECT a.s AS src_a, b.s AS src_b
+        FROM (SELECT DISTINCT s FROM nt) a
+        JOIN (SELECT DISTINCT s FROM nt) b ON a.s < b.s
+    ), mix AS (
+        SELECT src_a, src_b, w, SUM(p) / 2 AS m
+        FROM pairs JOIN probs pr ON pr.s = src_a OR pr.s = src_b
+        GROUP BY src_a, src_b, w
+    ), hm AS (
+        SELECT src_a, src_b, SUM(-m * ln(m)) AS h_mix
+        FROM mix GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b,
+           ROUND((h_mix - (ha.h + hb.h) / 2) / ln(2), 6) AS jsd_bits
+    FROM hm JOIN hs ha ON ha.s = src_a
+            JOIN hs hb ON hb.s = src_b
+    """,
+)
+def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (in bits) between the unigram
+    distributions of every pair of corpus sources, via the
+    entropy identity JSD(P,Q) = H((P+Q)/2) − (H(P)+H(Q))/2 — the
+    symmetric, bounded [0,1-bit] "how different are these sources
+    REALLY" measure that weighted-Jaccard (set overlap) and G² keyness
+    (per-term) don't give. The mixture M needs no full-outer join:
+    grouping the two sources' (w, p) rows by word and summing handles
+    missing mass as 0 naturally.
+
+    Scale shape: token counts are one explode + hash agg to
+    vocab×|sources| rows; everything after runs on probability rows,
+    never tokens. The pair fan-out multiplies prob rows by the pairs
+    each source is in (|sources|−1) via a broadcast OR-join — fine for
+    the handful of sources a curation run compares; per-source
+    entropies are vocab-bounded aggs. Round 6 absorbs summation-order
+    drift.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        F.col("source").alias("s"),
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    cnt = tok.groupBy("s", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nt = cnt.groupBy("s").agg(F.sum("c").cast("long").alias("t"))
+    probs = cnt.join(F.broadcast(nt), "s").select(
+        "s", "w", (F.col("c").cast("double") / F.col("t")).alias("p")
+    )
+    hs = probs.groupBy("s").agg(F.sum(-F.col("p") * F.log("p")).alias("h"))
+    srcs = nt.select("s")
+    pairs = (
+        srcs.select(F.col("s").alias("src_a"))
+        .join(srcs.select(F.col("s").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    mix = (
+        probs.join(
+            F.broadcast(pairs),
+            (F.col("s") == F.col("src_a")) | (F.col("s") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "w")
+        .agg((F.sum("p") / 2).alias("m"))
+    )
+    hm = mix.groupBy("src_a", "src_b").agg(
+        F.sum(-F.col("m") * F.log("m")).alias("h_mix")
+    )
+    ha = hs.select(F.col("s").alias("src_a"), F.col("h").alias("ha"))
+    hb = hs.select(F.col("s").alias("src_b"), F.col("h").alias("hb"))
+    return (
+        hm.join(F.broadcast(ha), "src_a")
+        .join(F.broadcast(hb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                (F.col("h_mix") - (F.col("ha") + F.col("hb")) / 2)
+                / float(__import__("math").log(2)),
+                6,
+            ).alias("jsd_bits"),
+        )
+    )
+
+
+@query(
+    "simpson_slope_audit",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS grp, l_quantity AS x,
+               l_extendedprice * (1 - l_discount) AS y
+        FROM lineitem
+    ), per AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                     / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 6) AS grp_slope
+        FROM pts GROUP BY grp
+    ), pooled AS (
+        SELECT ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                     / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 6)
+                   AS pooled_slope
+        FROM pts
+    )
+    SELECT grp, n, grp_slope, pooled_slope,
+           CAST(CASE WHEN (grp_slope > 0) <> (pooled_slope > 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS sign_flip
+    FROM per, pooled
+    """,
+)
+def simpson_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the OLS slope of net revenue on
+    quantity fitted POOLED over all lineitems and separately WITHIN
+    each return-flag stratum, flagging strata whose slope sign
+    contradicts the pooled fit — the aggregation-reversal check that
+    should gate any "X drives Y" dashboard claim before it ships
+    (a confounder that flips the sign within strata is invisible to
+    the pooled regression). Companion to regr_function_suite (the
+    primitives) and diff_in_diff (the designed comparison).
+
+    Determinism: both slopes come from the same five moment sums
+    (n, Σx, Σy, Σxy, Σx²) — single-pass, map-side-combined — rounded
+    to 6 before the sign comparison so the flag itself is
+    reproducible cross-engine.
+
+    Scale shape: two hash aggs over narrow projected rows (one global,
+    one per-stratum, both with map-side partials); the pooled scalar
+    broadcasts onto |strata| rows. No shuffle of raw rows at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    )
+
+    def slope_agg():
+        n = F.count(F.lit(1))
+        return F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        )
+
+    per = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        slope_agg().alias("grp_slope"),
+    )
+    pooled = pts.agg(slope_agg().alias("pooled_slope"))
+    return per.crossJoin(F.broadcast(pooled)).select(
+        "grp",
+        "n",
+        "grp_slope",
+        "pooled_slope",
+        F.when(
+            (F.col("grp_slope") > 0) != (F.col("pooled_slope") > 0), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("sign_flip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 102: Holt linear-trend smoothing, activity-streak islands
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               ROUND(SUM(value), 6) AS y
+        FROM events GROUP BY event_type, day
+    ), daily AS (
+        SELECT event_type, y,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM base
+    ), rec AS (
+        SELECT event_type, i, n, CAST(y AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM daily WHERE i = 1
+        UNION ALL
+        SELECT d.event_type, d.i, d.n,
+               0.5*d.y + 0.5*(r.l + r.b),
+               0.25*((0.5*d.y + 0.5*(r.l + r.b)) - r.l) + 0.75*r.b
+        FROM rec r JOIN daily d
+          ON d.event_type = r.event_type AND d.i = r.i + 1
+    )
+    SELECT event_type, n AS n_days,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + 7*b, 6) AS forecast_7d
+    FROM rec WHERE i = n
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level α=0.5, trend β=0.25,
+    b₀=0) over each event type's daily value series, with the 7-day-
+    ahead linear forecast l_T + 7·b_T — the trend-aware upgrade of the
+    seasonal-naive and EWMA baselines. A smoothing recurrence is
+    inherently SEQUENTIAL, which SQL can't window: here it runs as an
+    `aggregate` HOF fold over the day-sorted series (array-bounded,
+    JVM-side), and the oracle unrolls the identical recurrence as a
+    recursive CTE — the fold and the CTE share one IEEE dag, made
+    input-identical by rounding the daily sums to 6 BEFORE the
+    recurrence (partial-agg order differs between engines; α,β are
+    dyadic so every multiply is exact).
+
+    Scale shape: the fact stream collapses to |types|×|days| rows in
+    one hash agg; collect_list holds a days-bounded array per type
+    (365 doubles/year — bounded regardless of corpus size); the fold
+    is one in-row pass. This is the scale-correct shape for ANY
+    per-key recurrence: reduce to the series grain first, then fold
+    in-row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    daily = ev.groupBy(
+        "event_type", epoch_day("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("arr")
+    )
+    fitted = series.select(
+        "event_type",
+        F.size("arr").cast("long").alias("n_days"),
+        F.expr(
+            "aggregate("
+            "  slice(transform(arr, x -> x.y), 2, greatest(size(arr) - 1, 0)),"
+            "  named_struct('l', CAST(arr[0].y AS DOUBLE),"
+            "               'b', CAST(0.0 AS DOUBLE)),"
+            "  (acc, y) -> named_struct("
+            "      'l', 0.5*y + 0.5*(acc.l + acc.b),"
+            "      'b', 0.25*((0.5*y + 0.5*(acc.l + acc.b)) - acc.l)"
+            "           + 0.75*acc.b))"
+        ).alias("hb"),
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("hb.l"), 6).alias("level"),
+        F.round(F.col("hb.b"), 6).alias("trend"),
+        F.round(F.col("hb.l") + 7 * F.col("hb.b"), 6).alias("forecast_7d"),
+    )
+
+
+@query(
+    "activity_streak_islands",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), isl AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS BIGINT) AS grp
+        FROM d
+    ), runs AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def activity_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands on the user-activity calendar: consecutive-day
+    streaks found by the classic day − row_number() constant-group
+    trick (consecutive days share the difference), then per-user
+    streak census — active days, number of streaks, longest streak.
+    The engagement-streak primitive behind retention "N-day streak"
+    features, pure integer arithmetic end to end.
+
+    Scale shape: distinct (user, day) first collapses event fan-in;
+    one window partitioned by user over days-bounded partitions; two
+    hash aggs. All narrow integer rows; the window partition key is
+    the user — no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    d = ev.select("user_id", epoch_day("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w).cast("long")).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
