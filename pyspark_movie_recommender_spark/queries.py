@@ -20032,3 +20032,261 @@ def activity_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.max("len").cast("long").alias("longest_streak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 103: Kruskal-Wallis omnibus rank test, Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kruskal_wallis_quantity",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS grp, l_quantity AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY grp, v
+    ), vals AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM hist GROUP BY v
+    ), mids AS (
+        SELECT v, cv,
+               2 * (CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) - cv) + cv + 1
+                   AS mid2
+        FROM vals
+    ), rsum AS (
+        SELECT grp, CAST(SUM(h.c) AS BIGINT) AS n_g,
+               CAST(SUM(h.c * m.mid2) AS BIGINT) AS s2_g
+        FROM hist h JOIN mids m ON h.v = m.v
+        GROUP BY grp
+    ), tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM rsum
+    ), ties AS (
+        SELECT CAST(SUM(cv*cv*cv - cv) AS BIGINT) AS t3 FROM vals
+    ), h AS (
+        SELECT k, n,
+               (12.0 / (CAST(n AS DOUBLE) * (n + 1)))
+                   * (SELECT SUM((CAST(s2_g AS DOUBLE)/2)
+                                 * (CAST(s2_g AS DOUBLE)/2) / n_g) FROM rsum)
+                   - 3.0 * (n + 1) AS h_raw,
+               1.0 - CAST(t3 AS DOUBLE)
+                   / (CAST(n AS DOUBLE)*n*n - n) AS tie_corr
+        FROM tot, ties
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           ROUND(h_raw, 6) AS h_uncorrected,
+           ROUND(tie_corr, 6) AS tie_correction,
+           ROUND(h_raw / tie_corr, 6) AS h_statistic
+    FROM h
+    """,
+)
+def kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis omnibus rank test: do the return-flag strata draw
+    l_quantity from the same distribution? The nonparametric one-way
+    ANOVA beside the two-sample tests already here (KS, Cramér-von
+    Mises, log-rank) — H = 12/(N(N+1))·ΣR̄²ᵢ/nᵢ − 3(N+1), divided by
+    the tie correction 1 − Σ(t³−t)/(N³−N).
+
+    The scale trick: ranks are never assigned to rows. l_quantity has
+    ~50 distinct values, so midranks come from the VALUE HISTOGRAM —
+    mid(v) = cnt_less(v) + (cnt_eq(v)+1)/2 — and each group's rank sum
+    is Σ c_gv·mid(v) over the tiny (group, value) table. Doubling the
+    midrank (mid2 = 2·cnt_less + cnt_eq + 1) keeps EVERY intermediate
+    an exact BIGINT; H is one fixed double dag over exact integers,
+    rounded to 6.
+
+    Scale shape: one hash agg to |groups|×|values| rows; the
+    cumulative-count window runs over |values| (~50) rows. Nothing
+    row-ordered ever shuffles — the histogram-midrank construction is
+    THE way rank statistics survive 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vals = hist.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    wv = Window.orderBy("v")
+    mids = vals.select(
+        "v",
+        "cv",
+        (
+            2 * (F.sum("cv").over(wv).cast("long") - F.col("cv"))
+            + F.col("cv")
+            + 1
+        ).alias("mid2"),
+    )
+    rsum = (
+        hist.join(F.broadcast(mids), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("mid2")).cast("long").alias("s2_g"),
+        )
+    )
+    tot = rsum.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ties = vals.agg(
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"))
+        .cast("long")
+        .alias("t3")
+    )
+    rterm = rsum.agg(
+        F.sum(
+            (F.col("s2_g").cast("double") / 2)
+            * (F.col("s2_g").cast("double") / 2)
+            / F.col("n_g")
+        ).alias("rr")
+    )
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(rterm))
+        .select(
+            F.col("k").alias("n_groups"),
+            F.col("n").alias("n_rows"),
+            F.round(
+                (12.0 / (F.col("n").cast("double") * (F.col("n") + 1)))
+                * F.col("rr")
+                - 3.0 * (F.col("n") + 1),
+                6,
+            ).alias("h_uncorrected"),
+            F.round(
+                1.0
+                - F.col("t3").cast("double")
+                / (
+                    F.col("n").cast("double") * F.col("n") * F.col("n")
+                    - F.col("n")
+                ),
+                6,
+            ).alias("tie_correction"),
+            F.round(
+                (
+                    (12.0 / (F.col("n").cast("double") * (F.col("n") + 1)))
+                    * F.col("rr")
+                    - 3.0 * (F.col("n") + 1)
+                )
+                / (
+                    1.0
+                    - F.col("t3").cast("double")
+                    / (
+                        F.col("n").cast("double") * F.col("n") * F.col("n")
+                        - F.col("n")
+                    )
+                ),
+                6,
+            ).alias("h_statistic"),
+        )
+    )
+
+
+@query(
+    "spearman_rank_corr",
+    oracle="""
+    WITH joint AS (
+        SELECT l_quantity AS x, l_discount AS y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY x, y
+    ), xv AS (
+        SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM joint GROUP BY x
+    ), xm AS (
+        SELECT x, 2 * (CAST(SUM(cx) OVER (ORDER BY x) AS BIGINT) - cx)
+                  + cx + 1 AS mx2
+        FROM xv
+    ), yv AS (
+        SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM joint GROUP BY y
+    ), ym AS (
+        SELECT y, 2 * (CAST(SUM(cy) OVER (ORDER BY y) AS BIGINT) - cy)
+                  + cy + 1 AS my2
+        FROM yv
+    ), m AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * mx2) AS BIGINT) AS sx,
+               CAST(SUM(c * my2) AS BIGINT) AS sy,
+               CAST(SUM(c * mx2 * my2) AS BIGINT) AS sxy,
+               CAST(SUM(c * mx2 * mx2) AS BIGINT) AS sxx,
+               CAST(SUM(c * my2 * my2) AS BIGINT) AS syy
+        FROM joint j JOIN xm ON j.x = xm.x JOIN ym ON j.y = ym.y
+    )
+    SELECT n AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS spearman_rho
+    FROM m
+    """,
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_discount —
+    Pearson on tie-averaged midranks, the monotone-association
+    companion to Kendall's τ (already here, concordance-pair form).
+    Same histogram-midrank construction as kruskal_wallis_quantity:
+    both variables have small distinct-value sets, so doubled midranks
+    (exact BIGINTs) come from per-variable value histograms and every
+    moment sum Σc·r_x·r_y is exact 64-bit integer arithmetic over the
+    JOINT histogram — the ×2 scaling cancels in the correlation.
+    ρ is one double dag over six exact integers, rounded to 6.
+
+    Scale shape: one hash agg to the |X|×|Y| joint histogram (~550
+    rows); marginal cumulations run over ≤50-row relations; the two
+    midrank joins broadcast. No row-level rank assignment anywhere.
+    BIGINT headroom: Σc·mx2·my2 ≤ N·(2N)² — switch moment sums to
+    DECIMAL(38,0) beyond ~1e8 rows, as the 128-bit census queries do.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    joint = li.groupBy(
+        F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    xv = joint.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    wx = Window.orderBy("x")
+    xm = xv.select(
+        "x",
+        (
+            2 * (F.sum("cx").over(wx).cast("long") - F.col("cx"))
+            + F.col("cx")
+            + 1
+        ).alias("mx2"),
+    )
+    yv = joint.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    wy = Window.orderBy("y")
+    ym = yv.select(
+        "y",
+        (
+            2 * (F.sum("cy").over(wy).cast("long") - F.col("cy"))
+            + F.col("cy")
+            + 1
+        ).alias("my2"),
+    )
+    m = (
+        joint.join(F.broadcast(xm), "x")
+        .join(F.broadcast(ym), "y")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("mx2")).cast("long").alias("sx"),
+            F.sum(F.col("c") * F.col("my2")).cast("long").alias("sy"),
+            F.sum(F.col("c") * F.col("mx2") * F.col("my2"))
+            .cast("long")
+            .alias("sxy"),
+            F.sum(F.col("c") * F.col("mx2") * F.col("mx2"))
+            .cast("long")
+            .alias("sxx"),
+            F.sum(F.col("c") * F.col("my2") * F.col("my2"))
+            .cast("long")
+            .alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(
+                    nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
