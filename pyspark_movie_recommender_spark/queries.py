@@ -20290,3 +20290,181 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 104: Wald-Wolfowitz runs test, Neyman sampling allocation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "runs_test_daily_value",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               ROUND(SUM(value), 6) AS y
+        FROM events GROUP BY day
+    ), med AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY y) AS m FROM daily
+    ), signs AS (
+        SELECT day, CASE WHEN y > m THEN 1 ELSE 0 END AS s
+        FROM daily, med WHERE y <> m
+    ), flips AS (
+        SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS NOT NULL
+                        AND LAG(s) OVER (ORDER BY day) <> s
+                       THEN 1 ELSE 0 END AS flip
+        FROM signs
+    ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS n_plus,
+               CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_minus,
+               CAST(1 + SUM(flip) AS BIGINT) AS runs
+        FROM flips
+    )
+    SELECT n, n_plus, n_minus, runs,
+           ROUND(1.0 + 2.0 * n_plus * n_minus / n, 6) AS expected_runs,
+           ROUND((runs - (1.0 + 2.0 * n_plus * n_minus / n))
+                 / sqrt(2.0 * n_plus * n_minus
+                        * (2.0 * n_plus * n_minus - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z
+    FROM c
+    """,
+)
+def runs_test_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily event-value series: are
+    above-median and below-median days randomly interleaved, or does
+    the series clump (trend/autocorrelation) or alternate (negative
+    feedback)? Days exactly at the median are dropped (the classical
+    convention); R = 1 + sign flips, compared against E[R] =
+    1 + 2n₊n₋/n with the exact runs-test variance. The
+    distribution-free randomness check beside ACF (linear
+    autocorrelation) and Mann-Kendall (monotone trend).
+
+    Determinism: daily sums round to 6 before the median cut;
+    percentile_disc picks an actual data value on both engines; counts
+    and flips are exact integers; z is one rounded double dag.
+
+    Scale shape: fact stream collapses to |days| rows in one hash agg;
+    the median, lag window, and census all run on that days-bounded
+    relation. Nothing row-level survives the first agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    daily = ev.groupBy(epoch_day("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("y")
+    )
+    med = daily.agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("m"))
+        .select("day", F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    w = Window.orderBy("day")
+    flips = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNotNull() & (F.lag("s").over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    c = flips.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n_plus"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n_minus"),
+        (1 + F.sum("flip")).cast("long").alias("runs"),
+    )
+    npnm = 2.0 * F.col("n_plus") * F.col("n_minus")
+    mu = 1.0 + npnm / F.col("n")
+    sd = F.sqrt(
+        npnm
+        * (npnm - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    return c.select(
+        "n",
+        "n_plus",
+        "n_minus",
+        "runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((F.col("runs") - mu) / sd, 6).alias("z"),
+    )
+
+
+@query(
+    "neyman_allocation_sampling",
+    oracle="""
+    WITH strata AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(ROUND(sqrt((SUM(CAST(n_chars AS DOUBLE) * n_chars)
+                                - SUM(CAST(n_chars AS DOUBLE))
+                                  * SUM(CAST(n_chars AS DOUBLE)) / COUNT(*))
+                               / COUNT(*)) * COUNT(*) * 1000) AS BIGINT)
+                   AS weight
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(weight) AS BIGINT) AS t FROM strata
+    ), quota AS (
+        SELECT source, n_docs, weight,
+               (weight * 1000) // t AS floor_n,
+               (weight * 1000) % t  AS rem
+        FROM strata, tot
+    ), short AS (
+        SELECT 1000 - CAST(SUM(floor_n) AS BIGINT) AS k FROM quota
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk
+        FROM quota
+    )
+    SELECT source, n_docs,
+           CAST(floor_n + CASE WHEN rnk <= k THEN 1 ELSE 0 END AS BIGINT)
+               AS sample_n
+    FROM ranked, short
+    """,
+)
+def neyman_allocation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation: split a 1000-document labeling budget
+    across sources proportional to N_h·S_h (stratum size × stratum
+    std of document length) — the variance-minimizing stratified
+    design, which beats proportional allocation exactly when strata
+    differ in spread. The weights N_h·S_h are rounded to integer
+    milli-units and the integerization reuses the largest-remainder
+    scheme (seat_apportionment_revenue), so the allocations sum to
+    EXACTLY the budget and every comparison is integer-exact — the
+    one sqrt per stratum is quarantined behind a single round before
+    any ranking happens.
+
+    Scale shape: one pass of moment sums per stratum (map-side
+    partials), then pure arithmetic on a |sources|-row relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nd = F.count(F.lit(1))
+    sx = F.sum(F.col("n_chars").cast("double"))
+    sxx = F.sum(F.col("n_chars").cast("double") * F.col("n_chars"))
+    strata = docs.groupBy("source").agg(
+        nd.cast("long").alias("n_docs"),
+        F.round(F.sqrt((sxx - sx * sx / nd) / nd) * nd * 1000)
+        .cast("long")
+        .alias("weight"),
+    )
+    tot = strata.agg(F.sum("weight").cast("long").alias("t"))
+    quota = strata.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight",
+        F.expr("(weight * 1000) div t").alias("floor_n"),
+        F.expr("(weight * 1000) % t").alias("rem"),
+    )
+    short = quota.agg((F.lit(1000) - F.sum("floor_n")).cast("long").alias("k"))
+    ranked = quota.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("source"))),
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "source",
+        "n_docs",
+        (F.col("floor_n") + F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("sample_n"),
+    )
