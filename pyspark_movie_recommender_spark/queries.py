@@ -20468,3 +20468,180 @@ def neyman_allocation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sample_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 105: repetition-loop detector, Observation pipeline metrics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repetition_loop_detector",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    ), pos2 AS (
+        SELECT doc_id, t, unnest(generate_series(3, len(t))) AS i FROM tok
+    ), ones2 AS (
+        SELECT doc_id, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM pos2 WHERE t[i] = t[i - 2]
+    ), mx2 AS (
+        SELECT doc_id, MAX(run) AS loop2 FROM (
+            SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run
+            FROM ones2 GROUP BY doc_id, grp
+        ) GROUP BY doc_id
+    ), pos3 AS (
+        SELECT doc_id, t, unnest(generate_series(4, len(t))) AS i FROM tok
+    ), ones3 AS (
+        SELECT doc_id, i,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM pos3 WHERE t[i] = t[i - 3]
+    ), mx3 AS (
+        SELECT doc_id, MAX(run) AS loop3 FROM (
+            SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run
+            FROM ones3 GROUP BY doc_id, grp
+        ) GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           CAST(COALESCE(m2.loop2, 0) AS BIGINT) AS loop2,
+           CAST(COALESCE(m3.loop3, 0) AS BIGINT) AS loop3,
+           CAST(CASE WHEN COALESCE(m2.loop2, 0) >= 4
+                      OR COALESCE(m3.loop3, 0) >= 6
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_loopy
+    FROM tok k LEFT JOIN mx2 m2 ON k.doc_id = m2.doc_id
+               LEFT JOIN mx3 m3 ON k.doc_id = m3.doc_id
+    """,
+)
+def repetition_loop_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-GENERATION loop detector: the longest run of positions
+    where token i equals token i−p, for phrase periods p=2 and p=3 —
+    catches 'the cat the cat the cat' and three-word loops that the
+    period-1 stutter detector (longest_token_run) and global frequency
+    filters both miss. A doc is flagged loopy when a 2-gram repeats
+    ≥2 extra times (loop2 ≥ 4) or a 3-gram ≥2 extra times (loop3 ≥ 6).
+
+    ZERO-SHUFFLE except the final projection: the flag arrays and the
+    longest-run fold are in-row higher-order functions (transform over
+    sequence + aggregate with a (cur,max) accumulator) — no posexplode,
+    no window, no doc-keyed exchange; the oracle re-derives identical
+    runs with the explode + gaps-and-islands spec form. The guard
+    CASE keeps Spark's descending-sequence() surprise away from short
+    docs (sequence(4,2) counts DOWN; DuckDB's generate_series is
+    empty).
+
+    Scale shape: map-side per row, output one narrow row per doc. At
+    100 TB this runs at scan speed beside the in-row quality gate.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("t")
+    )
+
+    def runmax(p: int):
+        return F.expr(
+            f"""
+            aggregate(
+              CASE WHEN size(t) >= {p + 1}
+                   THEN transform(sequence({p + 1}, size(t)),
+                        i -> IF(element_at(t, i) = element_at(t, i - {p}),
+                                1, 0))
+                   ELSE array() END,
+              named_struct('cur', 0L, 'mx', 0L),
+              (a, f) -> named_struct(
+                  'cur', IF(f = 1, a.cur + 1, 0L),
+                  'mx', greatest(a.mx, IF(f = 1, a.cur + 1, 0L))),
+              a -> a.mx)
+            """
+        )
+
+    out = toks.select(
+        "doc_id",
+        runmax(2).cast("long").alias("loop2"),
+        runmax(3).cast("long").alias("loop3"),
+    )
+    return out.select(
+        "doc_id",
+        "loop2",
+        "loop3",
+        F.when((F.col("loop2") >= 4) | (F.col("loop3") >= 6), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_loopy"),
+    )
+
+
+@query(
+    "observed_ingest_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonpositive,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_priority,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    """,
+)
+def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via Spark's Observation API: the ingest
+    pass over orders is instrumented with ``df.observe(...)`` metrics
+    (row count, nonpositive-price violations, unknown-priority
+    violations, total value) that the EXECUTOR accumulates as a
+    side-effect of the normal action — the production pattern for
+    data-quality counters that must not cost a second scan (contrast
+    data_expectations_report, which is a dedicated audit query). The
+    observed metrics come back as a 1-row DataFrame; the oracle
+    recomputes them as plain aggregates.
+
+    Scale shape: observe() piggybacks accumulators on whatever action
+    the pipeline already runs (here a noop-sink write) — zero extra
+    jobs, zero extra shuffles, metrics merged driver-side like any
+    accumulator. The one collect-like step is reading 4 scalars.
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("ingest_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpositive"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT",
+                    "2-HIGH",
+                    "3-MEDIUM",
+                    "4-NOT SPECIFIED",
+                    "5-LOW",
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad_priority"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_nonpositive"],
+                m["n_bad_priority"],
+                float(m["total_value"]),
+            )
+        ],
+        "n_rows bigint, n_nonpositive bigint, n_bad_priority bigint, "
+        "total_value double",
+    )
