@@ -149,3 +149,62 @@ def rrf_fuse(
     return fused.select(
         id_col, *[f"rank_{i}" for i in range(len(rankings))], score.alias("rrf")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    val_col: str,
+    n_buckets: int = 32,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Append ``out_col`` = running SUM(val) over the global (key, id)
+    order — the prefix-sum sibling of :func:`distributed_global_rank`,
+    and the scale-correct replacement for ``Window.orderBy(...)`` with
+    no partitionBy (which funnels the whole relation through one task).
+
+    Same three steps: range-bucket on the numeric key (approxQuantile
+    boundaries), per-bucket windowed cumsum (parallel), then add each
+    bucket's exclusive prefix of the per-bucket VALUE sums, broadcast
+    as a literal map. The two driver actions are O(n_buckets) scalars.
+    Sweep-line algorithms (peak concurrency, inventory running
+    balance, audience accumulation) are the motivating consumers.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(key_col, probs, 0.001)))
+
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket: Column = F.size(F.filter(arr, lambda b: b < F.col(key_col)))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn(_BUCKET, bucket)
+
+    sums = {
+        r[_BUCKET]: r["s"]
+        for r in bucketed.groupBy(_BUCKET)
+        .agg(F.sum(val_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+
+    w = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.withColumn(_LOCAL, F.sum(val_col).over(w))
+        .withColumn(
+            out_col,
+            (F.element_at(off_map, F.col(_BUCKET)) + F.col(_LOCAL)).cast("long"),
+        )
+        .drop(_BUCKET, _LOCAL)
+    )

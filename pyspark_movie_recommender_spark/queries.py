@@ -20645,3 +20645,195 @@ def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_nonpositive bigint, n_bad_priority bigint, "
         "total_value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 106: sweep-line peak concurrency, Nelson-Aalen cumulative hazard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, ts,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), iv AS (
+        SELECT user_id, day, MIN(ts) AS s, MAX(ts) AS e
+        FROM pts GROUP BY user_id, day
+    ), deltas AS (
+        SELECT day, epoch_us(s) * 2 AS k, 1 AS delta FROM iv
+        UNION ALL
+        SELECT day, epoch_us(e) * 2 + 1 AS k, -1 AS delta FROM iv
+    ), run AS (
+        SELECT day,
+               SUM(delta) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM deltas
+    )
+    SELECT day, CAST(MAX(c) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY day
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: each user's daily activity span
+    [first event, last event] becomes a +1/−1 delta pair, the running
+    sum over the global time order is the number of simultaneously
+    active users, and the per-day MAX of that running count is the
+    capacity-planning headline ("how many concurrent sessions must we
+    hold?"). The +1-before-−1 tie order (k = 2·ts for starts,
+    2·ts+1 for ends) counts touching intervals as overlapping, and
+    makes the per-instant max order-independent even when several
+    spans share a timestamp.
+
+    Scale shape: the global running sum uses
+    operators/rank.py:distributed_prefix_sum — range-bucket on the
+    doubled-timestamp key, per-bucket windowed cumsum in parallel,
+    bucket offsets broadcast as a literal map — NOT a bare
+    Window.orderBy, which would funnel every delta through one task.
+    The oracle uses the single-task window form as the spec; the
+    engine plan keeps tasks bounded at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.rank import (
+        distributed_prefix_sum,
+    )
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    iv = ev.select("user_id", "ts", epoch_day("ts").alias("day")).groupBy(
+        "user_id", "day"
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    # session TZ is pinned UTC, so NTZ→TZ cast is faithful (see epoch_day)
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    deltas = iv.select(
+        "day", (us(F.col("s")) * 2).alias("k"), F.lit(1).alias("delta"),
+        F.col("user_id").alias("uid"),
+    ).unionByName(
+        iv.select(
+            "day", (us(F.col("e")) * 2 + 1).alias("k"),
+            F.lit(-1).alias("delta"), F.col("user_id").alias("uid"),
+        )
+    )
+    run = distributed_prefix_sum(
+        deltas, key_col="k", id_col="uid", val_col="delta", out_col="c"
+    )
+    return run.groupBy("day").agg(
+        F.max("c").cast("long").alias("peak_concurrent")
+    )
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS buy_ts
+        FROM events GROUP BY user_id
+    ), horizon AS (
+        SELECT MAX(ts) AS max_ts FROM events
+    ), durations AS (
+        SELECT CASE WHEN buy_ts IS NOT NULL AND buy_ts >= signup_ts
+                    THEN date_diff('day', signup_ts, buy_ts)
+                    ELSE date_diff('day', signup_ts, max_ts) END AS t_days,
+               CASE WHEN buy_ts IS NOT NULL AND buy_ts >= signup_ts
+                    THEN 1 ELSE 0 END AS event
+        FROM per_user, horizon
+        WHERE signup_ts IS NOT NULL
+    ), tbl AS (
+        SELECT CAST(t_days AS BIGINT) AS t_days,
+               CAST(SUM(event) AS BIGINT) AS d_events,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM durations GROUP BY t_days
+    ), risk AS (
+        SELECT t_days, d_events,
+               CAST(SUM(n_total) OVER (ORDER BY t_days DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_at_risk
+        FROM tbl
+    )
+    SELECT t_days, d_events, n_at_risk,
+           ROUND(SUM(CAST(d_events AS DOUBLE) / n_at_risk)
+                     OVER (ORDER BY t_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS cum_hazard
+    FROM risk WHERE d_events > 0
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+    for the signup→first-purchase duration with right-censoring at the
+    observation horizon — the hazard-scale companion to the
+    Kaplan-Meier survival curve (kaplan_meier_signup_purchase): H(t)
+    adds cleanly across strata and feeds −log-survival diagnostics,
+    where KM multiplies. Same risk-set construction: at-risk counts
+    come from a DESCENDING cumulative sum over the duration table.
+
+    Determinism: dᵢ and nᵢ are exact integers; the hazard increments
+    are exact-integer ratios summed in ascending t order on both
+    engines, rounded to 6.
+
+    Scale shape: per-user durations are one hash agg; everything after
+    runs on the |distinct durations| table (days-bounded), where the
+    two windows are legitimately tiny. Censoring is a broadcast
+    horizon scalar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "buy_ts"
+        ),
+    )
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    converted = F.col("buy_ts").isNotNull() & (
+        F.col("buy_ts") >= F.col("signup_ts")
+    )
+    durations = (
+        per_user.crossJoin(F.broadcast(horizon))
+        .filter(F.col("signup_ts").isNotNull())
+        .select(
+            F.when(
+                converted, F.datediff(F.col("buy_ts"), F.col("signup_ts"))
+            )
+            .otherwise(F.datediff(F.col("max_ts"), F.col("signup_ts")))
+            .cast("long")
+            .alias("t_days"),
+            F.when(converted, 1).otherwise(0).alias("event"),
+        )
+    )
+    tbl = durations.groupBy("t_days").agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    wdesc = (
+        Window.orderBy(F.col("t_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = tbl.select(
+        "t_days",
+        "d_events",
+        F.sum("n_total").over(wdesc).cast("long").alias("n_at_risk"),
+    )
+    wasc = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        risk.withColumn(
+            "cum_hazard",
+            F.round(
+                F.sum(
+                    F.col("d_events").cast("double") / F.col("n_at_risk")
+                ).over(wasc),
+                6,
+            ),
+        )
+        .filter(F.col("d_events") > 0)
+        .select("t_days", "d_events", "n_at_risk", "cum_hazard")
+    )
