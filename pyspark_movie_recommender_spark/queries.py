@@ -20837,3 +20837,351 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d_events") > 0)
         .select("t_days", "d_events", "n_at_risk", "cum_hazard")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 107: Markov removal-effect attribution, subsequence pattern support
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "markov_removal_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), conv AS (
+        SELECT user_id, MIN(rn) AS conv_rn FROM seq
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), j AS (
+        SELECT s.user_id,
+               CASE WHEN s.event_type = 'purchase' THEN 'CONV'
+                    ELSE s.event_type END AS state,
+               s.rn
+        FROM seq s LEFT JOIN conv c ON s.user_id = c.user_id
+        WHERE c.conv_rn IS NULL OR s.rn <= c.conv_rn
+    ), steps AS (
+        SELECT user_id, state, rn,
+               LEAD(state) OVER (PARTITION BY user_id ORDER BY rn) AS nxt,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_steps
+        FROM j
+    ), trans AS (
+        SELECT 'START' AS s, state AS t FROM steps WHERE pos = 1
+        UNION ALL
+        SELECT state AS s, nxt AS t FROM steps WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT state AS s, 'DROP' AS t FROM steps
+        WHERE nxt IS NULL AND state <> 'CONV'
+    ), cnt AS (
+        SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM trans GROUP BY s, t
+    ), tot AS (
+        SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM cnt GROUP BY s
+    ), bt AS (
+        SELECT cnt.s, cnt.t, CAST(cnt.c AS DOUBLE) / tot.cs AS p
+        FROM cnt JOIN tot USING (s)
+    ), scen AS (
+        SELECT * FROM (VALUES ('none'), ('click'), ('error'),
+                              ('signup'), ('view')) x(scenario)
+    ), st AS (
+        SELECT scenario, s, t, p FROM scen, bt WHERE t <> scenario
+    ), states AS (
+        SELECT DISTINCT scenario, s FROM st
+    ), pc AS (
+        SELECT scenario, s, p FROM st WHERE t = 'CONV'
+    ), ce AS (
+        SELECT scenario, s, t, p FROM st WHERE t NOT IN ('CONV', 'DROP')
+    ), it0 AS (
+        SELECT scenario, s, CAST(0.0 AS DOUBLE) AS v FROM states
+    ), it1 AS (
+        SELECT x.scenario, x.s, COALESCE(MAX(pc.p), 0)
+               + COALESCE(SUM(ce.p * i.v), 0) AS v
+        FROM states x
+        LEFT JOIN pc ON pc.scenario = x.scenario AND pc.s = x.s
+        LEFT JOIN ce ON ce.scenario = x.scenario AND ce.s = x.s
+        LEFT JOIN it0 i ON i.scenario = x.scenario AND i.s = ce.t
+        GROUP BY x.scenario, x.s
+    ), it2 AS (
+        SELECT x.scenario, x.s, COALESCE(MAX(pc.p), 0)
+               + COALESCE(SUM(ce.p * i.v), 0) AS v
+        FROM states x
+        LEFT JOIN pc ON pc.scenario = x.scenario AND pc.s = x.s
+        LEFT JOIN ce ON ce.scenario = x.scenario AND ce.s = x.s
+        LEFT JOIN it1 i ON i.scenario = x.scenario AND i.s = ce.t
+        GROUP BY x.scenario, x.s
+    ), it3 AS (
+        SELECT x.scenario, x.s, COALESCE(MAX(pc.p), 0)
+               + COALESCE(SUM(ce.p * i.v), 0) AS v
+        FROM states x
+        LEFT JOIN pc ON pc.scenario = x.scenario AND pc.s = x.s
+        LEFT JOIN ce ON ce.scenario = x.scenario AND ce.s = x.s
+        LEFT JOIN it2 i ON i.scenario = x.scenario AND i.s = ce.t
+        GROUP BY x.scenario, x.s
+    ), it4 AS (
+        SELECT x.scenario, x.s, COALESCE(MAX(pc.p), 0)
+               + COALESCE(SUM(ce.p * i.v), 0) AS v
+        FROM states x
+        LEFT JOIN pc ON pc.scenario = x.scenario AND pc.s = x.s
+        LEFT JOIN ce ON ce.scenario = x.scenario AND ce.s = x.s
+        LEFT JOIN it3 i ON i.scenario = x.scenario AND i.s = ce.t
+        GROUP BY x.scenario, x.s
+    ), it5 AS (
+        SELECT x.scenario, x.s, COALESCE(MAX(pc.p), 0)
+               + COALESCE(SUM(ce.p * i.v), 0) AS v
+        FROM states x
+        LEFT JOIN pc ON pc.scenario = x.scenario AND pc.s = x.s
+        LEFT JOIN ce ON ce.scenario = x.scenario AND ce.s = x.s
+        LEFT JOIN it4 i ON i.scenario = x.scenario AND i.s = ce.t
+        GROUP BY x.scenario, x.s
+    ), it6 AS (
+        SELECT x.scenario, x.s, COALESCE(MAX(pc.p), 0)
+               + COALESCE(SUM(ce.p * i.v), 0) AS v
+        FROM states x
+        LEFT JOIN pc ON pc.scenario = x.scenario AND pc.s = x.s
+        LEFT JOIN ce ON ce.scenario = x.scenario AND ce.s = x.s
+        LEFT JOIN it5 i ON i.scenario = x.scenario AND i.s = ce.t
+        GROUP BY x.scenario, x.s
+    ), it7 AS (
+        SELECT x.scenario, x.s, COALESCE(MAX(pc.p), 0)
+               + COALESCE(SUM(ce.p * i.v), 0) AS v
+        FROM states x
+        LEFT JOIN pc ON pc.scenario = x.scenario AND pc.s = x.s
+        LEFT JOIN ce ON ce.scenario = x.scenario AND ce.s = x.s
+        LEFT JOIN it6 i ON i.scenario = x.scenario AND i.s = ce.t
+        GROUP BY x.scenario, x.s
+    ), it8 AS (
+        SELECT x.scenario, x.s, COALESCE(MAX(pc.p), 0)
+               + COALESCE(SUM(ce.p * i.v), 0) AS v
+        FROM states x
+        LEFT JOIN pc ON pc.scenario = x.scenario AND pc.s = x.s
+        LEFT JOIN ce ON ce.scenario = x.scenario AND ce.s = x.s
+        LEFT JOIN it7 i ON i.scenario = x.scenario AND i.s = ce.t
+        GROUP BY x.scenario, x.s
+    ), conv_prob AS (
+        SELECT scenario, v FROM it8 WHERE s = 'START'
+    ), base AS (
+        SELECT v AS b FROM conv_prob WHERE scenario = 'none'
+    ), rem AS (
+        SELECT scenario AS channel, (b - v) / b AS removal
+        FROM conv_prob, base WHERE scenario <> 'none'
+    ), tot_rem AS (
+        SELECT SUM(removal) AS tr FROM rem
+    )
+    SELECT channel, ROUND(removal, 6) AS removal_effect,
+           CAST(CASE WHEN tr > 0
+                     THEN floor(removal * 1000000 / tr)
+                     ELSE 0 END AS BIGINT) AS attribution_ppm
+    FROM rem, tot_rem
+    """,
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov attribution with REMOVAL EFFECTS: user
+    journeys (event stream up to first purchase, purchase → absorbing
+    CONV, abandonment → absorbing DROP) define a transition matrix;
+    each channel's credit is how much the START→CONV absorption
+    probability falls when that channel's node is deleted — the
+    principled data-driven alternative to the positional rules
+    (linear/time-decay) and the cooperative-game view (Shapley)
+    already in the registry. Absorption probabilities come from 8
+    synchronous value-iteration rounds v ← P_conv + P·v (spectral
+    radius < 1, converged to ~1e-10 on this chain), unrolled as
+    chained CTEs in the oracle.
+
+    Scale shape: the fact-sized work is journeys → transition COUNTS
+    (two windows per user partition + one hash agg); every iteration
+    then runs on the |scenarios|×|states|² relation (~hundreds of
+    rows) with broadcast joins. The pagerank-style loop, but on a
+    matrix small enough that the driver loop costs nothing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(wseq).alias("rn")
+    )
+    conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    j = (
+        seq.join(conv, "user_id", "left")
+        .filter(F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn")))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+            "rn",
+        )
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    steps = j.select(
+        "user_id",
+        "state",
+        F.lead("state").over(wj).alias("nxt"),
+        F.row_number().over(wj).alias("pos"),
+    )
+    trans = (
+        steps.filter(F.col("pos") == 1)
+        .select(F.lit("START").alias("s"), F.col("state").alias("t"))
+        .unionByName(
+            steps.filter(F.col("nxt").isNotNull()).select(
+                F.col("state").alias("s"), F.col("nxt").alias("t")
+            )
+        )
+        .unionByName(
+            steps.filter(
+                F.col("nxt").isNull() & (F.col("state") != "CONV")
+            ).select(F.col("state").alias("s"), F.lit("DROP").alias("t"))
+        )
+    )
+    cnt = trans.groupBy("s", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.groupBy("s").agg(F.sum("c").cast("long").alias("cs"))
+    bt = cnt.join(tot, "s").select(
+        "s", "t", (F.col("c").cast("double") / F.col("cs")).alias("p")
+    )
+    scen = spark.createDataFrame(
+        [("none",), ("click",), ("error",), ("signup",), ("view",)],
+        "scenario string",
+    )
+    st = bt.crossJoin(F.broadcast(scen)).filter(
+        F.col("t") != F.col("scenario")
+    )
+    states = st.select("scenario", "s").distinct().localCheckpoint()
+    pc = st.filter(F.col("t") == "CONV").select("scenario", "s", "p")
+    ce = st.filter(~F.col("t").isin("CONV", "DROP")).select(
+        "scenario", "s", "t", "p"
+    ).localCheckpoint()
+    v = states.withColumn("v", F.lit(0.0))
+    for _ in range(8):
+        contrib = (
+            ce.join(
+                v.select(
+                    "scenario", F.col("s").alias("t"), F.col("v").alias("vt")
+                ),
+                ["scenario", "t"],
+            )
+            .groupBy("scenario", "s")
+            .agg(F.sum(F.col("p") * F.col("vt")).alias("cv"))
+        )
+        v = (
+            states.join(pc, ["scenario", "s"], "left")
+            .join(contrib, ["scenario", "s"], "left")
+            .select(
+                "scenario",
+                "s",
+                (
+                    F.coalesce(F.col("p"), F.lit(0.0))
+                    + F.coalesce(F.col("cv"), F.lit(0.0))
+                ).alias("v"),
+            )
+            .localCheckpoint()
+        )
+    conv_prob = v.filter(F.col("s") == "START").select("scenario", "v")
+    base = conv_prob.filter(F.col("scenario") == "none").select(
+        F.col("v").alias("b")
+    )
+    rem = (
+        conv_prob.filter(F.col("scenario") != "none")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            ((F.col("b") - F.col("v")) / F.col("b")).alias("removal"),
+        )
+    )
+    tot_rem = rem.agg(F.sum("removal").alias("tr"))
+    return rem.crossJoin(F.broadcast(tot_rem)).select(
+        "channel",
+        F.round("removal", 6).alias("removal_effect"),
+        F.when(
+            F.col("tr") > 0,
+            F.floor(F.col("removal") * 1000000 / F.col("tr")),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("attribution_ppm"),
+    )
+
+
+@query(
+    "subsequence_pattern_support",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+        FROM events GROUP BY user_id
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM seqs
+    ), types AS (
+        SELECT DISTINCT event_type AS et FROM events
+    ), cand AS (
+        SELECT a.et AS step_a, b.et AS step_b FROM types a, types b
+    ), hits AS (
+        SELECT c.step_a, c.step_b, s.user_id,
+               CASE WHEN list_position(s.t, c.step_a) IS NOT NULL
+                     AND len(list_filter(
+                           s.t[list_position(s.t, c.step_a) + 1:],
+                           x -> x = c.step_b)) > 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM cand c, seqs s
+    )
+    SELECT step_a, step_b,
+           CAST(SUM(hit) AS BIGINT) AS n_users_containing,
+           CAST(SUM(hit) * 1000000 // n_users AS BIGINT) AS support_ppm
+    FROM hits, n
+    GROUP BY step_a, step_b, n_users
+    """,
+)
+def subsequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (PrefixSpan's counting core for
+    length-2 patterns): for every ordered pair of event types (a, b),
+    the share of users whose journey contains a FOLLOWED EVENTUALLY by
+    b — gap-tolerant subsequence semantics, not the adjacent-bigram
+    view of the transition matrix or trigram paths. The first
+    occurrence of `a` is provably optimal for pair containment, so
+    the in-row check is array_position + a tail-slice membership test,
+    O(len) per candidate with no position explode.
+
+    Scale shape: one collect_list per user (journey-bounded arrays),
+    then a broadcast |types|² candidate fan-out evaluated map-side by
+    HOFs; the support census is one hash agg over (a, b). The
+    user×candidate intermediate never shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "named_struct('ts', ts, 'eid', event_id, 'et', event_type))),"
+            " x -> x.et)"
+        ).alias("t")
+    )
+    n = seqs.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    types = ev.select(F.col("event_type").alias("et")).distinct()
+    cand = (
+        types.select(F.col("et").alias("step_a"))
+        .crossJoin(types.select(F.col("et").alias("step_b")))
+    )
+    hits = seqs.crossJoin(F.broadcast(cand)).select(
+        "step_a",
+        "step_b",
+        F.expr(
+            "CASE WHEN array_position(t, step_a) > 0"
+            " AND exists(slice(t, CAST(array_position(t, step_a) + 1 AS INT),"
+            "            size(t)), x -> x = step_b)"
+            " THEN 1 ELSE 0 END"
+        ).alias("hit"),
+    )
+    return (
+        hits.groupBy("step_a", "step_b")
+        .agg(F.sum("hit").cast("long").alias("n_users_containing"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "step_a",
+            "step_b",
+            "n_users_containing",
+            F.expr("n_users_containing * 1000000L div n_users")
+            .cast("long")
+            .alias("support_ppm"),
+        )
+    )
