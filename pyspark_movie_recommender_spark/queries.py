@@ -21185,3 +21185,166 @@ def subsequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("support_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 108: Good-Turing missing mass, Markov entropy rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "good_turing_missing_mass",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), cnt AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS r
+        FROM tok GROUP BY source, w
+    ), freq AS (
+        SELECT source, r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM cnt GROUP BY source, r
+    )
+    SELECT source,
+           CAST(SUM(n_r) AS BIGINT) AS vocab,
+           CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(MAX(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)
+               AS n_hapax,
+           CAST(COALESCE(MAX(CASE WHEN r = 2 THEN n_r END), 0) AS BIGINT)
+               AS n_dis,
+           CAST(COALESCE(MAX(CASE WHEN r = 1 THEN n_r END), 0) * 1000000
+                // SUM(r * n_r) AS BIGINT) AS missing_mass_ppm,
+           ROUND(CASE WHEN COALESCE(MAX(CASE WHEN r = 1 THEN n_r END), 0) > 0
+                      THEN 2.0 * COALESCE(MAX(CASE WHEN r = 2 THEN n_r END), 0)
+                           / COALESCE(MAX(CASE WHEN r = 1 THEN n_r END), 0)
+                      END, 6) AS gt_r1_star
+    FROM freq GROUP BY source
+    """,
+)
+def good_turing_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing estimate of each source's UNSEEN vocabulary mass:
+    the probability that the next token drawn is a brand-new word is
+    N₁/N (hapax share), and the smoothed count for once-seen words is
+    r* = 2·N₂/N₁ — the language-model smoothing diagnostic that says
+    whether a corpus slice is lexically saturated (tiny missing mass)
+    or still discovering its vocabulary (large). Completes the
+    vocabulary-growth family: Zipf (static law), Heaps (growth curve),
+    hapax ratio (raw count) — this is the probabilistic version those
+    feed into.
+
+    Exactness: the frequency-of-frequencies table is two exact hash
+    aggs; missing mass is integer ppm; r* is one rounded ratio of
+    exact BIGINTs.
+
+    Scale shape: explode → (source, word) counts → (source, r) counts;
+    the second agg collapses vocab-sized input to at most
+    |distinct frequencies| rows per source. All map-side-combinable.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    cnt = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    freq = cnt.groupBy("source", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    n1 = F.coalesce(F.max(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0))
+    n2 = F.coalesce(F.max(F.when(F.col("r") == 2, F.col("n_r"))), F.lit(0))
+    return freq.groupBy("source").agg(
+        F.sum("n_r").cast("long").alias("vocab"),
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        n1.cast("long").alias("n_hapax"),
+        n2.cast("long").alias("n_dis"),
+        F.expr(
+            "coalesce(max(CASE WHEN r = 1 THEN n_r END), 0) * 1000000L"
+            " div sum(r * n_r)"
+        )
+        .cast("long")
+        .alias("missing_mass_ppm"),
+        F.round(
+            F.when(n1 > 0, 2.0 * n2.cast("double") / n1),
+            6,
+        ).alias("gt_r1_star"),
+    )
+
+
+@query(
+    "markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS s,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM events
+    ), cnt AS (
+        SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE t IS NOT NULL GROUP BY s, t
+    ), tots AS (
+        SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM cnt GROUP BY s
+    ), grand AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS g FROM cnt
+    ), rows_h AS (
+        SELECT cnt.s, tots.cs,
+               SUM(-(CAST(c AS DOUBLE) / cs)
+                   * ln(CAST(c AS DOUBLE) / cs) / ln(2)) AS h_row
+        FROM cnt JOIN tots USING (s) GROUP BY cnt.s, tots.cs
+    )
+    SELECT ROUND(SUM((CAST(cs AS DOUBLE) / g) * h_row), 6)
+               AS entropy_rate_bits,
+           ROUND(pow(2.0, SUM((CAST(cs AS DOUBLE) / g) * h_row)), 6)
+               AS behavior_perplexity
+    FROM rows_h, grand
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of user behavior: the plug-in estimate
+    H = Σ_s π(s) · H(next | s) over the empirical event-type
+    transition matrix, with π taken as each state's share of observed
+    transitions — how many bits the NEXT action carries once you know
+    the current one, and 2^H as the effective branching factor
+    ("behavior perplexity"). The conditional upgrade of the marginal
+    event-type entropy: the gap between them is exactly the
+    information the current state gives about the next.
+
+    Scale shape: one per-user lead window, one hash agg to the
+    |types|² transition matrix; everything after is arithmetic on
+    ≤25 rows. Round 6 absorbs the two engines' summation orders.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    cnt = seq.groupBy("s", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tots = cnt.groupBy("s").agg(F.sum("c").cast("long").alias("cs"))
+    grand = cnt.agg(F.sum("c").cast("long").alias("g"))
+    import math
+
+    p = F.col("c").cast("double") / F.col("cs")
+    rows_h = (
+        cnt.join(F.broadcast(tots), "s")
+        .groupBy("s", "cs")
+        .agg(F.sum(-p * F.log(p) / math.log(2)).alias("h_row"))
+    )
+    return (
+        rows_h.crossJoin(F.broadcast(grand))
+        .agg(
+            F.sum(
+                (F.col("cs").cast("double") / F.col("g")) * F.col("h_row")
+            ).alias("h")
+        )
+        .select(
+            F.round("h", 6).alias("entropy_rate_bits"),
+            F.round(F.pow(F.lit(2.0), F.col("h")), 6).alias(
+                "behavior_perplexity"
+            ),
+        )
+    )
