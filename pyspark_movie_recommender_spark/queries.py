@@ -21348,3 +21348,192 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 109: functional-dependency audit, lognormal fit + GOF probes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "functional_dependency_audit",
+    oracle="""
+    WITH cands AS (
+        SELECT 'doc_id->lang' AS fd, CAST(doc_id AS VARCHAR) AS lhs,
+               lang AS rhs
+        FROM documents
+        UNION ALL
+        SELECT 'p_brand->p_type', p_brand, p_type FROM part
+        UNION ALL
+        SELECT 'p_type->p_brand', p_type, p_brand FROM part
+        UNION ALL
+        SELECT 'c_nationkey->c_mktsegment', CAST(c_nationkey AS VARCHAR),
+               c_mktsegment
+        FROM customer
+    ), per_lhs AS (
+        SELECT fd, lhs, CAST(COUNT(DISTINCT rhs) AS BIGINT) AS n_rhs,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM cands GROUP BY fd, lhs
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_lhs,
+           CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs,
+           CAST(CASE WHEN SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM per_lhs GROUP BY fd
+    """,
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit: for each candidate FD
+    X→Y, count the X values that map to MORE than one Y — zero
+    violators means the dependency holds in the data and is a
+    candidate constraint / normalization opportunity; a handful of
+    violators usually means dirty rows. The key dependency
+    doc_id→lang is the positive control (holds by construction); the
+    brand/type and nationkey/segment candidates genuinely fail — the
+    audit separates them by evidence, not schema docs. Complements referential_integrity
+    (inter-table) and data_expectations (declared row predicates)
+    with the intra-table dependency dimension.
+
+    Scale shape: each candidate is one hash agg keyed by (fd, lhs)
+    with a distinct-count, then a |candidates|-row census; the union
+    is map-side column projection. COUNT(DISTINCT) here is per-lhs
+    (small groups), not global.
+    """
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def cand(fd: str, df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        return df.select(
+            F.lit(fd).alias("fd"),
+            F.col(lhs).cast("string").alias("lhs"),
+            F.col(rhs).cast("string").alias("rhs"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = (
+        cand("doc_id->lang", docs, "doc_id", "lang")
+        .unionByName(cand("p_brand->p_type", part, "p_brand", "p_type"))
+        .unionByName(cand("p_type->p_brand", part, "p_type", "p_brand"))
+        .unionByName(
+            cand(
+                "c_nationkey->c_mktsegment", cust, "c_nationkey", "c_mktsegment"
+            )
+        )
+    )
+    per_lhs = cands.groupBy("fd", "lhs").agg(
+        F.countDistinct("rhs").cast("long").alias("n_rhs")
+    )
+    return per_lhs.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lhs_values"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_lhs"),
+        F.max("n_rhs").cast("long").alias("max_rhs_per_lhs"),
+        F.when(
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)) == 0, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("holds"),
+    )
+
+
+@query(
+    "lognormal_fit_gof",
+    oracle="""
+    WITH fit AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(ln(o_totalprice)) AS mu,
+               stddev_pop(ln(o_totalprice)) AS sigma
+        FROM orders GROUP BY o_orderpriority
+    ), probes AS (
+        SELECT * FROM (VALUES
+            (0.1, -1.2815515655446004), (0.25, -0.6744897501960817),
+            (0.5, 0.0), (0.75, 0.6744897501960817),
+            (0.9, 1.2815515655446004)) z(p, z)
+    ), q AS (
+        SELECT f.o_orderpriority, f.n, f.mu, f.sigma, pr.p,
+               exp(f.mu + f.sigma * pr.z) AS q_p
+        FROM fit f, probes pr
+    ), ecdf AS (
+        SELECT q.o_orderpriority, q.p,
+               CAST(SUM(CASE WHEN o.o_totalprice <= q.q_p THEN 1 ELSE 0 END)
+                    AS DOUBLE) / ANY_VALUE(q.n) AS e
+        FROM q JOIN orders o ON o.o_orderpriority = q.o_orderpriority
+        GROUP BY q.o_orderpriority, q.p
+    )
+    SELECT f.o_orderpriority, f.n,
+           ROUND(f.mu, 6) AS mu, ROUND(f.sigma, 6) AS sigma,
+           ROUND((SELECT MAX(abs(e.e - e.p)) FROM ecdf e
+                  WHERE e.o_orderpriority = f.o_orderpriority), 6)
+               AS gof_max_dev
+    FROM fit f
+    """,
+)
+def lognormal_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric distribution fitting with a goodness-of-fit probe:
+    order totals per priority are fitted as lognormal by moment
+    matching on the log scale (μ = mean ln x, σ = stddev_pop ln x),
+    then the fit is CHECKED — the empirical CDF is evaluated at the
+    five fitted quantiles exp(μ + σ·z_p) and the max |ECDF − p|
+    deviation reported. A good lognormal fit keeps the deviation
+    small at all probes; this is the 5-point KS discrepancy that
+    costs two scans instead of a sort. The z_p constants are standard
+    normal quantiles baked as literals on both engines.
+
+    Scale shape: fit is one hash agg; the probe join fans each fact
+    row to 5 probe comparisons within its own group (broadcast of
+    |groups|×5 quantiles) and re-aggregates — map-side combinable,
+    no sort, no global window. The subquery max is |groups|×5 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fit = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.log("o_totalprice")).alias("mu"),
+        F.stddev_pop(F.log("o_totalprice")).alias("sigma"),
+    )
+    probes = spark.createDataFrame(
+        [
+            (0.1, -1.2815515655446004),
+            (0.25, -0.6744897501960817),
+            (0.5, 0.0),
+            (0.75, 0.6744897501960817),
+            (0.9, 1.2815515655446004),
+        ],
+        "p double, z double",
+    )
+    q = fit.crossJoin(F.broadcast(probes)).select(
+        "o_orderpriority",
+        "n",
+        "p",
+        (F.exp(F.col("mu") + F.col("sigma") * F.col("z"))).alias("q_p"),
+    )
+    ecdf = (
+        orders.select("o_orderpriority", "o_totalprice")
+        .join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority", "p")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("o_totalprice") <= F.col("q_p"), 1).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.first("n")
+            ).alias("e")
+        )
+    )
+    dev = ecdf.groupBy("o_orderpriority").agg(
+        F.max(F.abs(F.col("e") - F.col("p"))).alias("dev")
+    )
+    return fit.join(F.broadcast(dev), "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("dev", 6).alias("gof_max_dev"),
+    )
