@@ -42,6 +42,8 @@ def main() -> None:
 
     from pyspark_movie_recommender_spark.operators.cache import release_all
 
+    import gc
+
     times: dict[str, float] = {}
     for name in Q.BENCH_QUERIES:
         df = Q.QUERIES[name](spark, SF_DIR)
@@ -49,6 +51,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
         release_all()  # drop per-query cached sketches (LSH signature tables)
+        # free localCheckpoint blocks of the iterative queries: the
+        # ContextCleaner only reclaims them once the Python refs die and
+        # a GC cycle runs — without this, blocks pile up across the
+        # suite and later queries pay the memory pressure (observed 3-4×
+        # inflation on the queries that run after the graph loops)
+        df = None
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     print(
