@@ -21537,3 +21537,226 @@ def lognormal_fit_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sigma", 6).alias("sigma"),
         F.round("dev", 6).alias("gof_max_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 110: Theil inequality decomposition, rolling-origin backtest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theil_index_decomposition",
+    oracle="""
+    WITH spend AS (
+        SELECT o.o_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders o GROUP BY o.o_custkey
+    ), tagged AS (
+        SELECT n.n_name, s.x
+        FROM spend s
+        JOIN customer c ON c.c_custkey = s.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), gstat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS tot,
+               AVG(CAST(x AS DOUBLE)) AS mu
+        FROM tagged
+    ), grp AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_g,
+               AVG(CAST(x AS DOUBLE)) AS mu_g,
+               SUM(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))
+                   / SUM(CAST(x AS DOUBLE))
+                   - ln(AVG(CAST(x AS DOUBLE))) AS t_g
+        FROM tagged GROUP BY n_name
+    ), within AS (
+        SELECT SUM((CAST(n_g AS DOUBLE) / n) * (mu_g / mu) * t_g) AS w
+        FROM grp, gstat
+    ), between_c AS (
+        SELECT SUM((CAST(n_g AS DOUBLE) / n) * (mu_g / mu)
+                   * ln(mu_g / mu)) AS b
+        FROM grp, gstat
+    )
+    SELECT component, label, theil FROM (
+        SELECT 'between' AS component, 'all' AS label,
+               ROUND(b, 6) AS theil, 0 AS ord
+        FROM between_c
+        UNION ALL
+        SELECT 'within', 'all', ROUND(w, 6), 1 FROM within
+        UNION ALL
+        SELECT 'total', 'all', ROUND(b + w, 6), 2 FROM between_c, within
+        UNION ALL
+        SELECT 'group', n_name, ROUND(t_g, 6), 3 FROM grp
+    )
+    """,
+)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of customer spend with its EXACT
+    between/within-nation decomposition: T = Σ(n_g/n)(μ_g/μ)ln(μ_g/μ)
+    + Σ(n_g/n)(μ_g/μ)T_g — the additively-decomposable member of the
+    inequality family (Gini and Lorenz measure concentration but do
+    not split across groups), answering "how much customer-spend
+    inequality is BETWEEN nations vs WITHIN them". The per-group
+    Theil collapses to T_g = Σx·ln x / Σx − ln μ_g, so each group
+    needs only single-level moment sums (no nested aggregates); the
+    reported total is built from the two components so the
+    decomposition identity holds to the digit on both engines.
+
+    Scale shape: per-customer spend is one fact hash agg (exact
+    integer cents); the group pass is one agg to |nations| rows; the
+    rest is 25-row algebra. Nothing wide after the first agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    tagged = (
+        spend.join(c, spend.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "x")
+    )
+    glob = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("x").cast("double")).alias("mu"),
+    )
+    xd = F.col("x").cast("double")
+    grp = tagged.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.avg(xd).alias("mu_g"),
+        (
+            F.sum(xd * F.log(xd)) / F.sum(xd) - F.log(F.avg(xd))
+        ).alias("t_g"),
+    )
+    joined = grp.crossJoin(F.broadcast(glob))
+    within = joined.agg(
+        F.sum(
+            (F.col("n_g").cast("double") / F.col("n"))
+            * (F.col("mu_g") / F.col("mu"))
+            * F.col("t_g")
+        ).alias("w")
+    )
+    between_c = joined.agg(
+        F.sum(
+            (F.col("n_g").cast("double") / F.col("n"))
+            * (F.col("mu_g") / F.col("mu"))
+            * F.log(F.col("mu_g") / F.col("mu"))
+        ).alias("b")
+    )
+    bw = between_c.crossJoin(F.broadcast(within))
+    return (
+        bw.select(
+            F.lit("between").alias("component"),
+            F.lit("all").alias("label"),
+            F.round("b", 6).alias("theil"),
+        )
+        .unionByName(
+            bw.select(
+                F.lit("within").alias("component"),
+                F.lit("all").alias("label"),
+                F.round("w", 6).alias("theil"),
+            )
+        )
+        .unionByName(
+            bw.select(
+                F.lit("total").alias("component"),
+                F.lit("all").alias("label"),
+                F.round(F.col("b") + F.col("w"), 6).alias("theil"),
+            )
+        )
+        .unionByName(
+            grp.select(
+                F.lit("group").alias("component"),
+                F.col("n_name").alias("label"),
+                F.round("t_g", 6).alias("theil"),
+            )
+        )
+    )
+
+
+@query(
+    "rolling_origin_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               ROUND(SUM(value), 6) AS y
+        FROM events GROUP BY day
+    ), horizon AS (
+        SELECT MAX(day) AS max_day FROM daily
+    ), origins AS (
+        SELECT max_day - off AS origin
+        FROM horizon, (VALUES (21), (14), (7)) o(off)
+    ), test AS (
+        SELECT o.origin, d.day, d.y,
+               o.origin - 6 + ((d.day - o.origin - 1) % 7) AS ref_day
+        FROM origins o JOIN daily d
+          ON d.day > o.origin AND d.day <= o.origin + 7
+    ), scored AS (
+        SELECT t.origin, t.day, t.y, r.y AS yhat
+        FROM test t JOIN daily r ON r.day = t.ref_day
+    )
+    SELECT origin, CAST(COUNT(*) AS BIGINT) AS n_test_days,
+           ROUND(AVG(abs(y - yhat)), 6) AS mae,
+           ROUND(AVG(2 * abs(y - yhat) / (abs(y) + abs(yhat))), 6) AS smape
+    FROM scored GROUP BY origin
+    """,
+)
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest — the time-series cross-validation
+    protocol that random k-fold gets WRONG (it leaks the future into
+    training): three forecast origins a week apart, each scoring a
+    seasonal-naive forecast (same weekday of the last pre-origin
+    week) on the next 7 days, reporting MAE and sMAPE per origin.
+    Where smape_seasonal_naive evaluates one whole-series fit, this
+    measures how accuracy DRIFTS as the origin advances — the
+    protocol you need before trusting any forecast in production.
+
+    Determinism: daily totals round to 6 before scoring; day
+    arithmetic is exact integers; the weekday mapping
+    origin−6+((d−origin−1) mod 7) is pure integer math (mod of a
+    positive argument, identical in both dialects).
+
+    Scale shape: fact → |days| agg once; origins fan out as a
+    broadcast 3-row join; scoring self-joins the days-bounded daily
+    relation. Nothing fact-sized touches a window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    daily = ev.groupBy(epoch_day("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("y")
+    )
+    horizon = daily.agg(F.max("day").alias("max_day"))
+    offs = spark.createDataFrame([(21,), (14,), (7,)], "off int")
+    origins = horizon.crossJoin(F.broadcast(offs)).select(
+        (F.col("max_day") - F.col("off")).alias("origin")
+    )
+    test = daily.join(
+        F.broadcast(origins),
+        (F.col("day") > F.col("origin"))
+        & (F.col("day") <= F.col("origin") + 7),
+    ).select(
+        "origin",
+        "day",
+        "y",
+        (
+            F.col("origin") - 6 + ((F.col("day") - F.col("origin") - 1) % 7)
+        ).alias("ref_day"),
+    )
+    ref = daily.select(F.col("day").alias("ref_day"), F.col("y").alias("yhat"))
+    scored = test.join(ref, "ref_day")
+    return scored.groupBy("origin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_days"),
+        F.round(F.avg(F.abs(F.col("y") - F.col("yhat"))), 6).alias("mae"),
+        F.round(
+            F.avg(
+                2
+                * F.abs(F.col("y") - F.col("yhat"))
+                / (F.abs(F.col("y")) + F.abs(F.col("yhat")))
+            ),
+            6,
+        ).alias("smape"),
+    )
