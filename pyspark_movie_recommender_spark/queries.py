@@ -21760,3 +21760,83 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 111: Misra-Gries heavy hitters, small-files compaction planner
+# ---------------------------------------------------------------------------
+
+
+@query("misra_gries_heavy_hitters")
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter candidates over the document token
+    stream with k=50 counters — the DETERMINISTIC-guarantee sketch
+    beside Count-Min (probabilistic overestimate) and exact top-k
+    (full key-space shuffle): every token with true frequency above
+    the additive error bound is guaranteed in the output, and each
+    reported count is a certified lower bound. Partition summaries
+    hold k counters of state and MERGE by pointwise addition plus one
+    decrement, so the shuffle carries |partitions|·k candidate rows —
+    independent of vocabulary size. Rows-only by design: the
+    candidate SET depends on partition layout; the containment
+    guarantee does not (pinned against exact counts in
+    tests/test_wave99s.py).
+
+    See operators/sketches.py misra_gries for the error analysis.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+    from pyspark_movie_recommender_spark.operators.sketches import misra_gries
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("w")
+    )
+    return misra_gries(tok, "w", k=50)
+
+
+@query(
+    "compaction_plan_documents",
+    oracle="""
+    WITH files AS (
+        SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, bytes,
+           CAST((SUM(bytes) OVER (PARTITION BY source ORDER BY lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - bytes) // 262144 AS BIGINT) AS out_file
+    FROM files
+    """,
+)
+def compaction_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner (the OPTIMIZE/bin-packing step of
+    table maintenance): each (source, lang) slice is a "file" of
+    sum(n_chars) bytes; slices are packed IN ORDER into ~256 KiB
+    output files by assigning each to bin ⌊cum_bytes_before/target⌋ —
+    the one-pass next-fit packing that keeps every output within
+    [target, target + max_input) bytes and never reorders data
+    (preserving clustering). The physical-layout planning primitive
+    beside zorder_layout_orders (clustering) and
+    join_size_estimate (sizing).
+
+    Scale shape: the file inventory is one hash agg (at real scale
+    this reads table metadata, not data — rows are per-file, tiny);
+    the packing cumsum windows per source over file-count-bounded
+    partitions. Pure integer arithmetic, hash-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("bytes")
+    )
+    return files.select(
+        "source",
+        "lang",
+        "bytes",
+        F.expr(
+            "(sum(bytes) OVER (PARTITION BY source ORDER BY lang"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " - bytes) div 262144"
+        )
+        .cast("long")
+        .alias("out_file"),
+    )

@@ -262,3 +262,33 @@ def test_neyman_allocation_sums_to_budget(spark):
     assert all(x.sample_n >= 0 for x in r)
     docs = _tbl("documents", ["source"])
     assert {x.source for x in r} == set(docs["source"])
+
+
+# --- wave 111: Misra-Gries sketch laws --------------------------------------
+
+
+def test_misra_gries_containment_and_lower_bounds(spark):
+    from collections import Counter
+
+    r = rows(spark, "misra_gries_heavy_hitters")
+    got = {x.token: (x.lower_bound, x.global_decrement) for x in r}
+    docs = _tbl("documents", ["text"])
+    exact = Counter(
+        w
+        for t in docs["text"]
+        if t and t.strip()
+        for w in t.strip().lower().split()
+    )
+    n = sum(exact.values())
+    k = 50
+    # every reported count is a valid lower bound
+    for tok, (lb, _) in got.items():
+        assert lb <= exact[tok], (tok, lb, exact[tok])
+    # containment: any token with frequency above the merged error
+    # bound (per-partition n/(k+1) summed = n/(k+1) total, plus the
+    # merge decrement) must be present
+    dec = next(iter(got.values()))[1] if got else 0
+    threshold = n / (k + 1) + dec
+    for tok, c in exact.items():
+        if c > threshold:
+            assert tok in got, (tok, c, threshold)
