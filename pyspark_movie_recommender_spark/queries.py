@@ -21840,3 +21840,165 @@ def compaction_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("out_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 112: randomized response, leakage-safe label construction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "randomized_response_estimate",
+    oracle="""
+    WITH flags AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS truth,
+               ((c_custkey * 2654435761) % 4294967296) % 4 AS coin
+        FROM customer
+    ), reported AS (
+        SELECT truth,
+               CASE WHEN coin < 3 THEN truth ELSE 1 - truth END AS answer
+        FROM flags
+    ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(truth) AS BIGINT) AS k_true,
+               CAST(SUM(answer) AS BIGINT) AS k_ans
+        FROM reported
+    )
+    SELECT n, k_true, k_ans,
+           ROUND(CAST(k_ans AS DOUBLE) / n, 6) AS raw_rate,
+           ROUND((CAST(k_ans AS DOUBLE) / n - 0.25) / 0.5, 6)
+               AS debiased_rate,
+           ROUND(CAST(k_true AS DOUBLE) / n, 6) AS true_rate,
+           ROUND(abs((CAST(k_ans AS DOUBLE) / n - 0.25) / 0.5
+                     - CAST(k_true AS DOUBLE) / n), 6) AS abs_error
+    FROM c
+    """,
+)
+def randomized_response_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner's randomized response — the local-DP collection mechanism:
+    each customer reports their sensitive bit (negative balance)
+    truthfully with probability p=3/4 and flipped otherwise, and the
+    aggregate debiases via π̂ = (rate − (1−p))/(2p−1). No row's true
+    bit is inferable from its report (plausible deniability ln3-LDP),
+    yet the population rate survives. The mechanism-side complement to
+    the auditing queries (k-anonymity, l-diversity, DP noisy counts):
+    those check a release, this CONSTRUCTS one. The "coin" is the
+    Knuth-hash of the key so both engines flip identically — swap for
+    a real RNG in production; the estimator algebra is unchanged.
+
+    Scale shape: pure map-side bit arithmetic and one census agg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    flags = cust.select(
+        F.when(F.col("c_acctbal") < 0, 1).otherwise(0).alias("truth"),
+        (((F.col("c_custkey") * 2654435761) % 4294967296) % 4).alias("coin"),
+    )
+    reported = flags.select(
+        "truth",
+        F.when(F.col("coin") < 3, F.col("truth"))
+        .otherwise(1 - F.col("truth"))
+        .alias("answer"),
+    )
+    c = reported.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("truth").cast("long").alias("k_true"),
+        F.sum("answer").cast("long").alias("k_ans"),
+    )
+    raw = F.col("k_ans").cast("double") / F.col("n")
+    debiased = (raw - 0.25) / 0.5
+    true_rate = F.col("k_true").cast("double") / F.col("n")
+    return c.select(
+        "n",
+        "k_true",
+        "k_ans",
+        F.round(raw, 6).alias("raw_rate"),
+        F.round(debiased, 6).alias("debiased_rate"),
+        F.round(true_rate, 6).alias("true_rate"),
+        F.round(F.abs(debiased - true_rate), 6).alias("abs_error"),
+    )
+
+
+@query(
+    "leakage_safe_training_labels",
+    oracle="""
+    WITH bounds AS (
+        SELECT MAX(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) - 14
+               AS snap_day
+        FROM events
+    ), pts AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), feats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events_hist,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases_hist,
+               CAST(MIN(snap_day - day) AS BIGINT) AS days_since_last
+        FROM pts, bounds WHERE day <= snap_day
+        GROUP BY user_id
+    ), labels AS (
+        SELECT DISTINCT user_id, 1 AS label
+        FROM pts, bounds
+        WHERE day > snap_day AND day <= snap_day + 14
+          AND event_type = 'purchase'
+    )
+    SELECT f.user_id, f.n_events_hist, f.n_purchases_hist,
+           f.days_since_last,
+           CAST(COALESCE(l.label, 0) AS BIGINT) AS label
+    FROM feats f LEFT JOIN labels l ON f.user_id = l.user_id
+    """,
+)
+def leakage_safe_training_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe supervised-label construction — the snapshot/horizon
+    pattern every churn/propensity training set needs: pick a snapshot
+    time T (14 days before the horizon so every user has a full label
+    window), compute features STRICTLY from events ≤ T (history
+    counts, recency), and the label STRICTLY from (T, T+14]
+    (purchased in the horizon). Users with no pre-snapshot history are
+    excluded (no features), users with no horizon activity get label
+    0 — the construction split_leakage_audit verifies after the fact,
+    done correctly by construction here.
+
+    Scale shape: one tagging pass, one per-user feature agg, one
+    distinct label set, one left join on user_id — all hash-partition
+    on the same key, so AQE coalesces into a single co-partitioned
+    pipeline. The snapshot bound is a broadcast scalar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    pts = ev.select("user_id", "event_type", epoch_day("ts").alias("day"))
+    bounds = pts.agg((F.max("day") - 14).alias("snap_day"))
+    tagged = pts.crossJoin(F.broadcast(bounds))
+    feats = (
+        tagged.filter(F.col("day") <= F.col("snap_day"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events_hist"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases_hist"),
+            F.min(F.col("snap_day") - F.col("day"))
+            .cast("long")
+            .alias("days_since_last"),
+        )
+    )
+    labels = (
+        tagged.filter(
+            (F.col("day") > F.col("snap_day"))
+            & (F.col("day") <= F.col("snap_day") + 14)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    return feats.join(labels, "user_id", "left").select(
+        "user_id",
+        "n_events_hist",
+        "n_purchases_hist",
+        "days_since_last",
+        F.coalesce(F.col("label"), F.lit(0)).cast("long").alias("label"),
+    )
