@@ -22002,3 +22002,211 @@ def leakage_safe_training_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "days_since_last",
         F.coalesce(F.col("label"), F.lit(0)).cast("long").alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 113: 1-D Wasserstein drift, Brown-Forsythe variance test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wasserstein_value_drift",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+               CAST(ROUND(o_totalprice) AS BIGINT) AS v
+        FROM orders
+    ), bounds AS (
+        SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM pts
+    ), tagged AS (
+        SELECT CASE WHEN day < mid THEN 0 ELSE 1 END AS period, v
+        FROM pts, bounds
+    ), hist AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM tagged GROUP BY v
+    ), tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+        FROM hist
+    ), cum AS (
+        SELECT v,
+               SUM(c0) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0,
+               SUM(c1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+               LEAD(v) OVER (ORDER BY v) AS v_next
+        FROM hist
+    )
+    SELECT n0, n1,
+           ROUND(SUM(abs(CAST(f0 AS DOUBLE) / n0 - CAST(f1 AS DOUBLE) / n1)
+                     * (v_next - v)), 4) AS w1_distance,
+           ROUND(MAX(abs(CAST(f0 AS DOUBLE) / n0 - CAST(f1 AS DOUBLE) / n1)),
+                 6) AS ks_distance
+    FROM cum, tot WHERE v_next IS NOT NULL
+    GROUP BY n0, n1
+    """,
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein (earth-mover) distance between the
+    first-half and second-half order-value distributions:
+    W₁ = ∫|F₀ − F₁| dv over the union support, computed as the
+    CDF-gap × support-gap sum on the integer-dollar value histogram —
+    the MAGNITUDE-aware drift measure the family lacked: KS reports
+    the worst vertical gap (reported here too, as a cross-check
+    against ks_drift), PSI needs arbitrary bins, CvM ranks; W₁ alone
+    says "the typical order moved $X". Exact in 1-D — no Sinkhorn
+    approximation needed.
+
+    Scale shape: facts collapse to the value histogram (one hash agg);
+    the CDF windows run over |distinct dollar values| rows. On a truly
+    continuous measure, pre-bucket the grid (cents→dollars here) to
+    bound the support — the knob is explicit, not hidden in bin
+    defaults.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    pts = o.select(
+        epoch_day("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice")).cast("long").alias("v"),
+    )
+    bounds = pts.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
+    tagged = pts.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("day") < F.col("mid"), 0).otherwise(1).alias("period"),
+        "v",
+    )
+    hist = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    tot = hist.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "v",
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+        F.lead("v").over(Window.orderBy("v")).alias("v_next"),
+    )
+    gap = F.abs(
+        F.col("f0").cast("double") / F.col("n0")
+        - F.col("f1").cast("double") / F.col("n1")
+    )
+    return (
+        cum.filter(F.col("v_next").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(F.sum(gap * (F.col("v_next") - F.col("v"))), 4).alias(
+                "w1_distance"
+            ),
+            F.round(F.max(gap), 6).alias("ks_distance"),
+        )
+    )
+
+
+@query(
+    "brown_forsythe_variance_test",
+    oracle="""
+    WITH meds AS (
+        SELECT o_orderpriority,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS med
+        FROM orders GROUP BY o_orderpriority
+    ), z AS (
+        SELECT o.o_orderpriority, abs(o.o_totalprice - m.med) AS z
+        FROM orders o JOIN meds m USING (o_orderpriority)
+    ), grp AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_g,
+               SUM(z) AS s_g, SUM(z * z) AS ss_g
+        FROM z GROUP BY o_orderpriority
+    ), tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(s_g) AS s
+        FROM grp
+    )
+    SELECT n, k,
+           ROUND((CAST(n - k AS DOUBLE) / (k - 1))
+                 * (SELECT SUM(n_g * (s_g/n_g - s/n) * (s_g/n_g - s/n))
+                    FROM grp, tot)
+                 / (SELECT SUM(ss_g - s_g*s_g/n_g) FROM grp), 6)
+               AS f_statistic
+    FROM tot
+    """,
+)
+def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test for equality of SPREAD across groups: a
+    one-way ANOVA F on the absolute deviations from each group's
+    MEDIAN, z = |x − med_g| — the robust variance-homogeneity check
+    (Levene with medians) that should gate any pooled-variance
+    analysis (the two-proportion z, the t-family, ANOVA itself). Mean
+    tests say nothing when groups differ in spread, not location —
+    this is the test for exactly that case.
+
+    Determinism: group medians via percentile_disc pick actual data
+    values identically on both engines; F comes from single-level
+    moment sums of z per group, rounded to 6.
+
+    Scale shape: medians per group (sort-based within group), one
+    broadcast join of the |groups| medians back onto the facts, one
+    moment agg per group — the same two-scan shape as
+    lognormal_fit_gof. Nothing global-sorted.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    meds = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("med")
+    )
+    z = orders.join(F.broadcast(meds), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("z"),
+    )
+    grp = z.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).alias("ss_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").alias("s"),
+    )
+    joined = grp.crossJoin(F.broadcast(tot))
+    between = joined.agg(
+        F.sum(
+            F.col("n_g")
+            * (F.col("s_g") / F.col("n_g") - F.col("s") / F.col("n"))
+            * (F.col("s_g") / F.col("n_g") - F.col("s") / F.col("n"))
+        ).alias("b")
+    )
+    within = joined.agg(
+        F.sum(
+            F.col("ss_g") - F.col("s_g") * F.col("s_g") / F.col("n_g")
+        ).alias("wss")
+    )
+    return (
+        tot.crossJoin(F.broadcast(between))
+        .crossJoin(F.broadcast(within))
+        .select(
+            "n",
+            "k",
+            F.round(
+                ((F.col("n") - F.col("k")).cast("double") / (F.col("k") - 1))
+                * F.col("b")
+                / F.col("wss"),
+                6,
+            ).alias("f_statistic"),
+        )
+    )
