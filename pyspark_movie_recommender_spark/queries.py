@@ -22210,3 +22210,306 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_statistic"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 114: Fellegi-Sunter EM linkage weights, variance-ratio test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fellegi_sunter_em_linkage",
+    oracle="""
+    WITH pairs AS (
+        SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS g1,
+               CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 500
+                    THEN 1 ELSE 0 END AS g2,
+               CASE WHEN (a.c_acctbal >= 0) = (b.c_acctbal >= 0)
+                    THEN 1 ELSE 0 END AS g3
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ), pat AS (
+        SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY g1, g2, g3
+    ), p0 AS (
+        SELECT 0.1 AS p, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+               0.1 AS u1, 0.1 AS u2, 0.1 AS u3
+    ), e1 AS (
+        SELECT g1, g2, g3, n,
+               (p * (CASE WHEN g1=1 THEN m1 ELSE 1-m1 END)
+                  * (CASE WHEN g2=1 THEN m2 ELSE 1-m2 END)
+                  * (CASE WHEN g3=1 THEN m3 ELSE 1-m3 END))
+               / (p * (CASE WHEN g1=1 THEN m1 ELSE 1-m1 END)
+                    * (CASE WHEN g2=1 THEN m2 ELSE 1-m2 END)
+                    * (CASE WHEN g3=1 THEN m3 ELSE 1-m3 END)
+                  + (1-p) * (CASE WHEN g1=1 THEN u1 ELSE 1-u1 END)
+                          * (CASE WHEN g2=1 THEN u2 ELSE 1-u2 END)
+                          * (CASE WHEN g3=1 THEN u3 ELSE 1-u3 END)) AS w
+        FROM pat, p0
+    ), p1 AS (
+        SELECT SUM(n*w)/SUM(n) AS p,
+               SUM(n*w*g1)/SUM(n*w) AS m1, SUM(n*w*g2)/SUM(n*w) AS m2,
+               SUM(n*w*g3)/SUM(n*w) AS m3,
+               SUM(n*(1-w)*g1)/SUM(n*(1-w)) AS u1,
+               SUM(n*(1-w)*g2)/SUM(n*(1-w)) AS u2,
+               SUM(n*(1-w)*g3)/SUM(n*(1-w)) AS u3
+        FROM e1
+    ), e2 AS (
+        SELECT g1, g2, g3, n,
+               (p * (CASE WHEN g1=1 THEN m1 ELSE 1-m1 END)
+                  * (CASE WHEN g2=1 THEN m2 ELSE 1-m2 END)
+                  * (CASE WHEN g3=1 THEN m3 ELSE 1-m3 END))
+               / (p * (CASE WHEN g1=1 THEN m1 ELSE 1-m1 END)
+                    * (CASE WHEN g2=1 THEN m2 ELSE 1-m2 END)
+                    * (CASE WHEN g3=1 THEN m3 ELSE 1-m3 END)
+                  + (1-p) * (CASE WHEN g1=1 THEN u1 ELSE 1-u1 END)
+                          * (CASE WHEN g2=1 THEN u2 ELSE 1-u2 END)
+                          * (CASE WHEN g3=1 THEN u3 ELSE 1-u3 END)) AS w
+        FROM pat, p1
+    ), p2 AS (
+        SELECT SUM(n*w)/SUM(n) AS p,
+               SUM(n*w*g1)/SUM(n*w) AS m1, SUM(n*w*g2)/SUM(n*w) AS m2,
+               SUM(n*w*g3)/SUM(n*w) AS m3,
+               SUM(n*(1-w)*g1)/SUM(n*(1-w)) AS u1,
+               SUM(n*(1-w)*g2)/SUM(n*(1-w)) AS u2,
+               SUM(n*(1-w)*g3)/SUM(n*(1-w)) AS u3
+        FROM e2
+    ), e3 AS (
+        SELECT g1, g2, g3, n,
+               (p * (CASE WHEN g1=1 THEN m1 ELSE 1-m1 END)
+                  * (CASE WHEN g2=1 THEN m2 ELSE 1-m2 END)
+                  * (CASE WHEN g3=1 THEN m3 ELSE 1-m3 END))
+               / (p * (CASE WHEN g1=1 THEN m1 ELSE 1-m1 END)
+                    * (CASE WHEN g2=1 THEN m2 ELSE 1-m2 END)
+                    * (CASE WHEN g3=1 THEN m3 ELSE 1-m3 END)
+                  + (1-p) * (CASE WHEN g1=1 THEN u1 ELSE 1-u1 END)
+                          * (CASE WHEN g2=1 THEN u2 ELSE 1-u2 END)
+                          * (CASE WHEN g3=1 THEN u3 ELSE 1-u3 END)) AS w
+        FROM pat, p2
+    ), p3 AS (
+        SELECT SUM(n*w)/SUM(n) AS p,
+               SUM(n*w*g1)/SUM(n*w) AS m1, SUM(n*w*g2)/SUM(n*w) AS m2,
+               SUM(n*w*g3)/SUM(n*w) AS m3,
+               SUM(n*(1-w)*g1)/SUM(n*(1-w)) AS u1,
+               SUM(n*(1-w)*g2)/SUM(n*(1-w)) AS u2,
+               SUM(n*(1-w)*g3)/SUM(n*(1-w)) AS u3
+        FROM e3
+    )
+    SELECT g1, g2, g3, n,
+           ROUND((p * (CASE WHEN g1=1 THEN m1 ELSE 1-m1 END)
+                    * (CASE WHEN g2=1 THEN m2 ELSE 1-m2 END)
+                    * (CASE WHEN g3=1 THEN m3 ELSE 1-m3 END))
+                 / (p * (CASE WHEN g1=1 THEN m1 ELSE 1-m1 END)
+                      * (CASE WHEN g2=1 THEN m2 ELSE 1-m2 END)
+                      * (CASE WHEN g3=1 THEN m3 ELSE 1-m3 END)
+                    + (1-p) * (CASE WHEN g1=1 THEN u1 ELSE 1-u1 END)
+                            * (CASE WHEN g2=1 THEN u2 ELSE 1-u2 END)
+                            * (CASE WHEN g3=1 THEN u3 ELSE 1-u3 END)), 6)
+               AS posterior_match,
+           ROUND(ln(((CASE WHEN g1=1 THEN m1 ELSE 1-m1 END)
+                     * (CASE WHEN g2=1 THEN m2 ELSE 1-m2 END)
+                     * (CASE WHEN g3=1 THEN m3 ELSE 1-m3 END))
+                    / ((CASE WHEN g1=1 THEN u1 ELSE 1-u1 END)
+                       * (CASE WHEN g2=1 THEN u2 ELSE 1-u2 END)
+                       * (CASE WHEN g3=1 THEN u3 ELSE 1-u3 END))), 6)
+               AS match_weight
+    FROM pat, p3
+    """,
+)
+def fellegi_sunter_em_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage with EM-estimated
+    m/u probabilities: nation-blocked customer pairs are reduced to
+    their field-AGREEMENT PATTERNS (segment equality, balance within
+    500, balance-sign equality → 8 patterns), and three EM rounds
+    estimate each field's m (agreement prob among matches) and u
+    (among non-matches) without any labeled pairs — yielding the
+    classic log2-style match weight ln(P(γ|M)/P(γ|U)) and posterior
+    per pattern. The STATISTICAL core of entity resolution that the
+    deterministic entity_resolution_pipeline scores by hand-set
+    weights; here the data chooses them. Oracle = the same three EM
+    rounds unrolled as chained CTEs from the same (0.1, 0.9, 0.1)
+    init.
+
+    Scale shape: the only fact-sized steps are the blocked self-join
+    (bounded by block sizes, the standard ER discipline) and the
+    8-row pattern census; EM then iterates entirely on 8 rows × a
+    1-row parameter relation. This is why FS-EM scales: the E/M steps
+    never revisit pairs, only patterns.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("sa"),
+        F.col("c_acctbal").alias("ba"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("sb"),
+        F.col("c_acctbal").alias("bb"),
+    )
+    pairs = a.join(b, "nk").filter(F.col("ka") < F.col("kb"))
+    pat = (
+        pairs.select(
+            F.when(F.col("sa") == F.col("sb"), 1).otherwise(0).alias("g1"),
+            F.when(F.abs(F.col("ba") - F.col("bb")) < 500, 1)
+            .otherwise(0)
+            .alias("g2"),
+            F.when((F.col("ba") >= 0) == (F.col("bb") >= 0), 1)
+            .otherwise(0)
+            .alias("g3"),
+        )
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    params = spark.createDataFrame(
+        [(0.1, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1)],
+        "p double, m1 double, m2 double, m3 double,"
+        " u1 double, u2 double, u3 double",
+    )
+
+    def lik(prefix: str):
+        return (
+            F.when(F.col("g1") == 1, F.col(f"{prefix}1")).otherwise(
+                1 - F.col(f"{prefix}1")
+            )
+            * F.when(F.col("g2") == 1, F.col(f"{prefix}2")).otherwise(
+                1 - F.col(f"{prefix}2")
+            )
+            * F.when(F.col("g3") == 1, F.col(f"{prefix}3")).otherwise(
+                1 - F.col(f"{prefix}3")
+            )
+        )
+
+    for _ in range(3):
+        e = pat.crossJoin(F.broadcast(params)).select(
+            "g1",
+            "g2",
+            "g3",
+            "n",
+            (
+                F.col("p")
+                * lik("m")
+                / (F.col("p") * lik("m") + (1 - F.col("p")) * lik("u"))
+            ).alias("w"),
+        )
+        nw = F.sum(F.col("n") * F.col("w"))
+        nv = F.sum(F.col("n") * (1 - F.col("w")))
+        params = e.agg(
+            (nw / F.sum("n")).alias("p"),
+            (F.sum(F.col("n") * F.col("w") * F.col("g1")) / nw).alias("m1"),
+            (F.sum(F.col("n") * F.col("w") * F.col("g2")) / nw).alias("m2"),
+            (F.sum(F.col("n") * F.col("w") * F.col("g3")) / nw).alias("m3"),
+            (F.sum(F.col("n") * (1 - F.col("w")) * F.col("g1")) / nv).alias(
+                "u1"
+            ),
+            (F.sum(F.col("n") * (1 - F.col("w")) * F.col("g2")) / nv).alias(
+                "u2"
+            ),
+            (F.sum(F.col("n") * (1 - F.col("w")) * F.col("g3")) / nv).alias(
+                "u3"
+            ),
+        ).localCheckpoint()
+    return pat.crossJoin(F.broadcast(params)).select(
+        "g1",
+        "g2",
+        "g3",
+        "n",
+        F.round(
+            F.col("p")
+            * lik("m")
+            / (F.col("p") * lik("m") + (1 - F.col("p")) * lik("u")),
+            6,
+        ).alias("posterior_match"),
+        F.round(F.log(lik("m") / lik("u")), 6).alias("match_weight"),
+    )
+
+
+@query(
+    "variance_ratio_random_walk",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               ROUND(SUM(value), 6) AS y
+        FROM events GROUP BY day
+    ), diffs AS (
+        SELECT day, y - LAG(y) OVER (ORDER BY day) AS r
+        FROM daily
+    ), q5 AS (
+        SELECT day, r,
+               SUM(r) OVER (ORDER BY day
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS r5,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+        FROM diffs WHERE r IS NOT NULL
+    ), v1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(r*r)/COUNT(*) - (SUM(r)/COUNT(*))*(SUM(r)/COUNT(*)) AS v
+        FROM q5
+    ), v5 AS (
+        SELECT SUM(r5*r5)/COUNT(*) - (SUM(r5)/COUNT(*))*(SUM(r5)/COUNT(*))
+                   AS v
+        FROM q5 WHERE i >= 5
+    )
+    SELECT v1.n AS n_diffs,
+           ROUND(v1.v, 6) AS var_1,
+           ROUND(v5.v, 6) AS var_5,
+           ROUND(v5.v / (5 * v1.v), 6) AS variance_ratio
+    FROM v1, v5
+    """,
+)
+def variance_ratio_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio diagnostic: is the daily event-value
+    series a random walk? Under the null, the variance of 5-day
+    overlapping changes equals 5× the one-day-change variance, so
+    VR = Var(r₅)/(5·Var(r₁)) ≈ 1; VR > 1 means momentum (positive
+    autocorrelation of increments), VR < 1 mean-reversion. The
+    INCREMENT-domain complement to ACF (levels), CUSUM (level
+    shifts), and the runs test (sign patterns).
+
+    Determinism: daily sums round to 6; differences, overlapping
+    5-sums, and population variances are fixed dags over them,
+    rounded to 6.
+
+    Scale shape: facts collapse to |days| rows in one agg; the lag,
+    the rolling 5-sum, and both variances run on the days-bounded
+    series. Nothing fact-sized is ordered.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    daily = ev.groupBy(epoch_day("ts").alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("y")
+    )
+    wd = Window.orderBy("day")
+    diffs = daily.select(
+        "day", (F.col("y") - F.lag("y").over(wd)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    q5 = diffs.select(
+        "r",
+        F.sum("r").over(wd.rowsBetween(-4, 0)).alias("r5"),
+        F.row_number().over(wd).cast("long").alias("i"),
+    )
+    v1 = q5.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("r") * F.col("r")) / F.count(F.lit(1))
+            - (F.sum("r") / F.count(F.lit(1)))
+            * (F.sum("r") / F.count(F.lit(1)))
+        ).alias("v"),
+    )
+    v5 = q5.filter(F.col("i") >= 5).agg(
+        (
+            F.sum(F.col("r5") * F.col("r5")) / F.count(F.lit(1))
+            - (F.sum("r5") / F.count(F.lit(1)))
+            * (F.sum("r5") / F.count(F.lit(1)))
+        ).alias("v")
+    )
+    return v1.crossJoin(F.broadcast(v5.withColumnRenamed("v", "v5"))).select(
+        F.col("n").alias("n_diffs"),
+        F.round(F.col("v"), 6).alias("var_1"),
+        F.round(F.col("v5"), 6).alias("var_5"),
+        F.round(F.col("v5") / (5 * F.col("v")), 6).alias("variance_ratio"),
+    )
