@@ -22513,3 +22513,23 @@ def variance_ratio_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v5"), 6).alias("var_5"),
         F.round(F.col("v5") / (5 * F.col("v")), 6).alias("variance_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 115: foreachBatch CDC upsert stream
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_cdc_upsert")
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE-style CDC upsert (streaming/jobs.py
+    cdc_upsert_stream): per-user last-writer-wins state accumulated
+    across micro-batches with an associative max_by merge, so the
+    final relation is independent of batch boundaries. Rows-only by
+    design (streaming); the stream≡batch equivalence test pins it to
+    the same last-event-per-user expression the oracle-checked
+    cdc_latest_state family uses.
+    """
+    from pyspark_movie_recommender_spark.streaming.jobs import cdc_upsert_stream
+
+    return cdc_upsert_stream(spark, sf_dir, query_name="q_cdc_upsert")

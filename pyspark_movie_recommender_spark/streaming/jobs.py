@@ -524,3 +524,63 @@ def hourly_user_counts_stream(
     )
     _run_to_table(agg, query_name, output_mode)
     return spark.table(query_name)
+
+
+def cdc_upsert_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "cdc_upsert"
+) -> DataFrame:
+    """foreachBatch CDC upsert: each micro-batch MERGEs its per-user
+    latest event into an accumulated state relation — the streaming
+    materialized-view pattern (Kafka CDC topic → MERGE INTO lakehouse
+    table) with the merge expressed as union + max_by per key, which
+    is exactly what MERGE WHEN MATCHED UPDATE does for a
+    last-writer-wins table. State is re-keyed per batch and
+    localCheckpoint-ed so batch k+1 plans against materialized state,
+    not k chained unions (reliable checkpoint/Delta table in
+    production). Batch-split-invariant by construction: max_by over
+    (ts, event_id) is associative across batches, so the final state
+    equals the batch twin regardless of how the stream was chopped —
+    pinned by the stream≡batch test.
+
+    Returns the final state DataFrame (user_id, last_ts, last_op,
+    last_value).
+    """
+    state: dict[str, DataFrame] = {}
+
+    latest = F.max_by(
+        F.struct("ts", "event_id", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    ).alias("s")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.groupBy("user_id").agg(latest)
+        prev = state.get("df")
+        if prev is not None:
+            b = (
+                prev.unionByName(b)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(F.col("s"), F.struct("s.ts", "s.event_id")).alias(
+                        "s"
+                    )
+                )
+            )
+        state["df"] = b.localCheckpoint()
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = state["df"]
+    return final.select(
+        "user_id",
+        F.col("s.ts").alias("last_ts"),
+        F.col("s.event_type").alias("last_op"),
+        F.round(F.col("s.value"), 6).alias("last_value"),
+    )

@@ -422,3 +422,38 @@ def test_hourly_user_counts_stream_equals_batch(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
     )
     assert rows(stream) == rows(batch)
+
+
+def test_cdc_upsert_stream_equals_batch_latest(spark, sf_dir):
+    """foreachBatch MERGE accumulation must equal the batch last-event-
+    per-user relation regardless of micro-batch splits."""
+    import pyspark.sql.functions as F
+
+    from pyspark_movie_recommender_spark.sources import load_table
+    from pyspark_movie_recommender_spark.streaming.jobs import cdc_upsert_stream
+
+    got = {
+        r.user_id: (r.last_ts, r.last_op, r.last_value)
+        for r in cdc_upsert_stream(
+            spark, sf_dir, query_name="t_cdc_upsert"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.last_ts, r.last_op, r.last_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.event_type").alias("last_op"),
+            F.round(F.col("s.value"), 6).alias("last_value"),
+        )
+        .collect()
+    }
+    assert got == want
