@@ -584,3 +584,68 @@ def cdc_upsert_stream(
         F.col("s.event_type").alias("last_op"),
         F.round(F.col("s.value"), 6).alias("last_value"),
     )
+
+
+def running_user_stats_tws(
+    spark: SparkSession, sf_dir: str, query_name: str = "tws_user_stats"
+) -> None:
+    """transformWithStateInPandas (the Spark 4 arbitrary-state API that
+    supersedes applyInPandasWithState): per-user running (n_events,
+    total_value, max_value) kept in a typed ValueState, updated row
+    emitted per key per micro-batch in Update mode. The state schema
+    is declared (not pickled blobs), state lives in the state store
+    (RocksDB on a real cluster — checkpointable, rescalable), and the
+    processor sees Arrow batches per key. Counts/sums are exact longs
+    + rounded doubles, so the LAST emitted row per user must equal
+    the batch aggregate — the stream≡batch equivalence test pins it.
+
+    Environment gate: the transformWithState protocol speaks protobuf
+    between JVM and the Python driver worker; containers without
+    `google.protobuf` raise ImportError here (the test skips). The
+    applyInPandasWithState twin (user_peaks_transform_with_state)
+    carries the stateful-processing correctness burden everywhere.
+    """
+    from google.protobuf import descriptor as _descriptor  # noqa: F401 - gate
+
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n bigint, total double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = 0, 0.0, float("-inf")
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "max_value": [round(mx, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint,"
+            " total_value double, max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    _run_to_table(out, query_name, "update")

@@ -457,3 +457,46 @@ def test_cdc_upsert_stream_equals_batch_latest(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_running_stats(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: last emitted row per user
+    equals the batch aggregate. Skips where the protobuf dependency of
+    the transformWithState protocol is absent (this container)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable - transformWithState gated")
+
+    import pyspark.sql.functions as F
+
+    from pyspark_movie_recommender_spark.sources import load_table
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        running_user_stats_tws,
+    )
+
+    running_user_stats_tws(spark, sf_dir, query_name="t_tws_stats")
+    out = spark.sql(
+        "SELECT user_id, max_by(struct(n_events, total_value, max_value),"
+        " n_events) AS s FROM t_tws_stats GROUP BY user_id"
+    ).select("user_id", "s.n_events", "s.total_value", "s.max_value")
+    got = {r.user_id: (r.n_events, r.total_value, r.max_value)
+           for r in out.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.max_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-5
+        assert abs(got[u][2] - want[u][2]) < 1e-9
