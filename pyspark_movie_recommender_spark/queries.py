@@ -22533,3 +22533,114 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.streaming.jobs import cdc_upsert_stream
 
     return cdc_upsert_stream(spark, sf_dir, query_name="q_cdc_upsert")
+
+
+# ---------------------------------------------------------------------------
+# wave 117: polymorphic UDTF in the registry, approx_top_k, LISTAGG
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udtf_kv_columns_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id < 200
+    """,
+)
+def udtf_kv_columns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLYMORPHIC UDTF as a registry citizen: kv_columns' output
+    schema (one LONG column per requested key) is computed at plan
+    time by its static ``analyze`` hook from the constant key list —
+    the Spark 4 table-function tier behind dynamic pivots and
+    configurable feature extractors (operators/udf_surface.py
+    make_kv_columns_udtf). Here it shreds the events props JSON into
+    a typed `k` column via LATERAL, oracle-checked against plain
+    json_extract — a Python UDTF whose VALUES are gated, not just its
+    row count.
+
+    Scale shape: lateral UDTF is map-side (ArrowEvalPythonUDTF); the
+    filter is pushed to the scan. The built-in from_json is the hot-
+    path tool — this exercises the polymorphic-schema surface.
+    """
+    from pyspark_movie_recommender_spark.operators.udf_surface import (
+        make_kv_columns_udtf,
+    )
+
+    spark.udtf.register("q_kv_columns", make_kv_columns_udtf())
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q_kv_events")
+    return spark.sql(
+        "SELECT e.event_id, t.k"
+        " FROM q_kv_events e, LATERAL q_kv_columns(e.props, 'k') t"
+        " WHERE e.event_id < 200"
+    )
+
+
+@query("approx_topk_event_types")
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4's frequent-items sketch aggregate —
+    space-saving style, the built-in sibling of the hand-rolled
+    Misra-Gries operator): top-3 event types with approximate counts,
+    exploded to scalar rows for the gate. Rows-only by design: the
+    sketch's tie order is not contractual — but at this cardinality
+    the COUNTS are exact, which the law test pins against exact
+    groupBy counts (tests/test_wave99s.py).
+
+    Scale shape: one sketch aggregate with map-side partials; the
+    explode touches k rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 3)").alias("t"))
+        .select(F.explode("t").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+    )
+
+
+@query(
+    "listagg_cheapest_orders",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey, o_orderstatus,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, ',' ORDER BY rn) AS status_seq
+    FROM ranked WHERE rn <= 5
+    GROUP BY o_orderpriority
+    """,
+)
+def listagg_cheapest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 LISTAGG ... WITHIN GROUP (new in Spark 4.0): the
+    status sequence of each priority's five cheapest orders as one
+    ordered CSV string — the standard's answer to the
+    collect_list+array_join idiom (ordered_status_concat), with the
+    ordering guarantee IN the aggregate instead of bolted on. The
+    deterministic total order (price, orderkey) and the top-5 cap
+    make the string reproducible cross-engine; DuckDB spells the same
+    aggregate string_agg(... ORDER BY).
+
+    Scale shape: WindowGroupLimit prunes to 5 rows per priority
+    before the aggregate; the listagg state is 5 tiny strings per
+    group.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    return ranked.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY rn)"
+        ).alias("status_seq")
+    )

@@ -292,3 +292,23 @@ def test_misra_gries_containment_and_lower_bounds(spark):
     for tok, c in exact.items():
         if c > threshold:
             assert tok in got, (tok, c, threshold)
+
+
+# --- wave 117: approx_top_k exactness at low cardinality --------------------
+
+
+def test_approx_topk_counts_match_exact(spark):
+    from collections import Counter
+
+    r = rows(spark, "approx_topk_event_types")
+    ev = _tbl("events", ["event_type"])
+    exact = Counter(ev["event_type"])
+    assert len(r) == 3
+    for x in r:
+        assert exact[x.item] == x.cnt, (x.item, x.cnt, exact[x.item])
+    # every type counted strictly above the smallest returned count is in
+    min_cnt = min(x.cnt for x in r)
+    returned = {x.item for x in r}
+    for t, c in exact.items():
+        if c > min_cnt:
+            assert t in returned
