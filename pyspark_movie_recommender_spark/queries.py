@@ -22644,3 +22644,250 @@ def listagg_cheapest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY rn)"
         ).alias("status_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 118: MMR diversity re-ranking, covariance/correlation matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mmr_diverse_rerank",
+    oracle="""
+    WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    probes AS (SELECT * FROM s WHERE vec_id < 3),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cid, c.e AS ce,
+               ROUND(list_cosine_similarity(p.e, c.e), 6) AS rel
+        FROM probes p JOIN s c ON c.vec_id <> p.vec_id
+    ), cand AS (
+        SELECT probe_id, cid, ce, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY rel DESC, cid) AS rnk
+            FROM scored
+        ) WHERE rnk <= 8
+    ), cc AS (
+        SELECT a.probe_id, a.cid AS cid_a, b.cid AS cid_b,
+               ROUND(list_cosine_similarity(a.ce, b.ce), 6) AS sim
+        FROM cand a JOIN cand b
+          ON a.probe_id = b.probe_id AND a.cid <> b.cid
+    ), sel1 AS (
+        SELECT probe_id, cid, rel AS score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY rel DESC, cid) AS r
+            FROM cand
+        ) WHERE r = 1
+    ), u2 AS (
+        SELECT c.probe_id, c.cid,
+               0.7 * c.rel - 0.3 * MAX(cc.sim) AS score
+        FROM cand c
+        JOIN sel1 s1 ON s1.probe_id = c.probe_id AND s1.cid <> c.cid
+        JOIN cc ON cc.probe_id = c.probe_id AND cc.cid_a = c.cid
+               AND cc.cid_b = s1.cid
+        GROUP BY c.probe_id, c.cid, c.rel
+    ), sel2 AS (
+        SELECT probe_id, cid, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY score DESC, cid) AS r
+            FROM u2
+        ) WHERE r = 1
+    ), u3 AS (
+        SELECT c.probe_id, c.cid,
+               0.7 * c.rel - 0.3 * MAX(cc.sim) AS score
+        FROM cand c
+        JOIN cc ON cc.probe_id = c.probe_id AND cc.cid_a = c.cid
+        JOIN sel1 s1 ON s1.probe_id = c.probe_id
+        JOIN sel2 s2 ON s2.probe_id = c.probe_id
+        WHERE c.cid <> s1.cid AND c.cid <> s2.cid
+          AND (cc.cid_b = s1.cid OR cc.cid_b = s2.cid)
+        GROUP BY c.probe_id, c.cid, c.rel
+    ), sel3 AS (
+        SELECT probe_id, cid, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY score DESC, cid) AS r
+            FROM u3
+        ) WHERE r = 1
+    )
+    SELECT probe_id, CAST(1 AS BIGINT) AS rank, cid AS neighbor_id,
+           ROUND(score, 6) AS mmr_score FROM sel1
+    UNION ALL
+    SELECT probe_id, 2, cid, ROUND(score, 6) FROM sel2
+    UNION ALL
+    SELECT probe_id, 3, cid, ROUND(score, 6) FROM sel3
+    """,
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity stage a
+    retrieval stack runs AFTER similarity search: from each probe's
+    top-8 cosine candidates, greedily pick 3 maximizing
+    0.7·relevance − 0.3·max-similarity-to-already-picked, so the
+    second and third results stop being near-copies of the first.
+    Completes the retrieval family (BM25 → RRF fusion → MRR/NDCG
+    eval) with the redundancy-control member. Greedy steps are
+    unrolled in the oracle; relevance and candidate-candidate
+    similarities are rounded to 6 BEFORE scoring so both engines rank
+    identical keys (ties by neighbor id).
+
+    Scale shape: relevance reuses the probe-broadcast corpus-scan
+    top-k (no corpus shuffle); the candidate-candidate similarity
+    matrix and the greedy loop run on ≤8 rows per probe — the
+    re-ranking stage is deliberately tiny, which is why MMR's
+    sequential greed is fine at scale.
+    """
+    from pyspark_movie_recommender_spark.operators.similarity import (
+        cosine_arrow,
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        cosine_topk_bruteforce(
+            emb, emb.filter(F.col("vec_id") < 3), "embedding", "vec_id", k=8
+        )
+        .select(
+            "probe_id",
+            F.col("neighbor_id").alias("cid"),
+            F.col("sim").alias("rel"),
+        )
+        .localCheckpoint()
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cos = cosine_arrow()
+    cc = (
+        cand.select("probe_id", F.col("cid").alias("cid_a"))
+        .join(
+            cand.select("probe_id", F.col("cid").alias("cid_b")), "probe_id"
+        )
+        .filter(F.col("cid_a") != F.col("cid_b"))
+        .join(vecs.select(F.col("vec_id").alias("cid_a"), F.col("e").alias("ea")), "cid_a")
+        .join(vecs.select(F.col("vec_id").alias("cid_b"), F.col("e").alias("eb")), "cid_b")
+        .select(
+            "probe_id",
+            "cid_a",
+            "cid_b",
+            F.round(cos(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    wp = Window.partitionBy("probe_id")
+    sel = (
+        cand.withColumn(
+            "r", F.row_number().over(wp.orderBy(F.col("rel").desc(), "cid"))
+        )
+        .filter(F.col("r") == 1)
+        .select("probe_id", "cid", F.col("rel").alias("score"),
+                F.lit(1).cast("long").alias("rank"))
+        .localCheckpoint()
+    )
+    for step in (2, 3):
+        unsel = cand.join(sel.select("probe_id", "cid"), ["probe_id", "cid"],
+                          "left_anti")
+        maxsim = (
+            cc.join(
+                sel.select("probe_id", F.col("cid").alias("cid_b")),
+                ["probe_id", "cid_b"],
+            )
+            .groupBy("probe_id", F.col("cid_a").alias("cid"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        scored = unsel.join(maxsim, ["probe_id", "cid"]).select(
+            "probe_id",
+            "cid",
+            (0.7 * F.col("rel") - 0.3 * F.col("ms")).alias("score"),
+        )
+        pick = (
+            scored.withColumn(
+                "r",
+                F.row_number().over(wp.orderBy(F.col("score").desc(), "cid")),
+            )
+            .filter(F.col("r") == 1)
+            .select("probe_id", "cid", "score",
+                    F.lit(step).cast("long").alias("rank"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "probe_id",
+        "rank",
+        F.col("cid").alias("neighbor_id"),
+        F.round("score", 6).alias("mmr_score"),
+    )
+
+
+@query(
+    "covariance_matrix_lineitem",
+    oracle="""
+    WITH m AS (
+        SELECT covar_pop(l_quantity, l_extendedprice) AS c12,
+               covar_pop(l_quantity, l_discount) AS c13,
+               covar_pop(l_quantity, l_tax) AS c14,
+               covar_pop(l_extendedprice, l_discount) AS c23,
+               covar_pop(l_extendedprice, l_tax) AS c24,
+               covar_pop(l_discount, l_tax) AS c34,
+               corr(l_quantity, l_extendedprice) AS r12,
+               corr(l_quantity, l_discount) AS r13,
+               corr(l_quantity, l_tax) AS r14,
+               corr(l_extendedprice, l_discount) AS r23,
+               corr(l_extendedprice, l_tax) AS r24,
+               corr(l_discount, l_tax) AS r34
+        FROM lineitem
+    )
+    SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+           ROUND(c12, 4) AS cov, ROUND(r12, 6) AS corr FROM m
+    UNION ALL
+    SELECT 'quantity', 'discount', ROUND(c13, 4), ROUND(r13, 6) FROM m
+    UNION ALL
+    SELECT 'quantity', 'tax', ROUND(c14, 4), ROUND(r14, 6) FROM m
+    UNION ALL
+    SELECT 'extendedprice', 'discount', ROUND(c23, 4), ROUND(r23, 6) FROM m
+    UNION ALL
+    SELECT 'extendedprice', 'tax', ROUND(c24, 4), ROUND(r24, 6) FROM m
+    UNION ALL
+    SELECT 'discount', 'tax', ROUND(c34, 4), ROUND(r34, 6) FROM m
+    """,
+)
+def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariance/correlation matrix over the four numeric
+    lineitem measures in ONE aggregation pass — the multivariate
+    upgrade of stats_moments_lineitem (per-column) and the regr_*
+    suite (one designated pair): all six covar_pop and corr pairs
+    come from a single hash agg with map-side partials, then unpivot
+    to the upper-triangle rows a feature-correlation report wants.
+
+    Determinism: both engines implement the same single-pass
+    co-moment updates; cov rounds to 4 (scale ~1e4), corr to 6.
+
+    Scale shape: one scan, one 1-row agg, constant-size unpivot. The
+    pattern scales to p columns as p(p−1)/2 agg expressions — still
+    one pass, no self-join, no shuffle of facts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("quantity", "extendedprice"),
+        ("quantity", "discount"),
+        ("quantity", "tax"),
+        ("extendedprice", "discount"),
+        ("extendedprice", "tax"),
+        ("discount", "tax"),
+    ]
+    aggs = []
+    for a, b in pairs:
+        aggs.append(
+            F.covar_pop(F.col(f"l_{a}"), F.col(f"l_{b}")).alias(f"c_{a}_{b}")
+        )
+        aggs.append(
+            F.corr(F.col(f"l_{a}"), F.col(f"l_{b}")).alias(f"r_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+    out = None
+    for a, b in pairs:
+        row = m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(F.col(f"c_{a}_{b}"), 4).alias("cov"),
+            F.round(F.col(f"r_{a}_{b}"), 6).alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
