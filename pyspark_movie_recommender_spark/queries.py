@@ -22891,3 +22891,265 @@ def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# wave 119: raking (IPF) weight calibration, Platt scaling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "raking_ipf_weights",
+    oracle="""
+    WITH cust AS (
+        SELECT r.r_name AS region, c.c_mktsegment AS seg
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ), cells AS (
+        SELECT region, seg, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cust GROUP BY region, seg
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nc FROM cells
+    ), ord AS (
+        SELECT r.r_name AS region, c.c_mktsegment AS seg
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ), rowt AS (
+        SELECT region, CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM ord) * nc AS t
+        FROM ord, tot GROUP BY region, nc
+    ), colt AS (
+        SELECT seg, CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM ord) * nc AS t
+        FROM ord, tot GROUP BY seg, nc
+    ), w0 AS (
+        SELECT region, seg, n, CAST(1.0 AS DOUBLE) AS w FROM cells
+    ), r1 AS (
+        SELECT w0.region, w0.seg, w0.n,
+               w0.w * rowt.t
+               / SUM(w0.n * w0.w) OVER (PARTITION BY w0.region) AS w
+        FROM w0 JOIN rowt ON rowt.region = w0.region
+    ), c1 AS (
+        SELECT r1.region, r1.seg, r1.n,
+               r1.w * colt.t
+               / SUM(r1.n * r1.w) OVER (PARTITION BY r1.seg) AS w
+        FROM r1 JOIN colt ON colt.seg = r1.seg
+    ), r2 AS (
+        SELECT c1.region, c1.seg, c1.n,
+               c1.w * rowt.t
+               / SUM(c1.n * c1.w) OVER (PARTITION BY c1.region) AS w
+        FROM c1 JOIN rowt ON rowt.region = c1.region
+    ), c2 AS (
+        SELECT r2.region, r2.seg, r2.n,
+               r2.w * colt.t
+               / SUM(r2.n * r2.w) OVER (PARTITION BY r2.seg) AS w
+        FROM r2 JOIN colt ON colt.seg = r2.seg
+    ), r3 AS (
+        SELECT c2.region, c2.seg, c2.n,
+               c2.w * rowt.t
+               / SUM(c2.n * c2.w) OVER (PARTITION BY c2.region) AS w
+        FROM c2 JOIN rowt ON rowt.region = c2.region
+    ), c3 AS (
+        SELECT r3.region, r3.seg, r3.n,
+               r3.w * colt.t
+               / SUM(r3.n * r3.w) OVER (PARTITION BY r3.seg) AS w
+        FROM r3 JOIN colt ON colt.seg = r3.seg
+    )
+    SELECT region, seg, n, ROUND(w, 6) AS weight
+    FROM c3
+    """,
+)
+def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / iterative proportional fitting (Sinkhorn matrix
+    scaling): per-(region, segment) customer-cell weights calibrated
+    in 3 row/column rounds so the WEIGHTED customer margins match the
+    order-activity margins — the survey-statistics calibration that
+    reweights a sample to known population totals, and the same
+    scaling loop that balances optimal-transport kernels. Each round
+    multiplies cell weights by target/current margin; margins are
+    per-row/per-column window sums over the |regions|×|segments|
+    cell table.
+
+    Scale shape: the two fact-sized passes are the customer-cell and
+    order-margin counts (hash aggs); IPF then iterates on ~25 cell
+    rows with window partitions of ≤5 rows. Round 6 absorbs the two
+    engines' margin-summation orders.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    cdim = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("r_name").alias("region"),
+                F.col("c_mktsegment").alias("seg"),
+                "c_custkey")
+    )
+    cells = cdim.groupBy("region", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nc = cells.agg(F.sum("n").cast("long").alias("nc"))
+    od = orders.join(
+        cdim.select("c_custkey", "region", "seg"),
+        orders.o_custkey == cdim.c_custkey,
+    )
+    n_ord = od.count()  # driver scalar (margin normalizer), one tiny job
+    rowt = (
+        od.groupBy("region")
+        .agg(F.count(F.lit(1)).alias("no"))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "region",
+            (F.col("no").cast("double") / n_ord * F.col("nc")).alias("t"),
+        )
+    )
+    colt = (
+        od.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("no"))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "seg",
+            (F.col("no").cast("double") / n_ord * F.col("nc")).alias("t"),
+        )
+    )
+    w = cells.withColumn("w", F.lit(1.0)).localCheckpoint()
+    wr = Window.partitionBy("region")
+    ws = Window.partitionBy("seg")
+    for _ in range(3):
+        w = (
+            w.join(F.broadcast(rowt), "region")
+            .select(
+                "region", "seg", "n",
+                (
+                    F.col("w") * F.col("t")
+                    / F.sum(F.col("n") * F.col("w")).over(wr)
+                ).alias("w"),
+            )
+        )
+        w = (
+            w.join(F.broadcast(colt), "seg")
+            .select(
+                "region", "seg", "n",
+                (
+                    F.col("w") * F.col("t")
+                    / F.sum(F.col("n") * F.col("w")).over(ws)
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return w.select("region", "seg", "n", F.round("w", 6).alias("weight"))
+
+
+@query(
+    "platt_scaling_calibration",
+    oracle="""
+    WITH pts AS (
+        SELECT o_totalprice / 100000 AS x,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END
+                   AS y
+        FROM orders
+    ), p0 AS (SELECT 0.0 AS a, 0.0 AS b),
+    s1 AS (
+        SELECT SUM(1/(1+exp(-(a + b*x))) - y) AS g1,
+               SUM((1/(1+exp(-(a + b*x))) - y) * x) AS g2,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x))))) AS h11,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x) AS h12,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x * x) AS h22,
+               ANY_VALUE(a) AS a, ANY_VALUE(b) AS b
+        FROM pts, p0
+    ), p1 AS (
+        SELECT a - ( h22*g1 - h12*g2) / (h11*h22 - h12*h12) AS a,
+               b - (-h12*g1 + h11*g2) / (h11*h22 - h12*h12) AS b
+        FROM s1
+    ), s2 AS (
+        SELECT SUM(1/(1+exp(-(a + b*x))) - y) AS g1,
+               SUM((1/(1+exp(-(a + b*x))) - y) * x) AS g2,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x))))) AS h11,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x) AS h12,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x * x) AS h22,
+               ANY_VALUE(a) AS a, ANY_VALUE(b) AS b
+        FROM pts, p1
+    ), p2 AS (
+        SELECT a - ( h22*g1 - h12*g2) / (h11*h22 - h12*h12) AS a,
+               b - (-h12*g1 + h11*g2) / (h11*h22 - h12*h12) AS b
+        FROM s2
+    ), s3 AS (
+        SELECT SUM(1/(1+exp(-(a + b*x))) - y) AS g1,
+               SUM((1/(1+exp(-(a + b*x))) - y) * x) AS g2,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x))))) AS h11,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x) AS h12,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x * x) AS h22,
+               ANY_VALUE(a) AS a, ANY_VALUE(b) AS b
+        FROM pts, p2
+    ), p3 AS (
+        SELECT a - ( h22*g1 - h12*g2) / (h11*h22 - h12*h12) AS a,
+               b - (-h12*g1 + h11*g2) / (h11*h22 - h12*h12) AS b
+        FROM s3
+    ), fit AS (
+        SELECT ROUND(a, 4) AS a, ROUND(b, 4) AS b FROM p3
+    ), check_cal AS (
+        SELECT ROUND(AVG(1/(1+exp(-(f.a + f.b*x)))), 4) AS mean_p,
+               ROUND(AVG(y), 4) AS base_rate
+        FROM pts, fit f
+    )
+    SELECT f.a, f.b, c.mean_p, c.base_rate
+    FROM fit f, check_cal c
+    """,
+)
+def platt_scaling_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling — fit sigmoid(a + b·score) mapping a raw score
+    (scaled order value) to a calibrated probability of the URGENT
+    label, by three Newton-Raphson rounds with the 2×2 Hessian
+    inverted in closed form. The calibration FITTER beside the
+    calibration AUDIT (calibration_reliability_bins) and the
+    monotone alternative (isotonic_fit): after fitting, the mean
+    predicted probability must sit on the base rate (reported as the
+    built-in check — Newton on logistic loss converges to the
+    score-calibrated fixed point).
+
+    Determinism: each Newton round is one hash agg of five sigmoid
+    moment sums over the facts with an identical IEEE dag on both
+    engines; three rounds from (0,0), outputs rounded to 4 (Newton
+    amplifies last-bit summation noise, so 6 would be flaky).
+
+    Scale shape: 3 full-data passes (one per round), each a map-side
+    partial agg to one row — the standard distributed-Newton shape
+    for low-dimension GLMs; no shuffle beyond the 1-row agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        (F.col("o_totalprice") / 100000).alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    ).localCheckpoint()
+    a_val, b_val = 0.0, 0.0
+    # three Newton rounds, each one agg pass; (a, b) are driver-side
+    # scalars exactly like the oracle's chained 1-row param CTEs
+    for _ in range(3):
+        p = 1 / (1 + F.exp(-(F.lit(a_val) + F.lit(b_val) * F.col("x"))))
+        s = pts.agg(
+            F.sum(p - F.col("y")).alias("g1"),
+            F.sum((p - F.col("y")) * F.col("x")).alias("g2"),
+            F.sum(p * (1 - p)).alias("h11"),
+            F.sum(p * (1 - p) * F.col("x")).alias("h12"),
+            F.sum(p * (1 - p) * F.col("x") * F.col("x")).alias("h22"),
+        ).first()
+        det = s.h11 * s.h22 - s.h12 * s.h12
+        a_val = a_val - (s.h22 * s.g1 - s.h12 * s.g2) / det
+        b_val = b_val - (-s.h12 * s.g1 + s.h11 * s.g2) / det
+    p_fit = 1 / (1 + F.exp(-(F.lit(a_val) + F.lit(b_val) * F.col("x"))))
+    fit = pts.agg(
+        F.round(F.avg(p_fit), 4).alias("mean_p"),
+        F.round(F.avg("y"), 4).alias("base_rate"),
+    )
+    return fit.select(
+        F.round(F.lit(a_val), 4).alias("a"),
+        F.round(F.lit(b_val), 4).alias("b"),
+        "mean_p",
+        "base_rate",
+    )
