@@ -312,3 +312,34 @@ def test_approx_topk_counts_match_exact(spark):
     for t, c in exact.items():
         if c > min_cnt:
             assert t in returned
+
+
+# --- plan pins for session scale-shape claims -------------------------------
+
+
+def test_repetition_loop_detector_is_map_side_only(spark):
+    """The in-row HOF loop detector must not shuffle at all — its
+    docstring's zero-shuffle claim, pinned."""
+    from pyspark_movie_recommender_spark.plans import count_exchanges
+
+    df = Q.QUERIES["repetition_loop_detector"](spark, SF)
+    assert count_exchanges(df) == 0
+
+
+def test_peak_concurrency_has_no_single_partition_exchange(spark):
+    """distributed_prefix_sum must keep the sweep-line running sum off
+    the 1-task Window.orderBy path: no Exchange SinglePartition in the
+    physical plan."""
+    from pyspark_movie_recommender_spark.plans import physical_plan
+
+    df = Q.QUERIES["peak_concurrent_sessions"](spark, SF)
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_in_row_gate_and_good_turing_share_one_exchange_shape(spark):
+    """good_turing's two nested aggs reduce map-side: exactly the
+    (source,w) and (source,r) hash aggregations' exchanges, no more."""
+    from pyspark_movie_recommender_spark.plans import count_exchanges
+
+    df = Q.QUERIES["good_turing_missing_mass"](spark, SF)
+    assert count_exchanges(df) <= 3
