@@ -23153,3 +23153,167 @@ def platt_scaling_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_p",
         "base_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 120: doubly-robust (AIPW) treatment-effect estimator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doubly_robust_ate",
+    oracle="""
+    WITH pts AS (
+        SELECT c.c_acctbal / 1000 AS x,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END
+                   AS t,
+               o.o_totalprice AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), p0 AS (SELECT 0.0 AS a, 0.0 AS b),
+    s1 AS (
+        SELECT SUM(1/(1+exp(-(a + b*x))) - t) AS g1,
+               SUM((1/(1+exp(-(a + b*x))) - t) * x) AS g2,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x))))) AS h11,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x) AS h12,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x * x) AS h22,
+               ANY_VALUE(a) AS a, ANY_VALUE(b) AS b
+        FROM pts, p0
+    ), p1 AS (
+        SELECT a - ( h22*g1 - h12*g2) / (h11*h22 - h12*h12) AS a,
+               b - (-h12*g1 + h11*g2) / (h11*h22 - h12*h12) AS b
+        FROM s1
+    ), s2 AS (
+        SELECT SUM(1/(1+exp(-(a + b*x))) - t) AS g1,
+               SUM((1/(1+exp(-(a + b*x))) - t) * x) AS g2,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x))))) AS h11,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x) AS h12,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x * x) AS h22,
+               ANY_VALUE(a) AS a, ANY_VALUE(b) AS b
+        FROM pts, p1
+    ), p2 AS (
+        SELECT a - ( h22*g1 - h12*g2) / (h11*h22 - h12*h12) AS a,
+               b - (-h12*g1 + h11*g2) / (h11*h22 - h12*h12) AS b
+        FROM s2
+    ), s3 AS (
+        SELECT SUM(1/(1+exp(-(a + b*x))) - t) AS g1,
+               SUM((1/(1+exp(-(a + b*x))) - t) * x) AS g2,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x))))) AS h11,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x) AS h12,
+               SUM((1/(1+exp(-(a + b*x)))) * (1 - 1/(1+exp(-(a + b*x)))) * x * x) AS h22,
+               ANY_VALUE(a) AS a, ANY_VALUE(b) AS b
+        FROM pts, p2
+    ), p3 AS (
+        SELECT a - ( h22*g1 - h12*g2) / (h11*h22 - h12*h12) AS a,
+               b - (-h12*g1 + h11*g2) / (h11*h22 - h12*h12) AS b
+        FROM s3
+    ), om AS (
+        SELECT regr_intercept(y, x) FILTER (WHERE t = 1) AS i1,
+               regr_slope(y, x) FILTER (WHERE t = 1) AS sl1,
+               regr_intercept(y, x) FILTER (WHERE t = 0) AS i0,
+               regr_slope(y, x) FILTER (WHERE t = 0) AS sl0
+        FROM pts
+    ), scored AS (
+        SELECT t, y,
+               i1 + sl1 * x AS m1,
+               i0 + sl0 * x AS m0,
+               greatest(0.01, least(0.99, 1/(1+exp(-(a + b*x))))) AS e
+        FROM pts, p3, om
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CASE WHEN t = 1 THEN y END)
+                 - AVG(CASE WHEN t = 0 THEN y END), 4) AS naive_diff,
+           ROUND(AVG(m1 - m0), 4) AS regression_ate,
+           ROUND(AVG(m1 - m0
+                     + t * (y - m1) / e
+                     - (1 - t) * (y - m0) / (1 - e)), 4) AS aipw_ate
+    FROM scored
+    """,
+)
+def doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) average treatment effect of URGENT priority
+    on order value, adjusting for customer balance: propensity
+    e(x) from a 3-round distributed-Newton logistic (clipped to
+    [0.01, 0.99]), per-arm outcome models from closed-form OLS
+    (regr_intercept/regr_slope with FILTER), combined as
+    m₁−m₀ + t(y−m₁)/e − (1−t)(y−m₀)/(1−e) — consistent if EITHER
+    model is right, the modern default the causal family
+    (DiD, CUPED, stratification, QTE) was missing. The naive
+    difference and the regression-only ATE are reported beside it so
+    the adjustment is visible.
+
+    Determinism: Newton rounds are identical IEEE dags over the same
+    rounded-input sums on both engines (same construction as
+    platt_scaling_calibration); the clip bounds the 1/e
+    amplification; outputs round to 4.
+
+    Scale shape: one join + three 5-sum agg passes (one per Newton
+    round, map-side partials) + one closed-form OLS agg + one final
+    scoring agg. Nothing wide; the model parameters are driver-side
+    scalars like the oracle's 1-row param CTEs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            (F.col("c_acctbal") / 1000).alias("x"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+            .otherwise(0.0)
+            .alias("t"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .localCheckpoint()
+    )
+    a_val, b_val = 0.0, 0.0
+    for _ in range(3):
+        p = 1 / (1 + F.exp(-(F.lit(a_val) + F.lit(b_val) * F.col("x"))))
+        s = pts.agg(
+            F.sum(p - F.col("t")).alias("g1"),
+            F.sum((p - F.col("t")) * F.col("x")).alias("g2"),
+            F.sum(p * (1 - p)).alias("h11"),
+            F.sum(p * (1 - p) * F.col("x")).alias("h12"),
+            F.sum(p * (1 - p) * F.col("x") * F.col("x")).alias("h22"),
+        ).first()
+        det = s.h11 * s.h22 - s.h12 * s.h12
+        a_val = a_val - (s.h22 * s.g1 - s.h12 * s.g2) / det
+        b_val = b_val - (-s.h12 * s.g1 + s.h11 * s.g2) / det
+    om = pts.agg(
+        F.expr("regr_intercept(y, x) FILTER (WHERE t = 1)").alias("i1"),
+        F.expr("regr_slope(y, x) FILTER (WHERE t = 1)").alias("sl1"),
+        F.expr("regr_intercept(y, x) FILTER (WHERE t = 0)").alias("i0"),
+        F.expr("regr_slope(y, x) FILTER (WHERE t = 0)").alias("sl0"),
+    )
+    e = F.greatest(
+        F.lit(0.01),
+        F.least(
+            F.lit(0.99),
+            1 / (1 + F.exp(-(F.lit(a_val) + F.lit(b_val) * F.col("x")))),
+        ),
+    )
+    scored = pts.crossJoin(F.broadcast(om)).select(
+        "t",
+        "y",
+        (F.col("i1") + F.col("sl1") * F.col("x")).alias("m1"),
+        (F.col("i0") + F.col("sl0") * F.col("x")).alias("m0"),
+        e.alias("e"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.avg(F.when(F.col("t") == 1, F.col("y")))
+            - F.avg(F.when(F.col("t") == 0, F.col("y"))),
+            4,
+        ).alias("naive_diff"),
+        F.round(F.avg(F.col("m1") - F.col("m0")), 4).alias("regression_ate"),
+        F.round(
+            F.avg(
+                F.col("m1")
+                - F.col("m0")
+                + F.col("t") * (F.col("y") - F.col("m1")) / F.col("e")
+                - (1 - F.col("t"))
+                * (F.col("y") - F.col("m0"))
+                / (1 - F.col("e"))
+            ),
+            4,
+        ).alias("aipw_ate"),
+    )
