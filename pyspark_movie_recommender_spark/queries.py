@@ -23317,3 +23317,189 @@ def doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("aipw_ate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 121: MLM masking plan, hierarchical forecast reconciliation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mlm_masking_plan",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               unnest(generate_series(1, len(t))) AS i
+        FROM tok
+    ), marked AS (
+        SELECT doc_id, n_tokens, i,
+               CASE WHEN ((doc_id * 1000003 + i) * 2654435761)
+                         % 4294967296 % 100 < 15
+                    THEN 1 ELSE 0 END AS masked
+        FROM pos
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(masked) AS BIGINT) AS n_masked,
+           CAST(COALESCE(MIN(CASE WHEN masked = 1 THEN i END), 0) AS BIGINT)
+               AS first_mask_pos
+    FROM marked GROUP BY doc_id
+    """,
+)
+def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-language-model training-example planning: a DETERMINISTIC
+    15% token mask per document via the keyed Knuth hash
+    ((doc_id·1000003 + position)·2654435761 mod 2³²) mod 100 < 15 —
+    reproducible across engines, executors, and reruns, which is what
+    makes masking auditable (the same doc always yields the same
+    example) and resumable (no RNG state to checkpoint). Reports the
+    per-doc token count, mask count, and first masked position; the
+    companion augmentation ops (token_dropout_augment,
+    negative_sampling_pairs) use the same hash-not-RNG discipline.
+
+    Scale shape: position fan-out is map-side (in-row sequence →
+    per-position hash bit), one hash agg per doc. At 100 TB the mask
+    column is computed at scan speed; no shuffle beyond the doc agg.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("t")
+    )
+    marked = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(
+            "filter(transform(sequence(1, size(t)),"
+            " i -> IF(((doc_id * 1000003 + i) * 2654435761)"
+            "        % 4294967296 % 100 < 15, i, -1)), p -> p > 0)"
+        ).alias("mask_pos"),
+    )
+    return marked.select(
+        "doc_id",
+        "n_tokens",
+        F.size("mask_pos").cast("long").alias("n_masked"),
+        F.coalesce(
+            F.expr("CASE WHEN size(mask_pos) > 0 THEN mask_pos[0] END"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("first_mask_pos"),
+    )
+
+
+@query(
+    "forecast_reconciliation",
+    oracle="""
+    WITH daily AS (
+        SELECT r.r_name AS region,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY region, day
+    ), horizon AS (
+        SELECT MAX(day) AS max_day FROM daily
+    ), bottom AS (
+        SELECT region,
+               CAST(SUM(CASE WHEN day > max_day - 7 THEN cents ELSE 0 END)
+                    AS BIGINT) AS fc_bottom
+        FROM daily, horizon GROUP BY region
+    ), top AS (
+        SELECT CAST(SUM(fc_bottom) AS BIGINT) AS bu_total FROM bottom
+    ), hist AS (
+        SELECT region, CAST(SUM(cents) AS BIGINT) AS hist_cents FROM daily
+        GROUP BY region
+    ), hist_tot AS (
+        SELECT CAST(SUM(hist_cents) AS BIGINT) AS h FROM hist
+    )
+    SELECT b.region, b.fc_bottom,
+           CAST(CAST(t.bu_total AS HUGEINT) * h2.hist_cents // h1.h
+                AS BIGINT) AS fc_topdown,
+           CAST(b.fc_bottom
+                - CAST(t.bu_total AS HUGEINT) * h2.hist_cents // h1.h
+                AS BIGINT) AS coherence_gap
+    FROM bottom b, top t, hist_tot h1
+    JOIN hist h2 ON h2.region = b.region
+    """,
+)
+def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation, bottom-up vs top-down:
+    each region's naive next-week forecast (last 7 days of revenue,
+    integer cents) versus the total forecast re-split by historical
+    revenue share — the coherence problem every hierarchy of
+    forecasts has (regional numbers MUST sum to the total the CFO
+    sees), reported as the per-region gap between the two coherent
+    methods. Integer-exact: the top-down split uses floor-div on
+    cents so both engines produce identical allocations.
+
+    Scale shape: one fact agg to |regions|×|days|; everything after
+    is arithmetic on ≤5-row relations. The reconciliation itself is
+    metadata-scale — exactly why it belongs in the warehouse, not a
+    notebook.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            epoch_day("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    horizon = daily.agg(F.max("day").alias("max_day"))
+    tagged = daily.crossJoin(F.broadcast(horizon))
+    bottom = tagged.groupBy("region").agg(
+        F.sum(
+            F.when(F.col("day") > F.col("max_day") - 7, F.col("cents"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("fc_bottom")
+    )
+    top = bottom.agg(F.sum("fc_bottom").cast("long").alias("bu_total"))
+    hist = daily.groupBy("region").agg(
+        F.sum("cents").cast("long").alias("hist_cents")
+    )
+    hist_tot = hist.agg(F.sum("hist_cents").cast("long").alias("h"))
+    return (
+        bottom.join(hist, "region")
+        .crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(hist_tot))
+        .select(
+            "region",
+            "fc_bottom",
+            # 128-bit product (cents × cents overflows INT64): exact
+            # floor-div via (p − p mod h)/h on DECIMAL(38,0)
+            F.expr(
+                "CAST((CAST(bu_total AS DECIMAL(38,0)) * hist_cents"
+                " - (CAST(bu_total AS DECIMAL(38,0)) * hist_cents) % h)"
+                " / h AS BIGINT)"
+            ).alias("fc_topdown"),
+            F.expr(
+                "fc_bottom - CAST((CAST(bu_total AS DECIMAL(38,0))"
+                " * hist_cents - (CAST(bu_total AS DECIMAL(38,0))"
+                " * hist_cents) % h) / h AS BIGINT)"
+            ).alias("coherence_gap"),
+        )
+    )
