@@ -23503,3 +23503,160 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coherence_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 122: weight-of-evidence/IV encoding, out-of-fold target encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "woe_iv_encoding",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS bad
+        FROM orders
+    ), b AS (
+        SELECT bucket,
+               CAST(COUNT(*) - SUM(bad) AS BIGINT) AS n_good,
+               CAST(SUM(bad) AS BIGINT) AS n_bad
+        FROM pts GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+               CAST(SUM(n_bad) AS BIGINT) AS bb
+        FROM b
+    ), woe AS (
+        SELECT bucket, n_good, n_bad,
+               ln(((n_good + 0.5) / (g + 0.5)) / ((n_bad + 0.5) / (bb + 0.5)))
+                   AS w,
+               (CAST(n_good AS DOUBLE) / g - CAST(n_bad AS DOUBLE) / bb) AS d
+        FROM b, tot
+    )
+    SELECT bucket, n_good, n_bad,
+           ROUND(w, 6) AS woe,
+           ROUND((SELECT SUM(w2.d * w2.w) FROM woe w2), 6) AS iv_total
+    FROM woe
+    """,
+)
+def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding with total Information Value — the
+    credit-risk-scoring feature transform: each order-value bucket's
+    WoE = ln(good-share/bad-share) (0.5-smoothed against empty
+    cells), and IV = Σ(Δshare·WoE) grading the whole variable's
+    predictive power (rule of thumb: IV < 0.02 useless, > 0.5
+    suspicious). The supervised cousin of the unsupervised bucketing
+    family (histogram, ntile, quantile-normalize): buckets are scored
+    BY the label.
+
+    Scale shape: one map-side bucket tag + hash agg to |buckets|
+    rows; WoE/IV is arithmetic on that tiny relation with the totals
+    broadcast. Round 6 on both the per-bucket WoE and the IV sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("bad"),
+    )
+    b = pts.groupBy("bucket").agg(
+        (F.count(F.lit(1)) - F.sum("bad")).cast("long").alias("n_good"),
+        F.sum("bad").cast("long").alias("n_bad"),
+    )
+    tot = b.agg(
+        F.sum("n_good").cast("long").alias("g"),
+        F.sum("n_bad").cast("long").alias("bb"),
+    )
+    woe = b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_good",
+        "n_bad",
+        F.log(
+            ((F.col("n_good") + 0.5) / (F.col("g") + 0.5))
+            / ((F.col("n_bad") + 0.5) / (F.col("bb") + 0.5))
+        ).alias("w"),
+        (
+            F.col("n_good").cast("double") / F.col("g")
+            - F.col("n_bad").cast("double") / F.col("bb")
+        ).alias("d"),
+    )
+    iv = woe.agg(F.sum(F.col("d") * F.col("w")).alias("iv"))
+    return woe.crossJoin(F.broadcast(iv)).select(
+        "bucket",
+        "n_good",
+        "n_bad",
+        F.round("w", 6).alias("woe"),
+        F.round("iv", 6).alias("iv_total"),
+    )
+
+
+@query(
+    "oof_target_encoding",
+    oracle="""
+    WITH pts AS (
+        SELECT c.c_mktsegment AS cat,
+               o.o_orderkey % 5 AS fold,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cell AS (
+        SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM pts GROUP BY cat, fold
+    ), catt AS (
+        SELECT cat, CAST(SUM(n) AS BIGINT) AS n_cat,
+               CAST(SUM(s) AS BIGINT) AS s_cat
+        FROM cell GROUP BY cat
+    )
+    SELECT c.cat, CAST(c.fold AS BIGINT) AS fold, c.n,
+           ROUND(CAST(t.s_cat - c.s AS DOUBLE) / (t.n_cat - c.n), 6)
+               AS oof_rate,
+           ROUND(CAST(t.s_cat AS DOUBLE) / t.n_cat, 6) AS full_rate
+    FROM cell c JOIN catt t ON t.cat = c.cat
+    """,
+)
+def oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-PROOF version of the
+    most leakage-prone feature transform there is: each (category,
+    fold) cell's encoding is the category's label mean computed
+    EXCLUDING that fold ((S_cat − s_cell)/(N_cat − n_cell)), so no
+    row's own label ever reaches its own feature. The full-data rate
+    rides along to show exactly what naive target encoding would have
+    leaked. Complements leakage_safe_training_labels (time
+    dimension) with the fold dimension; folds are the deterministic
+    orderkey % 5 hash split.
+
+    Scale shape: one hash agg to |cats|×|folds| cells, a second to
+    |cats| — the leave-one-out means need only those two exact-
+    integer relations joined, never a per-row self-exclusion scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pts = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("cat"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    cell = pts.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    catt = cell.groupBy("cat").agg(
+        F.sum("n").cast("long").alias("n_cat"),
+        F.sum("s").cast("long").alias("s_cat"),
+    )
+    return cell.join(F.broadcast(catt), "cat").select(
+        "cat",
+        F.col("fold").cast("long").alias("fold"),
+        "n",
+        F.round(
+            (F.col("s_cat") - F.col("s")).cast("double")
+            / (F.col("n_cat") - F.col("n")),
+            6,
+        ).alias("oof_rate"),
+        F.round(
+            F.col("s_cat").cast("double") / F.col("n_cat"), 6
+        ).alias("full_rate"),
+    )
