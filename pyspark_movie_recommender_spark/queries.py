@@ -23660,3 +23660,235 @@ def oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_cat").cast("double") / F.col("n_cat"), 6
         ).alias("full_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 123: Bradley-Terry strengths, emerging-term burst detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bradley_terry_priorities",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+               o_orderpriority AS team, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY day, team
+    ), duel AS (
+        SELECT a.team AS ta, b.team AS tb,
+               CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS wins
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.team <> b.team
+        GROUP BY ta, tb
+    ), games AS (
+        SELECT d.ta, d.tb, d.wins, d.wins + r.wins AS n_games
+        FROM duel d JOIN duel r ON r.ta = d.tb AND r.tb = d.ta
+    ), wtot AS (
+        SELECT ta AS team, CAST(SUM(wins) AS BIGINT) AS w
+        FROM games GROUP BY ta
+    ), it0 AS (
+        SELECT team, w, CAST(1.0 AS DOUBLE) AS s FROM wtot
+    ), r1 AS (
+        SELECT i.team, i.w,
+               i.w / SUM(g.n_games / (i.s + j.s)) AS s
+        FROM it0 i
+        JOIN games g ON g.ta = i.team
+        JOIN it0 j ON j.team = g.tb
+        GROUP BY i.team, i.w, i.s
+    ), it1 AS (
+        SELECT team, w, s / (SELECT SUM(s) FROM r1) * 5 AS s FROM r1
+    ), r2 AS (
+        SELECT i.team, i.w,
+               i.w / SUM(g.n_games / (i.s + j.s)) AS s
+        FROM it1 i
+        JOIN games g ON g.ta = i.team
+        JOIN it1 j ON j.team = g.tb
+        GROUP BY i.team, i.w, i.s
+    ), it2 AS (
+        SELECT team, w, s / (SELECT SUM(s) FROM r2) * 5 AS s FROM r2
+    ), r3 AS (
+        SELECT i.team, i.w,
+               i.w / SUM(g.n_games / (i.s + j.s)) AS s
+        FROM it2 i
+        JOIN games g ON g.ta = i.team
+        JOIN it2 j ON j.team = g.tb
+        GROUP BY i.team, i.w, i.s
+    ), it3 AS (
+        SELECT team, w, s / (SELECT SUM(s) FROM r3) * 5 AS s FROM r3
+    )
+    SELECT team, w AS total_wins, ROUND(s, 6) AS strength FROM it3
+    """,
+)
+def bradley_terry_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry paired-comparison strengths via the MM algorithm:
+    order priorities "duel" daily (more orders that day wins), and
+    three minorization-maximization rounds s_i ← W_i / Σ_j n_ij/(s_i+s_j)
+    (normalized to Σs = |teams| each round) turn the pairwise win
+    matrix into a strength scale — the principled ranking for ANY
+    pairwise-outcome data (LLM preference pairs, A/B duels, match
+    results) where simple win-rate ignores opponent strength. The
+    preference_pairs_by_quality query produces exactly the kind of
+    data this model consumes.
+
+    Scale shape: the fact-sized work is the daily count agg and the
+    day-keyed duel join (|teams|² per day, teams tiny); MM iterates
+    on the |teams|²-row game matrix. Oracle unrolls the same three
+    rounds.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    daily = orders.groupBy(
+        epoch_day("o_orderdate").alias("day"),
+        F.col("o_orderpriority").alias("team"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = daily.select(
+        F.col("day"), F.col("team").alias("ta"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        F.col("day"), F.col("team").alias("tb"), F.col("c").alias("cb")
+    )
+    duel = (
+        a.join(b, "day")
+        .filter(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.when(F.col("ca") > F.col("cb"), 1).otherwise(0))
+            .cast("long")
+            .alias("wins")
+        )
+    )
+    rev = duel.select(
+        F.col("ta").alias("tb"), F.col("tb").alias("ta"),
+        F.col("wins").alias("rwins"),
+    )
+    games = duel.join(rev, ["ta", "tb"]).select(
+        "ta", "tb", "wins", (F.col("wins") + F.col("rwins")).alias("n_games")
+    ).localCheckpoint()
+    wtot = games.groupBy(F.col("ta").alias("team")).agg(
+        F.sum("wins").cast("long").alias("w")
+    )
+    s = wtot.withColumn("s", F.lit(1.0)).localCheckpoint()
+    n_teams = s.count()
+    for _ in range(3):
+        joined = (
+            games.join(
+                s.select(F.col("team").alias("ta"), "w",
+                         F.col("s").alias("si")),
+                "ta",
+            )
+            .join(
+                s.select(F.col("team").alias("tb"), F.col("s").alias("sj")),
+                "tb",
+            )
+            .groupBy(F.col("ta").alias("team"), "w")
+            .agg(
+                (
+                    F.first("w")
+                    / F.sum(F.col("n_games") / (F.col("si") + F.col("sj")))
+                ).alias("s")
+            )
+            .select("team", "w", "s")
+        )
+        tot = joined.agg(F.sum("s").alias("ts"))
+        s = (
+            joined.crossJoin(F.broadcast(tot))
+            .select(
+                "team", "w",
+                (F.col("s") / F.col("ts") * n_teams).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return s.select(
+        "team", F.col("w").alias("total_wins"), F.round("s", 6).alias("strength")
+    )
+
+
+@query(
+    "burst_terms_weekly",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id % 28 AS pseudo_day,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> ''
+    ), tagged AS (
+        SELECT CASE WHEN pseudo_day >= 21 THEN 1 ELSE 0 END AS recent, w
+        FROM tok
+    ), cnt AS (
+        SELECT w, CAST(SUM(recent) AS BIGINT) AS a,
+               CAST(SUM(1 - recent) AS BIGINT) AS b
+        FROM tagged GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+        FROM cnt
+    ), scored AS (
+        SELECT w, a, b,
+               ROUND((CAST(a AS DOUBLE)/ta - CAST(b AS DOUBLE)/tb)
+                 / sqrt((CAST(a + b AS DOUBLE)/(ta + tb))
+                        * (1 - CAST(a + b AS DOUBLE)/(ta + tb))
+                        * (1.0/ta + 1.0/tb)), 6) AS z
+        FROM cnt, tot WHERE a + b >= 20
+    )
+    SELECT w AS term, a AS recent_count, b AS past_count, z
+    FROM scored
+    ORDER BY z DESC, term LIMIT 20
+    """,
+)
+def burst_terms_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-term detection: which vocabulary is BURSTING in the
+    most recent week of the corpus relative to its history? Each
+    term's recent-vs-past share difference is scored with the pooled
+    two-proportion z (the same statistic as the A/B tests, applied
+    per term with a min-support floor), top-20 by z — the temporal
+    twin of G² source keyness (which compares sources, not periods),
+    and the lightweight version of Kleinberg burst states. The
+    "week" is the deterministic doc_id-derived pseudo-day so the
+    fixture exercises the shape.
+
+    Determinism: counts exact; z rounded to 6 BEFORE the top-20
+    ranking (term tie-break), so both engines cut the same list.
+
+    Scale shape: explode → (recent, w) tag map-side → one vocab-sized
+    hash agg; scoring is arithmetic on vocab rows; top-20 is
+    TakeOrderedAndProject, no global sort.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tagged = docs.select(
+        F.when(F.col("doc_id") % 28 >= 21, 1).otherwise(0).alias("recent"),
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    cnt = tagged.groupBy("w").agg(
+        F.sum("recent").cast("long").alias("a"),
+        F.sum(1 - F.col("recent")).cast("long").alias("b"),
+    )
+    tot = cnt.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    pa = F.col("a").cast("double") / F.col("ta")
+    pb = F.col("b").cast("double") / F.col("tb")
+    pp = (F.col("a") + F.col("b")).cast("double") / (
+        F.col("ta") + F.col("tb")
+    )
+    scored = (
+        cnt.filter(F.col("a") + F.col("b") >= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("term"),
+            F.col("a").alias("recent_count"),
+            F.col("b").alias("past_count"),
+            F.round(
+                (pa - pb)
+                / F.sqrt(
+                    pp * (1 - pp) * (1.0 / F.col("ta") + 1.0 / F.col("tb"))
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+    return scored.orderBy(F.col("z").desc(), "term").limit(20)
