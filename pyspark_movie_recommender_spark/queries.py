@@ -23892,3 +23892,179 @@ def burst_terms_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("z").desc(), "term").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# wave 124: Huber IRLS robust regression, journey variant census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "huber_irls_regression",
+    oracle="""
+    WITH pts AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ), ols AS (
+        SELECT regr_slope(y, x) AS b, regr_intercept(y, x) AS a FROM pts
+    ), scale_est AS (
+        SELECT 1.4826 * percentile_disc(0.5) WITHIN GROUP (
+                   ORDER BY abs(y - (a + b*x))) AS s
+        FROM pts, ols
+    ), w1 AS (
+        SELECT x, y,
+               least(1.0, 1.345 * s / abs(y - (a + b*x))) AS w
+        FROM pts, ols, scale_est WHERE abs(y - (a + b*x)) > 0
+    ), f1 AS (
+        SELECT (SUM(w*x*y) - SUM(w*x)*SUM(w*y)/SUM(w))
+               / (SUM(w*x*x) - SUM(w*x)*SUM(w*x)/SUM(w)) AS b,
+               SUM(w*y)/SUM(w)
+               - (SUM(w*x*y) - SUM(w*x)*SUM(w*y)/SUM(w))
+                 / (SUM(w*x*x) - SUM(w*x)*SUM(w*x)/SUM(w))
+                 * SUM(w*x)/SUM(w) AS a
+        FROM w1
+    ), w2 AS (
+        SELECT x, y,
+               least(1.0, 1.345 * s / abs(y - (a + b*x))) AS w
+        FROM pts, f1, scale_est WHERE abs(y - (a + b*x)) > 0
+    ), f2 AS (
+        SELECT (SUM(w*x*y) - SUM(w*x)*SUM(w*y)/SUM(w))
+               / (SUM(w*x*x) - SUM(w*x)*SUM(w*x)/SUM(w)) AS b,
+               SUM(w*y)/SUM(w)
+               - (SUM(w*x*y) - SUM(w*x)*SUM(w*y)/SUM(w))
+                 / (SUM(w*x*x) - SUM(w*x)*SUM(w*x)/SUM(w))
+                 * SUM(w*x)/SUM(w) AS a
+        FROM w2
+    )
+    SELECT ROUND(o.a, 4) AS ols_intercept, ROUND(o.b, 4) AS ols_slope,
+           ROUND(f.a, 4) AS huber_intercept, ROUND(f.b, 4) AS huber_slope,
+           ROUND(se.s, 4) AS resid_scale
+    FROM ols o, f2 f, scale_est se
+    """,
+)
+def huber_irls_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimation by iteratively reweighted least squares:
+    start from OLS, estimate the residual scale robustly
+    (1.4826·MAD), then two IRLS rounds where each point's weight is
+    min(1, 1.345·s/|r|) — outliers get down-weighted smoothly instead
+    of OLS's quadratic thrall or Theil-Sen's full rank machinery.
+    The practical middle of the robust-regression family:
+    weighted-OLS closed forms mean every round is ONE moment-sum agg,
+    no sorting beyond the single MAD percentile.
+
+    Determinism: MAD uses percentile_disc (an actual data value);
+    weighted moment sums are fixed dags; both engines run identical
+    rounds; outputs round to 4 (IRLS amplifies summation noise like
+    Newton does).
+
+    Scale shape: one OLS agg, one MAD percentile, two
+    weighted-moment agg passes — four scans with map-side partials,
+    parameters as broadcast scalars. The standard distributed-IRLS
+    shape for low-dimensional robust fits.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    ).localCheckpoint()
+    ols = pts.agg(
+        F.expr("regr_slope(y, x)").alias("b"),
+        F.expr("regr_intercept(y, x)").alias("a"),
+    ).first()
+    a0, b0 = ols.a, ols.b
+    s = pts.select(
+        F.abs(F.col("y") - (F.lit(a0) + F.lit(b0) * F.col("x"))).alias("r")
+    ).agg(
+        F.expr(
+            "1.4826 * percentile_disc(0.5) WITHIN GROUP (ORDER BY r)"
+        ).alias("s")
+    ).first().s
+    a_cur, b_cur = a0, b0
+    for _ in range(2):
+        r = F.abs(F.col("y") - (F.lit(a_cur) + F.lit(b_cur) * F.col("x")))
+        w = F.least(F.lit(1.0), F.lit(1.345 * s) / r)
+        m = (
+            pts.filter(r > 0)
+            .select("x", "y", w.alias("w"))
+            .agg(
+                F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("w") * F.col("x")).alias("sx"),
+                F.sum(F.col("w") * F.col("y")).alias("sy"),
+                F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+                F.sum("w").alias("sw"),
+            )
+            .first()
+        )
+        b_cur = (m.sxy - m.sx * m.sy / m.sw) / (m.sxx - m.sx * m.sx / m.sw)
+        a_cur = m.sy / m.sw - b_cur * m.sx / m.sw
+    return pts.sparkSession.createDataFrame(
+        [
+            (
+                round(a0, 4),
+                round(b0, 4),
+                round(a_cur, 4),
+                round(b_cur, 4),
+                round(s, 4),
+            )
+        ],
+        "ols_intercept double, ols_slope double, huber_intercept double,"
+        " huber_slope double, resid_scale double",
+    )
+
+
+@query(
+    "journey_variant_census",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               list_aggregate(list(event_type ORDER BY ts, event_id),
+                              'string_agg', '>') AS variant
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM seqs
+    ), census AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_cases
+        FROM seqs GROUP BY variant
+    )
+    SELECT variant, n_cases,
+           CAST(n_cases * 1000000 // n_users AS BIGINT) AS share_ppm
+    FROM census, tot
+    ORDER BY n_cases DESC, variant LIMIT 10
+    """,
+)
+def journey_variant_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining case-variant census: each user's COMPLETE
+    time-ordered event-type path as one variant string, counted and
+    ranked — the "how many distinct ways do users actually move
+    through the product" view that the transition matrix (pairs) and
+    trigram paths (windows) aggregate away. Real logs concentrate:
+    a handful of variants usually cover most cases, and the tail is
+    where process exceptions hide.
+
+    Scale shape: one ordered collect per user (journey-bounded), one
+    hash agg over variant strings, top-10 via TakeOrderedAndProject.
+    For very long journeys, hash the variant string map-side and
+    carry the hash through the census instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "named_struct('ts', ts, 'eid', event_id, 'et', event_type))),"
+            " x -> x.et), '>')"
+        ).alias("variant")
+    )
+    tot = seqs.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    census = seqs.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cases")
+    )
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            "variant",
+            "n_cases",
+            F.expr("n_cases * 1000000L div n_users")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.col("n_cases").desc(), "variant")
+        .limit(10)
+    )
