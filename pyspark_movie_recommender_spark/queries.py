@@ -24068,3 +24068,243 @@ def journey_variant_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_cases").desc(), "variant")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 125: RAKE keyphrase extraction, two-way fixed-effects estimator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rake_keyphrases",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        FROM (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        )
+    ), flagged AS (
+        SELECT doc_id, i, t[i] AS w,
+               CASE WHEN list_contains(['the','a','and','of','to'], t[i])
+                    THEN 1 ELSE 0 END AS stop
+        FROM tok
+    ), isl AS (
+        SELECT doc_id, i, w, grp FROM (
+            SELECT doc_id, i, w, stop,
+                   SUM(stop) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS grp
+            FROM flagged
+        ) WHERE stop = 0
+    ), phr AS (
+        SELECT doc_id, grp,
+               string_agg(w, ' ' ORDER BY i) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM isl GROUP BY doc_id, grp
+        HAVING COUNT(*) <= 4
+    ), members AS (
+        SELECT p.doc_id, p.grp, p.phrase, p.plen, il.w
+        FROM phr p JOIN isl il
+          ON il.doc_id = p.doc_id AND il.grp = p.grp
+    ), wstat AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS degree
+        FROM members GROUP BY w
+    ), scored AS (
+        SELECT m.doc_id, m.grp, m.phrase,
+               SUM(CAST(ws.degree AS DOUBLE) / ws.freq) AS score
+        FROM members m JOIN wstat ws ON ws.w = m.w
+        GROUP BY m.doc_id, m.grp, m.phrase
+    ), census AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               ROUND(ANY_VALUE(score), 6) AS rake_score
+        FROM scored GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, rake_score
+    FROM census
+    ORDER BY rake_score DESC, phrase LIMIT 15
+    """,
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rapid Automatic Keyword Extraction):
+    token streams split at stopwords into candidate phrases (runs of
+    ≤4 content words), each scored Σ degree(w)/freq(w) over member
+    words — degree rewards words that travel in long phrases, freq
+    normalizes ubiquity — and the corpus-level top-15 reported. The
+    phrase-level extraction that TF-IDF (unigram), PMI (bigram), and
+    G² (per-term) don't provide; phrase instances share one corpus
+    score, so ANY_VALUE per distinct phrase is sound.
+
+    Determinism: phrase building is integer gaps-and-islands; word
+    stats are exact counts; scores are sums of exact-integer ratios
+    rounded to 6 before the top-15 cut (phrase tie-break).
+
+    Scale shape: position explode with per-doc windows (doc-bounded
+    partitions), phrase and word stats as hash aggs, a broadcast-able
+    word-stat join (vocab-sized), TakeOrderedAndProject for the cut.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(ws_tokens(F.lower(F.col("text")))).alias("p", "w"),
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
+    flagged = pos.select(
+        "doc_id",
+        "i",
+        "w",
+        F.when(F.col("w").isin("the", "a", "and", "of", "to"), 1)
+        .otherwise(0)
+        .alias("stop"),
+    )
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = (
+        flagged.select(
+            "doc_id", "i", "w", F.sum("stop").over(wd).alias("grp"), "stop"
+        )
+        .filter(F.col("stop") == 0)
+        .drop("stop")
+    )
+    phr = (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "named_struct('i', i, 'w', w))), x -> x.w), ' ')"
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= 4)
+    )
+    members = phr.join(isl, ["doc_id", "grp"]).select(
+        "doc_id", "grp", "phrase", "plen", "w"
+    )
+    wstat = members.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    scored = (
+        members.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(
+            F.sum(F.col("degree").cast("double") / F.col("freq")).alias(
+                "score"
+            )
+        )
+    )
+    census = scored.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.round(F.first("score"), 6).alias("rake_score"),
+    )
+    return census.orderBy(F.col("rake_score").desc(), "phrase").limit(15)
+
+
+@query(
+    "two_way_fixed_effects",
+    oracle="""
+    WITH pts AS (
+        SELECT n.n_name AS entity,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) AS period,
+               c.c_acctbal AS x, o.o_totalprice AS y
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), em AS (
+        SELECT entity, AVG(x) AS xe, AVG(y) AS ye FROM pts GROUP BY entity
+    ), tm AS (
+        SELECT period, AVG(x) AS xt, AVG(y) AS yt FROM pts GROUP BY period
+    ), gm AS (
+        SELECT AVG(x) AS xg, AVG(y) AS yg FROM pts
+    ), demeaned AS (
+        SELECT p.x - em.xe - tm.xt + gm.xg AS xd,
+               p.y - em.ye - tm.yt + gm.yg AS yd,
+               p.x, p.y
+        FROM pts p
+        JOIN em ON em.entity = p.entity
+        JOIN tm ON tm.period = p.period, gm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(xd * yd) / SUM(xd * xd), 6) AS fe_slope,
+           ROUND((COUNT(*) * SUM(x*y) - SUM(x)*SUM(y))
+                 / (COUNT(*) * SUM(x*x) - SUM(x)*SUM(x)), 6) AS pooled_slope
+    FROM demeaned
+    """,
+)
+def two_way_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects (within) estimator: the slope of order
+    value on customer balance after sweeping out nation effects AND
+    month effects by double demeaning (x − x̄ᵢ − x̄ₜ + x̄) — the panel
+    econometrician's workhorse that kills any confounder constant
+    within a nation or within a month, which the pooled OLS slope
+    (reported beside it) happily absorbs. Completes the causal
+    family's fixed-effects corner next to DiD (two groups × two
+    periods — this is the N×T generalization).
+
+    Determinism: group means and the final moment sums are
+    single-level aggregates; round 6.
+
+    Scale shape: two small mean tables broadcast back onto the facts
+    (entity and period cardinalities are tiny), one demeaned moment
+    agg with map-side partials. No shuffle of facts beyond the first
+    join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("entity"),
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "period"
+            ),
+            F.col("c_acctbal").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    em = pts.groupBy("entity").agg(
+        F.avg("x").alias("xe"), F.avg("y").alias("ye")
+    )
+    tm = pts.groupBy("period").agg(
+        F.avg("x").alias("xt"), F.avg("y").alias("yt")
+    )
+    gm = pts.agg(F.avg("x").alias("xg"), F.avg("y").alias("yg"))
+    d = (
+        pts.join(F.broadcast(em), "entity")
+        .join(F.broadcast(tm), "period")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            (F.col("x") - F.col("xe") - F.col("xt") + F.col("xg")).alias(
+                "xd"
+            ),
+            (F.col("y") - F.col("ye") - F.col("yt") + F.col("yg")).alias(
+                "yd"
+            ),
+            "x",
+            "y",
+        )
+    )
+    nn = F.count(F.lit(1))
+    return d.agg(
+        nn.cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("xd") * F.col("yd"))
+            / F.sum(F.col("xd") * F.col("xd")),
+            6,
+        ).alias("fe_slope"),
+        F.round(
+            (nn * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (nn * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("pooled_slope"),
+    )
