@@ -24308,3 +24308,124 @@ def two_way_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pooled_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 126: instrumental-variables Wald/2SLS, regression discontinuity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "iv_wald_2sls",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(c.c_nationkey % 2 AS DOUBLE) AS z,
+               c.c_acctbal AS x, o.o_totalprice AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(covar_pop(z, x), 6) AS first_stage_cov,
+           ROUND(covar_pop(z, y) / covar_pop(z, x), 6) AS iv_slope,
+           ROUND(covar_pop(x, y) / var_pop(x), 6) AS ols_slope,
+           ROUND(covar_pop(z, x) / var_pop(z), 6) AS first_stage_slope
+    FROM pts
+    """,
+)
+def iv_wald_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables estimation, single-instrument Wald/2SLS
+    form: β_IV = cov(Z,Y)/cov(Z,X) — when the regressor X is
+    endogenous (correlated with the error), an instrument Z that
+    moves X but touches Y only THROUGH X identifies the causal slope
+    OLS cannot. Reported beside the OLS slope and the first-stage
+    slope/covariance (a near-zero first stage flags a weak
+    instrument — the diagnostic that must gate any IV claim). The
+    nationkey-parity instrument is the fixture's stand-in for a real
+    encouragement/assignment variable.
+
+    Scale shape: one join, one agg of covariance moments with
+    map-side partials — the entire estimator is five co-moment sums.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pts = o.join(c, o.o_custkey == c.c_custkey).select(
+        (F.col("c_nationkey") % 2).cast("double").alias("z"),
+        F.col("c_acctbal").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.covar_pop("z", "x"), 6).alias("first_stage_cov"),
+        F.round(F.covar_pop("z", "y") / F.covar_pop("z", "x"), 6).alias(
+            "iv_slope"
+        ),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("ols_slope"),
+        F.round(F.covar_pop("z", "x") / F.var_pop("z"), 6).alias(
+            "first_stage_slope"
+        ),
+    )
+
+
+@query(
+    "regression_discontinuity",
+    oracle="""
+    WITH pts AS (
+        SELECT c.c_acctbal AS r, o.o_totalprice AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE abs(c.c_acctbal) <= 2000
+    ), fits AS (
+        SELECT regr_intercept(y, r) FILTER (WHERE r < 0) AS a_left,
+               regr_slope(y, r) FILTER (WHERE r < 0) AS b_left,
+               regr_intercept(y, r) FILTER (WHERE r >= 0) AS a_right,
+               regr_slope(y, r) FILTER (WHERE r >= 0) AS b_right,
+               CAST(COUNT(*) FILTER (WHERE r < 0) AS BIGINT) AS n_left,
+               CAST(COUNT(*) FILTER (WHERE r >= 0) AS BIGINT) AS n_right
+        FROM pts
+    )
+    SELECT n_left, n_right,
+           ROUND(a_left, 4) AS intercept_left,
+           ROUND(a_right, 4) AS intercept_right,
+           ROUND(b_left, 6) AS slope_left,
+           ROUND(b_right, 6) AS slope_right,
+           ROUND(a_right - a_left, 4) AS rdd_jump
+    FROM fits
+    """,
+)
+def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity design: local linear fits on
+    each side of the zero-balance cutoff within a ±2000 bandwidth,
+    with the treatment-effect estimate read off as the jump between
+    the two intercepts AT the cutoff — the quasi-experimental design
+    for threshold-assigned treatments (credit granted at a score,
+    discounts above a spend), where units just left and just right
+    of the cutoff are as-good-as-randomized. Side sample sizes ride
+    along (imbalance near the cutoff is the classic manipulation
+    red flag a McCrary test formalizes).
+
+    Scale shape: the bandwidth predicate is PUSHED TO THE SCAN (only
+    the window around the cutoff is ever read); both side-fits come
+    from one FILTERed closed-form OLS agg — a single pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.abs(F.col("c_acctbal")) <= 2000)
+        .select(F.col("c_acctbal").alias("r"), F.col("o_totalprice").alias("y"))
+    )
+    fits = pts.agg(
+        F.expr("regr_intercept(y, r) FILTER (WHERE r < 0)").alias("a_left"),
+        F.expr("regr_slope(y, r) FILTER (WHERE r < 0)").alias("b_left"),
+        F.expr("regr_intercept(y, r) FILTER (WHERE r >= 0)").alias("a_right"),
+        F.expr("regr_slope(y, r) FILTER (WHERE r >= 0)").alias("b_right"),
+        F.expr("COUNT(*) FILTER (WHERE r < 0)").cast("long").alias("n_left"),
+        F.expr("COUNT(*) FILTER (WHERE r >= 0)").cast("long").alias("n_right"),
+    )
+    return fits.select(
+        "n_left",
+        "n_right",
+        F.round("a_left", 4).alias("intercept_left"),
+        F.round("a_right", 4).alias("intercept_right"),
+        F.round("b_left", 6).alias("slope_left"),
+        F.round("b_right", 6).alias("slope_right"),
+        F.round(F.col("a_right") - F.col("a_left"), 4).alias("rdd_jump"),
+    )
