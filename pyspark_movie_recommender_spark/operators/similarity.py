@@ -289,6 +289,7 @@ def kmeans_assign(
     centroid_ids: list[int],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    top2: bool = False,
 ) -> DataFrame:
     """One Lloyd ASSIGNMENT step of k-means over an embedding column,
     with centroids fixed to named corpus vectors (``centroid_ids``) so
@@ -305,6 +306,11 @@ def kmeans_assign(
     MAP-SIDE, zero shuffles, same regime as ``ivf_topk``'s cell
     routing. Iterating Lloyd = re-calling this with recomputed means;
     each round stays one scan + one tiny agg.
+
+    With ``top2=True`` returns ``(id_col, cell, a_dist, b_dist)``
+    instead: the ppm cosine DISTANCES (1e6 − sim_ppm) to the nearest
+    and second-nearest centroid (ties to the lower cell) — the exact
+    integer inputs the centroid-silhouette quality metric needs.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -335,6 +341,39 @@ def kmeans_assign(
                 "cell": best.astype(np.int32),
                 "sim_ppm": ppm[np.arange(len(best)), best].astype(np.int64),
             }
+        )
+
+    @pandas_udf("struct<cell: int, a_dist: bigint, b_dist: bigint>")
+    def _assign2(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"cell": [], "a_dist": [], "b_dist": []})
+        m = np.stack(vs.to_numpy())
+        sims = (m @ cmat.T) / (
+            np.linalg.norm(m, axis=1)[:, None] * cnorm[None, :]
+        )
+        dist = (1e6 - np.round(sims * 1e6)).astype(np.int64)
+        # stable argsort on distance: equal distances keep the lower
+        # cell first (columns are in cell order), matching the oracle's
+        # ORDER BY dist_ppm, cell
+        order = np.argsort(dist, axis=1, kind="stable")
+        rows = np.arange(len(m))
+        return pd.DataFrame(
+            {
+                "cell": order[:, 0].astype(np.int32),
+                "a_dist": dist[rows, order[:, 0]],
+                "b_dist": dist[rows, order[:, 1]],
+            }
+        )
+
+    if top2:
+        out = corpus.select(
+            F.col(id_col), _assign2(_as_double(vec_col)).alias("a")
+        )
+        return out.select(
+            id_col,
+            F.col("a.cell").alias("cell"),
+            F.col("a.a_dist").alias("a_dist"),
+            F.col("a.b_dist").alias("b_dist"),
         )
 
     out = corpus.select(

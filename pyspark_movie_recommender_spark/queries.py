@@ -24429,3 +24429,203 @@ def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b_right", 6).alias("slope_right"),
         F.round(F.col("a_right") - F.col("a_left"), 4).alias("rdd_jump"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 127: centroid silhouette, 1-D Gaussian-mixture EM
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "centroid_silhouette_embedding",
+    oracle="""
+    WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (
+        SELECT e AS ce,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        FROM s WHERE vec_id IN (3, 66, 129, 192, 255, 318, 381, 444)
+    ), scored AS (
+        SELECT s.vec_id, c.cell,
+               1000000 - CAST(ROUND(list_cosine_similarity(s.e, c.ce) * 1e6)
+                              AS BIGINT) AS dist_ppm
+        FROM s CROSS JOIN c
+    ), ranked AS (
+        SELECT vec_id, cell, dist_ppm,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist_ppm, cell) AS rn
+        FROM scored
+    ), ab AS (
+        SELECT a.vec_id, a.cell,
+               a.dist_ppm AS a_dist, b.dist_ppm AS b_dist
+        FROM ranked a JOIN ranked b
+          ON b.vec_id = a.vec_id AND a.rn = 1 AND b.rn = 2
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(CAST(b_dist - a_dist AS DOUBLE)
+                     / greatest(a_dist, b_dist)), 6) AS mean_silhouette
+    FROM ab GROUP BY cell
+    """,
+)
+def centroid_silhouette_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-simplified silhouette — the cluster-QUALITY metric the
+    clustering family (kmeans assign, semdedup cells, IVF) was
+    missing: per vector, a = cosine distance to its own (nearest)
+    pinned centroid, b = distance to the second-nearest, and
+    s = (b−a)/max(a,b) ∈ [0,1]; per-cell means near 0 mark cells
+    whose members sit on a boundary (candidates for splitting), near
+    1 mark tight, well-separated cells. Distances are the same exact
+    ppm integers as kmeans_embedding_assign, so a and b are
+    hash-exact and only the final mean needs rounding.
+
+    Scale shape: same map-side Arrow matmul shape as the assignment
+    step (centroids are a broadcast closure; the oracle's cross join
+    is the spec); per-vector top-2 is a k-bounded in-row argmin, and
+    the census is an 8-row agg.
+    """
+    from pyspark_movie_recommender_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # kmeans_assign gives the best cell; recompute the top-2 distances
+    # with the same pinned centroids via the operator's scoring path
+    pins = [3, 66, 129, 192, 255, 318, 381, 444]
+    assigned = kmeans_assign(emb, pins, top2=True)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(
+            F.avg(
+                (F.col("b_dist") - F.col("a_dist")).cast("double")
+                / F.greatest(F.col("a_dist"), F.col("b_dist"))
+            ),
+            6,
+        ).alias("mean_silhouette"),
+    )
+
+
+@query(
+    "gmm_em_order_values",
+    oracle="""
+    WITH pts AS (
+        SELECT o_totalprice / 100000 AS y FROM orders
+    ), init AS (
+        SELECT AVG(y) - stddev_pop(y) AS mu1, AVG(y) + stddev_pop(y) AS mu2,
+               stddev_pop(y) AS s1, stddev_pop(y) AS s2, 0.5 AS pi2
+        FROM pts
+    ), e1 AS (
+        SELECT y,
+               (pi2/s2) * exp(-(y-mu2)*(y-mu2)/(2*s2*s2))
+               / ((pi2/s2) * exp(-(y-mu2)*(y-mu2)/(2*s2*s2))
+                  + ((1-pi2)/s1) * exp(-(y-mu1)*(y-mu1)/(2*s1*s1))) AS r
+        FROM pts, init
+    ), m1 AS (
+        SELECT SUM(r)/COUNT(*) AS pi2,
+               SUM((1-r)*y)/SUM(1-r) AS mu1,
+               SUM(r*y)/SUM(r) AS mu2,
+               sqrt(SUM((1-r)*y*y)/SUM(1-r)
+                    - (SUM((1-r)*y)/SUM(1-r))*(SUM((1-r)*y)/SUM(1-r))) AS s1,
+               sqrt(SUM(r*y*y)/SUM(r)
+                    - (SUM(r*y)/SUM(r))*(SUM(r*y)/SUM(r))) AS s2
+        FROM e1
+    ), e2 AS (
+        SELECT y,
+               (pi2/s2) * exp(-(y-mu2)*(y-mu2)/(2*s2*s2))
+               / ((pi2/s2) * exp(-(y-mu2)*(y-mu2)/(2*s2*s2))
+                  + ((1-pi2)/s1) * exp(-(y-mu1)*(y-mu1)/(2*s1*s1))) AS r
+        FROM pts, m1
+    ), m2 AS (
+        SELECT SUM(r)/COUNT(*) AS pi2,
+               SUM((1-r)*y)/SUM(1-r) AS mu1,
+               SUM(r*y)/SUM(r) AS mu2,
+               sqrt(SUM((1-r)*y*y)/SUM(1-r)
+                    - (SUM((1-r)*y)/SUM(1-r))*(SUM((1-r)*y)/SUM(1-r))) AS s1,
+               sqrt(SUM(r*y*y)/SUM(r)
+                    - (SUM(r*y)/SUM(r))*(SUM(r*y)/SUM(r))) AS s2
+        FROM e2
+    ), e3 AS (
+        SELECT y,
+               (pi2/s2) * exp(-(y-mu2)*(y-mu2)/(2*s2*s2))
+               / ((pi2/s2) * exp(-(y-mu2)*(y-mu2)/(2*s2*s2))
+                  + ((1-pi2)/s1) * exp(-(y-mu1)*(y-mu1)/(2*s1*s1))) AS r
+        FROM pts, m2
+    ), m3 AS (
+        SELECT SUM(r)/COUNT(*) AS pi2,
+               SUM((1-r)*y)/SUM(1-r) AS mu1,
+               SUM(r*y)/SUM(r) AS mu2,
+               sqrt(SUM((1-r)*y*y)/SUM(1-r)
+                    - (SUM((1-r)*y)/SUM(1-r))*(SUM((1-r)*y)/SUM(1-r))) AS s1,
+               sqrt(SUM(r*y*y)/SUM(r)
+                    - (SUM(r*y)/SUM(r))*(SUM(r*y)/SUM(r))) AS s2
+        FROM e3
+    )
+    SELECT ROUND(pi2, 4) AS weight_hi,
+           ROUND(mu1 * 100000, 2) AS mu_low,
+           ROUND(mu2 * 100000, 2) AS mu_high,
+           ROUND(s1 * 100000, 2) AS sigma_low,
+           ROUND(s2 * 100000, 2) AS sigma_high
+    FROM m3
+    """,
+)
+def gmm_em_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian-mixture EM on order values: three
+    E/M rounds from a moment-based deterministic init (μ = m ∓ s,
+    σ = s, π = ½) — soft model-based clustering, where k-means
+    (hard assignment) and the histogram (no model) can't separate
+    overlapping populations or give a membership probability. The
+    per-row E-step responsibility and closed-form weighted-moment
+    M-step are identical IEEE dags on both engines, unrolled as CTE
+    chains in the oracle (the same discipline as FS-EM, Platt, and
+    IRLS).
+
+    Scale shape: three full passes, each one hash agg of seven
+    weighted moment sums with map-side partials; parameters are
+    driver-side scalars. Round 4/2 on the outputs (EM, like Newton,
+    amplifies last-bit summation noise).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select((F.col("o_totalprice") / 100000).alias("y")).localCheckpoint()
+    ini = pts.agg(
+        F.avg("y").alias("m"), F.stddev_pop("y").alias("s")
+    ).first()
+    mu1, mu2 = ini.m - ini.s, ini.m + ini.s
+    s1 = s2 = ini.s
+    pi2 = 0.5
+    import math
+
+    for _ in range(3):
+        p2 = (F.lit(pi2) / F.lit(s2)) * F.exp(
+            -(F.col("y") - F.lit(mu2)) * (F.col("y") - F.lit(mu2))
+            / (2 * F.lit(s2) * F.lit(s2))
+        )
+        p1 = (F.lit(1 - pi2) / F.lit(s1)) * F.exp(
+            -(F.col("y") - F.lit(mu1)) * (F.col("y") - F.lit(mu1))
+            / (2 * F.lit(s1) * F.lit(s1))
+        )
+        r = (p2 / (p2 + p1)).alias("r")
+        m = pts.select("y", r).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r").alias("sr"),
+            F.sum(F.col("r") * F.col("y")).alias("sry"),
+            F.sum(F.col("r") * F.col("y") * F.col("y")).alias("sryy"),
+            F.sum(1 - F.col("r")).alias("sq"),
+            F.sum((1 - F.col("r")) * F.col("y")).alias("sqy"),
+            F.sum((1 - F.col("r")) * F.col("y") * F.col("y")).alias("sqyy"),
+        ).first()
+        pi2 = m.sr / m.n
+        mu1 = m.sqy / m.sq
+        mu2 = m.sry / m.sr
+        s1 = math.sqrt(m.sqyy / m.sq - mu1 * mu1)
+        s2 = math.sqrt(m.sryy / m.sr - mu2 * mu2)
+    return pts.sparkSession.createDataFrame(
+        [
+            (
+                round(pi2, 4),
+                round(mu1 * 100000, 2),
+                round(mu2 * 100000, 2),
+                round(s1 * 100000, 2),
+                round(s2 * 100000, 2),
+            )
+        ],
+        "weight_hi double, mu_low double, mu_high double,"
+        " sigma_low double, sigma_high double",
+    )
