@@ -24629,3 +24629,180 @@ def gmm_em_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight_hi double, mu_low double, mu_high double,"
         " sigma_low double, sigma_high double",
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 128: column-encoding size advisor, survey sample estimate with FPC
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "encoding_size_advisor",
+    oracle="""
+    WITH cols AS (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ), stats AS (
+        SELECT col, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(SUM(length(v)) AS BIGINT) AS plain_bytes,
+               CAST(SUM(DISTINCT 0) + (
+                   SELECT SUM(length(d.v)) FROM (
+                       SELECT DISTINCT col AS c2, v FROM cols
+                   ) d WHERE d.c2 = col
+               ) AS BIGINT) AS dict_value_bytes
+        FROM cols GROUP BY col
+    )
+    SELECT col, n, n_distinct, plain_bytes,
+           CAST(dict_value_bytes
+                + (n * CAST(ceil(ln(n_distinct + 1) / ln(2)) AS BIGINT) + 7)
+                  // 8 AS BIGINT) AS dict_bytes,
+           CASE WHEN dict_value_bytes
+                     + (n * CAST(ceil(ln(n_distinct + 1) / ln(2)) AS BIGINT)
+                        + 7) // 8 < plain_bytes
+                THEN 'dictionary' ELSE 'plain' END AS recommendation
+    FROM stats
+    """,
+)
+def encoding_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor — the layout decision parquet writers
+    make per column, surfaced as a query: for each candidate column,
+    the PLAIN size (total value bytes) versus the DICTIONARY size
+    (distinct value bytes + n·⌈log₂(card+1)⌉ bits of codes), with the
+    cheaper one recommended. Low-cardinality flags dictionary-encode
+    to a few percent of plain; near-unique keys don't — the advisor
+    shows exactly where the crossover sits. Completes the physical-
+    layout family (zorder clustering, compaction packing, join-size
+    estimation) with the encoding dimension.
+
+    Exactness: everything is integer byte arithmetic from exact
+    counts; the only float is the log₂ inside a ceil, identical on
+    both engines for these magnitudes.
+
+    Scale shape: one unpivoted pass with per-column hash aggs
+    (COUNT DISTINCT per column is the standard column-stats scan);
+    at warehouse scale this reads parquet metadata instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def col_stats(name: str, col):
+        v = col.cast("string")
+        d = orders.select(v.alias("v")).groupBy("v").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        return d.agg(
+            F.lit(name).alias("col"),
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.length("v") * F.col("c")).cast("long").alias("plain_bytes"),
+            F.sum(F.length("v")).cast("long").alias("dict_value_bytes"),
+        )
+
+    stats = (
+        col_stats("o_orderstatus", F.col("o_orderstatus"))
+        .unionByName(col_stats("o_orderpriority", F.col("o_orderpriority")))
+        .unionByName(col_stats("o_custkey", F.col("o_custkey")))
+    )
+    code_bits = F.ceil(
+        F.log(F.col("n_distinct").cast("double") + 1) / float(__import__("math").log(2))
+    ).cast("long")
+    dict_bytes = (
+        F.col("dict_value_bytes")
+        + F.expr(
+            "(n * CAST(ceil(ln(n_distinct + 1) / ln(2)) AS BIGINT) + 7) div 8"
+        )
+    ).cast("long")
+    return stats.select(
+        "col",
+        "n",
+        "n_distinct",
+        "plain_bytes",
+        dict_bytes.alias("dict_bytes"),
+        F.when(dict_bytes < F.col("plain_bytes"), "dictionary")
+        .otherwise("plain")
+        .alias("recommendation"),
+    )
+
+
+@query(
+    "survey_sample_estimate",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_totalprice AS y,
+               CASE WHEN ((o_orderkey * 2654435761) % 4294967296) % 10 = 0
+                    THEN 1 ELSE 0 END AS sampled
+        FROM orders
+    ), pop AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+               ROUND(AVG(y), 4) AS true_mean
+        FROM tagged
+    ), samp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_s,
+               AVG(y) AS ybar,
+               var_samp(y) AS s2
+        FROM tagged WHERE sampled = 1
+    )
+    SELECT n_pop, n_s, true_mean,
+           ROUND(ybar, 4) AS sample_mean,
+           ROUND(sqrt((1.0 - CAST(n_s AS DOUBLE) / n_pop) * s2 / n_s), 4)
+               AS se_fpc,
+           CAST(CASE WHEN abs(ybar - true_mean)
+                          <= 1.96 * sqrt((1.0 - CAST(n_s AS DOUBLE) / n_pop)
+                                         * s2 / n_s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS ci_covers_truth
+    FROM pop, samp
+    """,
+)
+def survey_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-based survey estimation from a 10% hash sample (SRSWOR):
+    the sample mean of order value with its FINITE-POPULATION-
+    corrected standard error √((1−f)·s²/n) — the √(1−f) shrink is
+    what textbook SEs miss when the sample is a meaningful fraction
+    of the population, exactly the warehouse situation (you often
+    sample 10-50% for expensive follow-up scans). The true mean rides
+    along with a 95%-CI coverage flag — the design-based loop closed
+    inside one query. Completes the survey-statistics pair begun by
+    Neyman allocation (how much to sample) with the estimator side
+    (what the sample tells you).
+
+    Scale shape: one tagging pass (hash bit, no RNG state), two
+    census aggs. The sample is deterministic, so the query is
+    reproducible and oracle-checkable end to end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.col("o_totalprice").alias("y"),
+        F.when(
+            ((F.col("o_orderkey") * 2654435761) % 4294967296) % 10 == 0, 1
+        )
+        .otherwise(0)
+        .alias("sampled"),
+    )
+    pop = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.round(F.avg("y"), 4).alias("true_mean"),
+    )
+    samp = tagged.filter(F.col("sampled") == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.avg("y").alias("ybar"),
+        F.var_samp("y").alias("s2"),
+    )
+    se = F.sqrt(
+        (1.0 - F.col("n_s").cast("double") / F.col("n_pop"))
+        * F.col("s2")
+        / F.col("n_s")
+    )
+    return pop.crossJoin(F.broadcast(samp)).select(
+        "n_pop",
+        "n_s",
+        "true_mean",
+        F.round("ybar", 4).alias("sample_mean"),
+        F.round(se, 4).alias("se_fpc"),
+        F.when(F.abs(F.col("ybar") - F.col("true_mean")) <= 1.96 * se, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ci_covers_truth"),
+    )
