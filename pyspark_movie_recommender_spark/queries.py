@@ -24806,3 +24806,108 @@ def survey_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ci_covers_truth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 129: sketch accuracy audit
+# ---------------------------------------------------------------------------
+
+
+@query("sketch_accuracy_audit")
+def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the engine's approximate aggregates against
+    their exact twins ON THE SAME DATA — the trust-but-verify query
+    that should ship beside any sketch rollout: HyperLogLog++
+    distinct counts (default 5% rsd) vs COUNT(DISTINCT), and
+    approx_percentile (rank error ≤ n/accuracy) vs percentile_disc,
+    each with its observed error and an in-query within-bound flag.
+    Rows-only by design (quantile-sketch merges are partition-order
+    sensitive); the law test pins every flag to 1.
+
+    Scale shape: the approximate side is the point — HLL and KLL-
+    style summaries are map-side-mergeable fixed-size state where the
+    exact twins shuffle the full key space / sort groups. The audit
+    costs one extra exact pass, which is exactly what you pay ONCE
+    before trusting the sketch everywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    both = orders.agg(
+        F.countDistinct("o_custkey").cast("double").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey").cast("double").alias(
+            "approx_distinct"
+        ),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+            " AS DOUBLE)"
+        ).alias("exact_p50"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias(
+            "approx_p50"
+        ),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+            " AS DOUBLE)"
+        ).alias("exact_p90"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias(
+            "approx_p90"
+        ),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    # second pass: exact ranks of the approximate percentile answers,
+    # for the rank-error bound |rank(approx_pXX) − p·n| ≤ n/accuracy
+    ranks = orders.crossJoin(F.broadcast(both)).agg(
+        F.sum(
+            F.when(F.col("o_totalprice") <= F.col("approx_p50"), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("rank_p50"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= F.col("approx_p90"), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("rank_p90"),
+        F.first("exact_distinct").alias("exact_distinct"),
+        F.first("approx_distinct").alias("approx_distinct"),
+        F.first("exact_p50").alias("exact_p50"),
+        F.first("approx_p50").alias("approx_p50"),
+        F.first("exact_p90").alias("exact_p90"),
+        F.first("approx_p90").alias("approx_p90"),
+        F.first("n").alias("n"),
+    )
+
+    def metric(name, exact, approx, bound_ok):
+        return ranks.select(
+            F.lit(name).alias("metric"),
+            F.round(exact, 2).alias("exact_value"),
+            F.round(approx, 2).alias("approx_value"),
+            F.round(F.abs(approx - exact), 2).alias("abs_error"),
+            bound_ok.cast("long").alias("within_bound"),
+        )
+
+    hll = metric(
+        "hll_distinct_custkey",
+        F.col("exact_distinct"),
+        F.col("approx_distinct"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 3 * 0.05 * F.col("exact_distinct")
+        ),
+    )
+    p50 = metric(
+        "approx_percentile_p50",
+        F.col("exact_p50"),
+        F.col("approx_p50"),
+        (
+            F.abs(F.col("rank_p50") - 0.5 * F.col("n"))
+            <= F.col("n") / 1000 + 1
+        ),
+    )
+    p90 = metric(
+        "approx_percentile_p90",
+        F.col("exact_p90"),
+        F.col("approx_p90"),
+        (
+            F.abs(F.col("rank_p90") - 0.9 * F.col("n"))
+            <= F.col("n") / 1000 + 1
+        ),
+    )
+    return hll.unionByName(p50).unionByName(p90)

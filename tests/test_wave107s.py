@@ -263,3 +263,17 @@ def test_wasserstein_against_python(spark):
     # the engines' partial sums — compare to relative precision
     assert abs(r.w1_distance - w1) <= 1e-5 * abs(w1) + 1e-3
     assert abs(r.ks_distance - round(ks, 6)) <= 1e-6
+
+
+# --- wave 129: sketch accuracy ----------------------------------------------
+
+
+def test_sketch_errors_within_bounds(spark):
+    r = rows(spark, "sketch_accuracy_audit")
+    assert {x.metric for x in r} == {
+        "hll_distinct_custkey",
+        "approx_percentile_p50",
+        "approx_percentile_p90",
+    }
+    for x in r:
+        assert x.within_bound == 1, (x.metric, x.abs_error)
