@@ -24911,3 +24911,228 @@ def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return hll.unionByName(p50).unionByName(p90)
+
+
+# ---------------------------------------------------------------------------
+# wave 130: D'Hondt divisor apportionment, data-completeness calendar
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dhondt_vs_hamilton",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name, n.n_nationkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, n.n_nationkey
+    ), quot AS (
+        SELECT n_name, n_nationkey, cents, d,
+               CAST(cents AS DOUBLE) / d AS q
+        FROM rev, (SELECT unnest(generate_series(1, 100)) AS d)
+    ), awarded AS (
+        SELECT n_name, n_nationkey FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY q DESC, n_nationkey, d) AS rnk
+            FROM quot
+        ) WHERE rnk <= 100
+    ), dh AS (
+        SELECT n_name, n_nationkey, CAST(COUNT(*) AS BIGINT) AS dhondt_seats
+        FROM awarded GROUP BY n_name, n_nationkey
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev
+    ), ham AS (
+        SELECT n_name, n_nationkey,
+               (cents * 100) // t AS floor_seats,
+               (cents * 100) % t  AS rem
+        FROM rev, tot
+    ), short AS (
+        SELECT 100 - CAST(SUM(floor_seats) AS BIGINT) AS k FROM ham
+    ), hamilton AS (
+        SELECT n_name, n_nationkey,
+               CAST(floor_seats + CASE WHEN rnk <= k THEN 1 ELSE 0 END
+                    AS BIGINT) AS hamilton_seats
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, n_nationkey)
+                       AS rnk
+            FROM ham
+        ), short
+    )
+    SELECT r.n_name,
+           COALESCE(d.dhondt_seats, 0) AS dhondt_seats,
+           h.hamilton_seats,
+           COALESCE(d.dhondt_seats, 0) - h.hamilton_seats AS method_gap
+    FROM rev r
+    LEFT JOIN dh d ON d.n_nationkey = r.n_nationkey
+    JOIN hamilton h ON h.n_nationkey = r.n_nationkey
+    """,
+)
+def dhondt_vs_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Divisor-method apportionment (D'Hondt/Jefferson) beside the
+    largest-remainder method on the SAME revenue totals: D'Hondt
+    awards each of 100 seats to the highest remaining quotient
+    cents/d (d = 1..seats) — a pure top-k over the nation×divisor
+    fan-out, no iteration — and the per-nation gap against Hamilton
+    shows the methods' systematic difference (divisor methods favor
+    large parties and are immune to the Alabama paradox that
+    largest-remainder suffers). Ties in the quotient ranking break by
+    (nationkey, divisor); the quotients are exact-dividend doubles so
+    both engines rank identically.
+
+    Scale shape: one fact agg to |nations| rows, a 100×|nations|
+    quotient fan-out, and a TakeOrderedAndProject top-100 — the
+    divisor method IS a top-k query, which is the point.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "n_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    divisors = spark.range(1, 101).select(F.col("id").alias("d"))
+    quot = rev.crossJoin(F.broadcast(divisors)).select(
+        "n_name",
+        "n_nationkey",
+        "d",
+        (F.col("cents").cast("double") / F.col("d")).alias("q"),
+    )
+    awarded = (
+        quot.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("q").desc(), "n_nationkey", "d")
+            ),
+        )
+        .filter(F.col("rnk") <= 100)
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("dhondt_seats"))
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    ham = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_nationkey",
+        F.expr("(cents * 100) div t").alias("floor_seats"),
+        F.expr("(cents * 100) % t").alias("rem"),
+    )
+    short = ham.agg((F.lit(100) - F.sum("floor_seats")).cast("long").alias("k"))
+    hamilton = (
+        ham.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), "n_nationkey")
+            ),
+        )
+        .crossJoin(F.broadcast(short))
+        .select(
+            "n_nationkey",
+            (
+                F.col("floor_seats")
+                + F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hamilton_seats"),
+        )
+    )
+    return (
+        rev.join(awarded, "n_nationkey", "left")
+        .join(hamilton, "n_nationkey")
+        .select(
+            "n_name",
+            F.coalesce(F.col("dhondt_seats"), F.lit(0))
+            .cast("long")
+            .alias("dhondt_seats"),
+            "hamilton_seats",
+            (
+                F.coalesce(F.col("dhondt_seats"), F.lit(0))
+                - F.col("hamilton_seats")
+            )
+            .cast("long")
+            .alias("method_gap"),
+        )
+    )
+
+
+@query(
+    "data_completeness_calendar",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS d0,
+               MAX(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS d1
+        FROM events
+    ), grid AS (
+        SELECT t.event_type, g.day
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(
+                  (SELECT d0 FROM bounds),
+                  (SELECT d1 FROM bounds))) AS day) g
+    ), observed AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    )
+    SELECT g.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_expected,
+           CAST(SUM(CASE WHEN o.day IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_days_present,
+           CAST(SUM(CASE WHEN o.day IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_days_missing,
+           CAST(SUM(CASE WHEN o.day IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS completeness_ppm
+    FROM grid g LEFT JOIN observed o
+      ON o.event_type = g.event_type AND o.day = g.day
+    GROUP BY g.event_type
+    """,
+)
+def data_completeness_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/completeness monitoring: the full calendar grid
+    between the corpus's first and last day, crossed with every event
+    type, left-joined against the days actually observed — missing
+    (type, day) cells are exactly the backfill work queue, and the
+    per-type completeness ppm is the SLO number a data-platform
+    dashboard tracks. The operational sibling of
+    forward_fill_user_value (which repairs gaps) — this one FINDS
+    them.
+
+    Scale shape: the grid is |types|×|days| (tiny, from a broadcast
+    bounds scalar); observed days collapse through a distinct; the
+    audit join is grid-sized, never fact-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    pts = ev.select("event_type", epoch_day("ts").alias("day"))
+    bounds = pts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = pts.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    observed = pts.distinct().withColumn("present", F.lit(1))
+    return (
+        grid.join(observed, ["event_type", "day"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_expected"),
+            F.sum(F.coalesce(F.col("present"), F.lit(0)))
+            .cast("long")
+            .alias("n_days_present"),
+            F.sum(F.when(F.col("present").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_days_missing"),
+            F.expr(
+                "sum(coalesce(present, 0)) * 1000000L div count(1)"
+            )
+            .cast("long")
+            .alias("completeness_ppm"),
+        )
+    )
