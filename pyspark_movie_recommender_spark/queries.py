@@ -25136,3 +25136,190 @@ def data_completeness_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("completeness_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 131: Erlang-C staffing, ABC-XYZ inventory matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "erlang_c_staffing",
+    oracle="""
+    WITH rate AS (
+        SELECT CAST(COUNT(*) AS DOUBLE)
+               / ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 3600000000.0)
+                   AS lam
+        FROM events
+    ), params AS (
+        SELECT lam, lam / 60.0 AS a FROM rate
+    ), servers AS (
+        SELECT unnest(generate_series(1, 8)) AS c
+    ), terms AS (
+        SELECT s.c, p.a, p.lam,
+               (SELECT SUM(pow(p.a, k)
+                           / CAST(factorial(CAST(k AS INTEGER)) AS DOUBLE))
+                FROM (SELECT unnest(generate_series(0, s.c - 1)) AS k))
+                   AS sum_terms,
+               pow(p.a, s.c)
+               / CAST(factorial(CAST(s.c AS INTEGER)) AS DOUBLE) AS top
+        FROM servers s, params p WHERE s.c > p.a
+    )
+    SELECT c, ROUND(lam, 4) AS arrivals_per_hour, ROUND(a, 4) AS offered_load,
+           ROUND((top * c / (c - a)) / (sum_terms + top * c / (c - a)), 6)
+               AS wait_probability,
+           CAST(CASE WHEN (top * c / (c - a))
+                          / (sum_terms + top * c / (c - a)) < 0.2
+                     THEN 1 ELSE 0 END AS BIGINT) AS meets_slo
+    FROM terms
+    """,
+)
+def erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing calculator: from the corpus's observed arrival
+    rate (events/hour) and a 60/hour per-server service rate, the
+    probability an arrival must WAIT for each staffing level c —
+    P_wait = (aᶜ/c!)·(c/(c−a)) / (Σ_{k<c} aᵏ/k! + same), the queueing
+    formula behind every support-desk and worker-pool sizing
+    decision, with the "meets 20% wait SLO" flag marking the minimum
+    viable c. Powers and factorials stay exact for c ≤ 8 (factorial
+    is integer-exact, pow cancels against it in doubles) and both
+    engines evaluate the identical dag; only c > a rows are emitted
+    (the queue is unstable at or below the offered load).
+
+    Scale shape: one census agg for the arrival rate; the Erlang
+    table is an 8-row fan-out with an in-row bounded sum. The
+    fact-sized work is exactly one pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rate = ev.agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / (
+                (
+                    F.unix_micros(F.max("ts").cast("timestamp"))
+                    - F.unix_micros(F.min("ts").cast("timestamp"))
+                )
+                / 3600000000.0
+            )
+        ).alias("lam")
+    )
+    params = rate.select("lam", (F.col("lam") / 60.0).alias("a"))
+    servers = spark.range(1, 9).select(F.col("id").cast("int").alias("c"))
+    terms = (
+        servers.crossJoin(F.broadcast(params))
+        .filter(F.col("c") > F.col("a"))
+        .select(
+            "c",
+            "a",
+            "lam",
+            F.expr(
+                "aggregate(sequence(0, c - 1),"
+                " CAST(0.0 AS DOUBLE),"
+                " (acc, k) -> acc + pow(a, k) / CAST(factorial(k) AS DOUBLE))"
+            ).alias("sum_terms"),
+            F.expr("pow(a, c) / CAST(factorial(c) AS DOUBLE)").alias("top"),
+        )
+    )
+    pw = (F.col("top") * F.col("c") / (F.col("c") - F.col("a"))) / (
+        F.col("sum_terms") + F.col("top") * F.col("c") / (F.col("c") - F.col("a"))
+    )
+    return terms.select(
+        "c",
+        F.round("lam", 4).alias("arrivals_per_hour"),
+        F.round("a", 4).alias("offered_load"),
+        F.round(pw, 6).alias("wait_probability"),
+        F.when(pw < 0.2, 1).otherwise(0).cast("long").alias("meets_slo"),
+    )
+
+
+@query(
+    "abc_xyz_matrix",
+    oracle="""
+    WITH weekly AS (
+        SELECT l_partkey,
+               CAST(epoch_us(l_shipdate) // 604800000000 AS BIGINT) AS week,
+               SUM(l_quantity) AS qty
+        FROM lineitem GROUP BY l_partkey, week
+    ), per_part AS (
+        SELECT l_partkey,
+               SUM(qty) AS total_qty,
+               CASE WHEN AVG(qty) > 0 AND COUNT(*) > 1
+                    THEN stddev_pop(qty) / AVG(qty) END AS cv
+        FROM weekly GROUP BY l_partkey
+    ), revr AS (
+        SELECT p.l_partkey, p.total_qty, p.cv,
+               SUM(p.total_qty) OVER (ORDER BY p.total_qty DESC, p.l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_qty,
+               SUM(p.total_qty) OVER () AS tot_qty
+        FROM per_part p
+    ), classed AS (
+        SELECT CASE WHEN cum_qty * 100 <= tot_qty * 80 THEN 'A'
+                    WHEN cum_qty * 100 <= tot_qty * 95 THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN cv IS NULL THEN 'Z'
+                    WHEN cv < 0.5 THEN 'X'
+                    WHEN cv < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM revr
+    )
+    SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY abc, xyz
+    """,
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: volume class (A/B/C by cumulative
+    80/95% quantity share, as in abc_part_classification) crossed
+    with demand-VARIABILITY class (X/Y/Z by the coefficient of
+    variation of weekly demand; single-week parts are Z) — the 9-cell
+    planning grid behind stocking policy: AX (high volume, steady)
+    gets automation, CZ (low volume, erratic) gets make-to-order.
+    Volume alone (ABC) misses that a steady C-part is easier to plan
+    than an erratic A-part.
+
+    Scale shape: weekly demand is one fact hash agg; per-part CV a
+    second; the ABC cumulative runs over the per-part relation (the
+    same window shape as the Pareto query); census is 9 rows. Note
+    the cum window is per-part-sized, not fact-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
+
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+            " div 604800000000 AS BIGINT)"
+        ).alias("week"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty"),
+        F.when(
+            (F.avg("qty") > 0) & (F.count(F.lit(1)) > 1),
+            F.stddev_pop("qty") / F.avg("qty"),
+        ).alias("cv"),
+    )
+    wcum = Window.orderBy(
+        F.col("total_qty").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = per_part.agg(F.sum("total_qty").alias("tot_qty"))
+    revr = per_part.crossJoin(F.broadcast(tot)).select(
+        "total_qty",
+        "cv",
+        "tot_qty",
+        F.sum("total_qty").over(wcum).alias("cum_qty"),
+    )
+    classed = revr.select(
+        F.when(F.col("cum_qty") * 100 <= F.col("tot_qty") * 80, "A")
+        .when(F.col("cum_qty") * 100 <= F.col("tot_qty") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("cv").isNull(), "Z")
+        .when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
