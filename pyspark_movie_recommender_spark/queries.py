@@ -25323,3 +25323,179 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy("abc", "xyz").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 132: newsvendor stocking, typo-pair mining
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "newsvendor_stock_levels",
+    oracle="""
+    WITH weekly AS (
+        SELECT p.p_brand,
+               CAST(epoch_us(l.l_shipdate) // 604800000000 AS BIGINT) AS week,
+               SUM(l.l_quantity) AS demand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, week
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           ROUND(AVG(demand), 2) AS mean_demand,
+           ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY demand), 2)
+               AS stock_cf50,
+           ROUND(percentile_disc(0.8) WITHIN GROUP (ORDER BY demand), 2)
+               AS stock_cf80,
+           ROUND(percentile_disc(0.95) WITHIN GROUP (ORDER BY demand), 2)
+               AS stock_cf95
+    FROM weekly GROUP BY p_brand
+    """,
+)
+def newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor optimal stocking by critical fractile: the
+    profit-maximizing stock for one period is the demand QUANTILE at
+    c_u/(c_u+c_o) (underage vs overage cost), so each brand's weekly
+    demand distribution is read at fractiles 0.5/0.8/0.95 — the three
+    canonical cost regimes (balanced, underage-dominant, service-
+    critical) — with the mean beside them showing exactly how badly
+    "stock the average" undershoots for skewed demand. The
+    decision-theory capstone of the inventory family (ABC volume,
+    XYZ variability → THIS is how much to actually stock).
+
+    Determinism: percentile_disc picks actual demand values; weekly
+    sums are doubles rounded at the edge.
+
+    Scale shape: one fact hash agg to |brands|×|weeks|, then
+    per-brand sorted percentiles over week-count-bounded groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    weekly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.expr(
+                "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                " div 604800000000 AS BIGINT)"
+            ).alias("week"),
+        )
+        .agg(F.sum("l_quantity").alias("demand"))
+    )
+    return weekly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.round(F.avg("demand"), 2).alias("mean_demand"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY demand)"), 2
+        ).alias("stock_cf50"),
+        F.round(
+            F.expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY demand)"), 2
+        ).alias("stock_cf80"),
+        F.round(
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY demand)"), 2
+        ).alias("stock_cf95"),
+    )
+
+
+@query(
+    "typo_pair_mining",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w0
+        FROM documents WHERE trim(text) <> ''
+    ), tok AS (
+        -- deterministic planted corruption (same discipline as
+        -- robust_json_ingest): docs with doc_id % 50 = 0 lose the 2nd
+        -- character of every token of length >= 4
+        SELECT CASE WHEN doc_id % 50 = 0 AND length(w0) >= 4
+                    THEN substr(w0, 1, 1) || substr(w0, 3)
+                    ELSE w0 END AS w
+        FROM raw
+    ), vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok GROUP BY w HAVING length(w) >= 4
+    ), cand AS (
+        SELECT a.w AS rare_form, a.freq AS rare_freq,
+               b.w AS common_form, b.freq AS common_freq
+        FROM vocab a JOIN vocab b
+          ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
+         AND abs(length(a.w) - length(b.w)) <= 1
+         AND a.w <> b.w
+         AND a.freq * 10 < b.freq
+        WHERE levenshtein(a.w, b.w) = 1
+    )
+    SELECT rare_form, common_form, rare_freq, common_freq
+    FROM cand
+    ORDER BY common_freq DESC, rare_form, common_form LIMIT 25
+    """,
+)
+def typo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-candidate mining from the corpus's own vocabulary: pairs
+    of words at edit distance 1 where one form is ≥10× rarer than the
+    other — the spell-correction signal ('recieve' vs 'receive')
+    every corpus-cleaning pipeline mines before building a
+    normalization map, with the frequency asymmetry separating typos
+    from legitimate near-neighbors ('cat'/'cab'). Blocked on (first
+    character, length±1) so the vocab self-join stays sub-quadratic —
+    the same blocking discipline as the record-linkage family, on
+    words instead of records. The synthetic corpus has no natural
+    typos, so the ingest plants them deterministically (2% of docs
+    lose each token's 2nd character — the robust_json_ingest
+    corruption discipline) and the miner must recover exactly those
+    (corrupted, original) pairs.
+
+    Scale shape: explode → vocab-sized (word, freq) relation; the
+    blocked self-join runs over first-letter×length buckets of the
+    VOCABULARY (≪ corpus); levenshtein only on candidates that
+    survive blocking. Top-25 by the common form's frequency.
+    """
+    from pyspark_movie_recommender_spark.functions import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    raw = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("w0")
+    )
+    tok = raw.select(
+        F.when(
+            (F.col("doc_id") % 50 == 0) & (F.length("w0") >= 4),
+            F.concat(F.substring("w0", 1, 1), F.expr("substr(w0, 3)")),
+        )
+        .otherwise(F.col("w0"))
+        .alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.length("w") >= 4)
+    )
+    a = vocab.select(
+        F.col("w").alias("rare_form"),
+        F.col("freq").alias("rare_freq"),
+        F.substring("w", 1, 1).alias("blk"),
+        F.length("w").alias("la"),
+    )
+    b = vocab.select(
+        F.col("w").alias("common_form"),
+        F.col("freq").alias("common_freq"),
+        F.substring("w", 1, 1).alias("blk"),
+        F.length("w").alias("lb"),
+    )
+    cand = (
+        a.join(b, "blk")
+        .filter(
+            (F.abs(F.col("la") - F.col("lb")) <= 1)
+            & (F.col("rare_form") != F.col("common_form"))
+            & (F.col("rare_freq") * 10 < F.col("common_freq"))
+        )
+        .filter(F.levenshtein("rare_form", "common_form") == 1)
+    )
+    return (
+        cand.select("rare_form", "common_form", "rare_freq", "common_freq")
+        .orderBy(
+            F.col("common_freq").desc(), "rare_form", "common_form"
+        )
+        .limit(25)
+    )
