@@ -333,7 +333,7 @@ def make_kv_columns_udtf():
     from pyspark.sql.types import LongType, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
-    @udtf
+    @udtf(useArrow=True)
     class KvColumns:
         @staticmethod
         def analyze(json_str: AnalyzeArgument, keys: AnalyzeArgument):

@@ -277,3 +277,46 @@ def test_sketch_errors_within_bounds(spark):
     }
     for x in r:
         assert x.within_bound == 1, (x.metric, x.abs_error)
+
+
+# --- wave 135: Soundex reference cross-check --------------------------------
+
+
+def _py_soundex(w: str) -> str:
+    """Reference Soundex (American), matching Spark's soundex()."""
+    codes = {
+        **dict.fromkeys("bfpv", "1"), **dict.fromkeys("cgjkqsxz", "2"),
+        **dict.fromkeys("dt", "3"), "l": "4",
+        **dict.fromkeys("mn", "5"), "r": "6",
+    }
+    w = w.lower()
+    if not w or not w[0].isalpha():
+        return w.upper()
+    out = w[0].upper()
+    prev = codes.get(w[0], "")
+    for ch in w[1:]:
+        c = codes.get(ch, "")
+        if c and c != prev:
+            out += c
+        if ch not in "hw":
+            prev = c
+    return (out + "000")[:4]
+
+
+def test_soundex_blocking_matches_reference(spark):
+    from collections import Counter
+
+    r = rows(spark, "soundex_name_blocking")
+    p = _tbl("part", ["p_name"])
+    words = [
+        w
+        for name in p["p_name"]
+        for w in name.lower().split(" ")
+        if len(w) >= 3
+    ]
+    occ = Counter(_py_soundex(w) for w in words)
+    dis = {}
+    for w in set(words):
+        dis.setdefault(_py_soundex(w), set()).add(w)
+    got = {x.sdx: (x.n_occurrences, x.n_distinct_words) for x in r}
+    assert got == {k: (occ[k], len(dis[k])) for k in occ}
