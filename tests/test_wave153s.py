@@ -30,3 +30,23 @@ def test_ljung_box_nonnegative_and_flag_consistent(spark):
     assert r.n > 7 and r.h == 7
     assert r.q_ljung_box >= 0
     assert r.white_noise_rejected == (1 if r.q_ljung_box > 14.067140 else 0)
+
+
+def test_lof_scores_positive_and_flag_consistent(spark):
+    r = rows(spark, "lof_embedding_outliers")
+    assert len(r) == 10
+    for x in r:
+        assert x.lof_score > 0
+        assert x.is_outlier == (1 if x.lof_score > 1.5 else 0)
+    scores = [x.lof_score for x in r]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rbo_bounded_and_consistent(spark):
+    (r,) = rows(spark, "rbo_rank_agreement_parts")
+    assert 0 <= r.rbo_090 <= 1
+    assert 0 <= r.overlap_at_50 <= 50
+    assert r.depth == 50
+    # identical rankings would give rbo ~1; any overlap at all forces rbo>0
+    if r.overlap_at_50 > 0:
+        assert r.rbo_090 > 0
