@@ -349,3 +349,64 @@ def pack_documents(
             .alias("bin_id"),
         )
     )
+
+
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+NON_ASCII_RE = r"[^\x00-\x7F]"
+
+
+def encoding_health(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group encoding-health census: documents carrying C0 control
+    characters (NUL..US minus tab/newline/CR), U+FFFD replacement
+    characters, or the 'Ã' UTF-8-decoded-as-Latin-1 mojibake marker,
+    plus exact non-ASCII and whitespace char rates (ppm, integer DIV).
+
+    The ingest-side tripwire for codec bugs: a healthy corpus shows
+    zeros in the flag columns, and any nonzero is an upstream decode
+    defect to quarantine by source. All counters are integer regexp
+    censuses — deterministic on any engine, no floats anywhere.
+
+    Scale shape: map-side regexp counting fused into the scan, one
+    |groups|-row hash aggregate. A 100 TB audit is one pass.
+    """
+    t = F.col(text_col)
+    return docs.groupBy(F.col(by).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.regexp_count(t, F.lit(CONTROL_CHAR_RE)) > 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_with_control"),
+        F.sum(F.when(t.contains("�"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_replacement"),
+        F.sum(F.when(t.contains("Ã"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_mojibake"),
+        (
+            F.sum(F.regexp_count(t, F.lit(NON_ASCII_RE)).cast("long"))
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("_na_num"),
+        (
+            F.sum(F.regexp_count(t, F.lit(r"\s")).cast("long"))
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("_ws_num"),
+        F.sum(F.length(t).cast("long")).cast("long").alias("n_chars_total"),
+    ).select(
+        "grp",
+        "n_docs",
+        "docs_with_control",
+        "docs_with_replacement",
+        "docs_mojibake",
+        F.expr("_na_num div n_chars_total").cast("long").alias("non_ascii_ppm"),
+        F.expr("_ws_num div n_chars_total").cast("long").alias("whitespace_ppm"),
+        "n_chars_total",
+    )

@@ -50,3 +50,46 @@ def test_rbo_bounded_and_consistent(spark):
     # identical rankings would give rbo ~1; any overlap at all forces rbo>0
     if r.overlap_at_50 > 0:
         assert r.rbo_090 > 0
+
+
+def test_flesch_bounds_and_syllable_floor(spark):
+    r = rows(spark, "readability_flesch_by_source")
+    assert r
+    for x in r:
+        assert x.n_docs > 0
+        # syllables >= words forces ease <= 206.835 - 1.015 - 84.6 bound side
+        assert x.avg_flesch_ease <= 206.835
+        assert 0 <= x.easy_docs_ppm <= 1_000_000
+
+
+def test_encoding_health_clean_corpus_zero_flags(spark):
+    r = rows(spark, "encoding_health_by_source")
+    assert r
+    for x in r:
+        # synthetic corpus is clean ASCII: detectors must NOT fire
+        assert x.docs_with_control == 0
+        assert x.docs_with_replacement == 0
+        assert x.docs_mojibake == 0
+        assert x.non_ascii_ppm == 0
+        assert 0 < x.whitespace_ppm < 1_000_000
+
+
+def test_encoding_health_detectors_fire_on_planted_dirt(spark):
+    from pyspark_movie_recommender_spark.operators.text import encoding_health
+
+    dirty = spark.createDataFrame(
+        [
+            (1, "clean ascii text", "s1"),
+            (2, "bad\x01control", "s1"),
+            (3, "repl�char", "s2"),
+            (4, "mojibake Ã© here", "s2"),
+            (5, "tab\tand newline\nare fine", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = {x.grp: x for x in encoding_health(dirty).collect()}
+    assert r["s1"].docs_with_control == 1  # tab/newline are NOT control hits
+    assert r["s1"].docs_with_replacement == 0
+    assert r["s2"].docs_with_replacement == 1
+    assert r["s2"].docs_mojibake == 1
+    assert r["s2"].non_ascii_ppm > 0
