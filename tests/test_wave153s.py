@@ -93,3 +93,24 @@ def test_encoding_health_detectors_fire_on_planted_dirt(spark):
     assert r["s2"].docs_with_replacement == 1
     assert r["s2"].docs_mojibake == 1
     assert r["s2"].non_ascii_ppm > 0
+
+
+def test_cif_monotone_and_bounded_by_one_minus_survival(spark):
+    r = sorted(rows(spark, "competing_risks_cif"), key=lambda x: x.t_days)
+    assert r
+    prev_p = prev_e = 0.0
+    for x in r:
+        # each CIF is a nonnegative, nondecreasing step function
+        assert x.cif_purchase >= prev_p - 1e-9
+        assert x.cif_error >= prev_e - 1e-9
+        prev_p, prev_e = x.cif_purchase, x.cif_error
+        # total incidence can never exceed 1
+        assert x.cif_purchase + x.cif_error <= 1.0 + 1e-6
+
+
+def test_weibull_fit_sane(spark):
+    (r,) = rows(spark, "weibull_fit_conversion_lag")
+    assert r.n >= 3  # sf0.001 has few same-day-excluded conversions
+    assert r.shape_k > 0
+    assert r.scale_days > 0
+    assert 0 <= r.r_squared <= 1
