@@ -114,3 +114,41 @@ def test_weibull_fit_sane(spark):
     assert r.shape_k > 0
     assert r.scale_days > 0
     assert 0 <= r.r_squared <= 1
+
+
+def test_sliced_wasserstein_nonnegative_all_slices(spark):
+    r = rows(spark, "sliced_wasserstein_labels")
+    assert len(r) == 8
+    for x in r:
+        assert x.w1_slice >= 0
+        assert x.n0 > 0 and x.n1 > 0
+    # same populations on every slice
+    assert len({(x.n0, x.n1) for x in r}) == 1
+
+
+def test_sliced_wasserstein_zero_on_identical_populations(spark):
+    # projecting a population against itself must give W1 == 0 on
+    # every slice: rebuild the pipeline with label 1 := label 0
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet").where(
+        F.col("label") == 0
+    )
+    dup = emb.select("vec_id", "embedding", F.lit(0).alias("label")).unionAll(
+        emb.select("vec_id", "embedding", F.lit(1).alias("label"))
+    )
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    dup.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = Q.QUERIES["sliced_wasserstein_labels"](spark, tmp).collect()
+    assert all(x.w1_slice == 0.0 for x in out)
+
+
+def test_pacf_lag1_equals_acf_lag1(spark):
+    r = {x.lag: x for x in rows(spark, "pacf_daily_event_value")}
+    assert set(r) == {1, 2, 3}
+    assert r[1].pacf == r[1].acf
+    for x in r.values():
+        assert -1.000001 <= x.pacf <= 1.000001
+        assert -1.000001 <= x.acf <= 1.000001
