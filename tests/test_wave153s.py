@@ -152,3 +152,27 @@ def test_pacf_lag1_equals_acf_lag1(spark):
     for x in r.values():
         assert -1.000001 <= x.pacf <= 1.000001
         assert -1.000001 <= x.acf <= 1.000001
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fpr(spark):
+    # the bloom stage must pass every true member; FPR should be small
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(SF + "/orders.parquet")
+    c = spark.read.parquet(SF + "/customer.parquet")
+    dim = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    true_n = o.join(dim, o.o_custkey == dim.c_custkey).count()
+    got = rows(spark, "bloom_prefilter_join")
+    assert sum(x.n_orders for x in got) == true_n
+
+
+def test_motif_and_discord_are_valid_windows(spark):
+    (r,) = rows(spark, "motif_discovery_daily")
+    # motif windows must not overlap (full window of separation)
+    assert r.motif_start_b > r.motif_start_a + 6
+    assert r.motif_zdist >= 0
+    # discord's nearest-neighbor distance is at least the motif distance
+    assert r.discord_zdist >= r.motif_zdist
+    # z-normalized distance for m=7 is bounded by sqrt(4m)
+    assert r.motif_zdist <= (4 * 7) ** 0.5 + 1e-6
+    assert r.discord_zdist <= (4 * 7) ** 0.5 + 1e-6
