@@ -176,3 +176,26 @@ def test_motif_and_discord_are_valid_windows(spark):
     # z-normalized distance for m=7 is bounded by sqrt(4m)
     assert r.motif_zdist <= (4 * 7) ** 0.5 + 1e-6
     assert r.discord_zdist <= (4 * 7) ** 0.5 + 1e-6
+
+
+def test_stl_components_reassemble(spark):
+    r = rows(spark, "stl_decompose_daily")
+    assert r
+    for x in r:
+        # additive identity holds to rounding tolerance
+        assert abs(x.x_cents - (x.trend + x.seasonal + x.residual)) < 2e-3
+        assert 0 <= x.dow <= 6
+    # seasonal components repeat by weekday
+    by_dow = {}
+    for x in r:
+        by_dow.setdefault(x.dow, set()).add(x.seasonal)
+    assert all(len(v) == 1 for v in by_dow.values())
+
+
+def test_hampel_flag_matches_rule(spark):
+    r = rows(spark, "hampel_filter_daily")
+    assert r
+    for x in r:
+        expect = 1 if abs(x.x_cents - x.med_cents) > 3.0 * 1.4826 * x.mad_cents else 0
+        assert x.is_outlier == expect
+        assert x.mad_cents >= 0
