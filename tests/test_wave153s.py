@@ -199,3 +199,20 @@ def test_hampel_flag_matches_rule(spark):
         expect = 1 if abs(x.x_cents - x.med_cents) > 3.0 * 1.4826 * x.mad_cents else 0
         assert x.is_outlier == expect
         assert x.mad_cents >= 0
+
+
+def test_propensity_match_counts_consistent(spark):
+    (r,) = rows(spark, "propensity_match_att")
+    assert r.n_treated > 0
+    assert 0 <= r.n_matched <= r.n_treated
+    if r.n_matched > 0:
+        assert r.att_dollars is not None
+
+
+def test_query_likelihood_scores_negative_and_sorted(spark):
+    r = rows(spark, "query_likelihood_dirichlet")
+    assert len(r) == 10
+    scores = [x.ql_score for x in r]
+    # log-probabilities are strictly negative and returned descending
+    assert all(s < 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
