@@ -216,3 +216,21 @@ def test_query_likelihood_scores_negative_and_sorted(spark):
     # log-probabilities are strictly negative and returned descending
     assert all(s < 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_energy_distance_nonnegative(spark):
+    (r,) = rows(spark, "energy_distance_labels")
+    assert r.n > 0 and r.m > 0
+    # E >= 0 always; equality only for identical distributions
+    assert r.energy_distance >= -1e-9
+    assert r.energy_statistic >= -1e-9
+
+
+def test_kcenter_radius_monotone_nonincreasing(spark):
+    r = sorted(rows(spark, "kcenter_coreset_embeddings"), key=lambda x: x.rank)
+    assert [x.rank for x in r] == [1, 2, 3, 4, 5]
+    # adding a center can never increase the covering radius
+    radii = [x.radius for x in r]
+    assert all(radii[i + 1] <= radii[i] + 1e-9 for i in range(4))
+    # all centers distinct
+    assert len({x.vec_id for x in r}) == 5
