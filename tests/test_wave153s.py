@@ -234,3 +234,19 @@ def test_kcenter_radius_monotone_nonincreasing(spark):
     assert all(radii[i + 1] <= radii[i] + 1e-9 for i in range(4))
     # all centers distinct
     assert len({x.vec_id for x in r}) == 5
+
+
+def test_goertzel_power_nonnegative(spark):
+    r = rows(spark, "goertzel_periodogram_daily")
+    assert sorted(x.period for x in r) == [7, 14, 30]
+    for x in r:
+        # single-bin power of a real series is >= 0
+        assert x.power_norm >= -1e-9
+
+
+def test_hill_alpha_reciprocal_of_h(spark):
+    (r,) = rows(spark, "hill_tail_index_orders")
+    assert r.k == 100
+    assert r.hill_h > 0
+    assert abs(r.tail_alpha - round(1.0 / r.hill_h, 4)) < 1e-2
+    assert r.threshold_cents > 0
