@@ -250,3 +250,44 @@ def test_hill_alpha_reciprocal_of_h(spark):
     assert r.hill_h > 0
     assert abs(r.tail_alpha - round(1.0 / r.hill_h, 4)) < 1e-2
     assert r.threshold_cents > 0
+
+
+def test_hotelling_t2_flags_match_threshold(spark):
+    r = rows(spark, "hotelling_t2_daily")
+    assert r
+    for x in r:
+        assert x.t2 >= -1e-9
+        assert x.out_of_control == (1 if x.t2 > 9.21034 else 0)
+    # mean of T2 over days is ~2 (the dimension) for in-control data
+    avg = sum(x.t2 for x in r) / len(r)
+    assert 0.1 < avg < 20
+
+
+def test_permutation_p_value_in_valid_range(spark):
+    (r,) = rows(spark, "permutation_test_order_value")
+    assert r.n_a > 0 and r.n_b > 0
+    # add-one smoothing bounds: 1/21 <= p <= 1 (p is round(...,6))
+    assert 1.0 / 21 - 5e-7 <= r.p_value <= 1.0
+    assert 0 <= r.n_extreme <= 20
+
+
+def test_anova_f_matches_welch_direction(spark):
+    (r,) = rows(spark, "anova_f_order_priority")
+    assert r.n_groups == 5
+    assert r.f_stat >= 0
+    # eta^2 in [0,1] and consistent with F via the df identity
+    assert 0.0 <= r.eta_sq <= 1.0
+    expect_eta = (r.f_stat * 4) / (r.f_stat * 4 + (r.n_rows - 5))
+    assert abs(r.eta_sq - expect_eta) < 1e-6
+    assert r.rejected == (1 if r.f_stat > 3.3192 else 0)
+
+
+def test_mcnemar_cells_and_flag(spark):
+    (r,) = rows(spark, "mcnemar_late_predictors")
+    assert r.only_a_correct + r.only_b_correct <= r.n
+    assert 0.0 <= r.acc_a <= 1.0 and 0.0 <= r.acc_b <= 1.0
+    assert r.mcnemar_chi2 >= 0
+    assert r.rejected == (1 if r.mcnemar_chi2 > 6.634897 else 0)
+    # the more-accurate classifier must win more disagreements
+    if r.acc_a > r.acc_b:
+        assert r.only_a_correct >= r.only_b_correct
