@@ -291,3 +291,20 @@ def test_mcnemar_cells_and_flag(spark):
     # the more-accurate classifier must win more disagreements
     if r.acc_a > r.acc_b:
         assert r.only_a_correct >= r.only_b_correct
+
+
+def test_pettitt_k_bounds_and_flag(spark):
+    (r,) = rows(spark, "pettitt_changepoint_daily")
+    # max|U_t| is bounded by the all-pairs count n(n-1)/2 ... times 2
+    # in our doubled-rank units? no: v in [-(n-1), n-1], |U_t| <= t*(n-1)
+    assert 0 <= r.k_stat <= r.n * (r.n - 1)
+    assert 0.0 <= r.approx_p <= 2.0
+    assert r.rejected == (1 if r.approx_p < 0.01 else 0)
+
+
+def test_kpss_eta_positive_and_flag(spark):
+    (r,) = rows(spark, "kpss_stationarity_daily")
+    assert r.n > 10
+    assert r.lags == int(4 * (r.n / 100.0) ** 0.25)
+    assert r.kpss_eta > 0
+    assert r.rejected == (1 if r.kpss_eta > 0.739 else 0)
