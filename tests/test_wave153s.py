@@ -308,3 +308,21 @@ def test_kpss_eta_positive_and_flag(spark):
     assert r.lags == int(4 * (r.n / 100.0) ** 0.25)
     assert r.kpss_eta > 0
     assert r.rejected == (1 if r.kpss_eta > 0.739 else 0)
+
+
+def test_friedman_q_bounds_and_flag(spark):
+    (r,) = rows(spark, "friedman_weekly_type_ranks")
+    assert r.n_treatments == 5
+    assert r.n_blocks >= 2
+    # Q is bounded above by b*(k-1) (perfectly consistent rankings)
+    assert -1e-6 <= r.friedman_q <= r.n_blocks * (r.n_treatments - 1) + 1e-6
+    assert r.rejected == (1 if r.friedman_q > 13.2767 else 0)
+
+
+def test_taylor_slope_fit_sane(spark):
+    (r,) = rows(spark, "taylor_power_law_types")
+    assert r.n_types == 5
+    assert 0.0 <= r.r_squared <= 1.0
+    assert r.is_aggregated == (1 if r.taylor_slope > 1.0 else 0)
+    # uniform synthetic arrivals are Poisson-ish: slope should be finite
+    assert abs(r.taylor_slope) < 10
