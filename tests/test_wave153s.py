@@ -326,3 +326,19 @@ def test_taylor_slope_fit_sane(spark):
     assert r.is_aggregated == (1 if r.taylor_slope > 1.0 else 0)
     # uniform synthetic arrivals are Poisson-ish: slope should be finite
     assert abs(r.taylor_slope) < 10
+
+
+def test_chow_f_nonnegative_and_flag(spark):
+    (r,) = rows(spark, "chow_break_price_quantity")
+    assert r.n_pre > 0 and r.n_post > 0
+    # pooled SSR can never beat the sum of per-regime SSRs
+    assert r.chow_f >= -1e-6
+    assert r.break_detected == (1 if r.chow_f > 4.6052 else 0)
+
+
+def test_durbin_watson_in_range(spark):
+    (r,) = rows(spark, "durbin_watson_daily_trend")
+    assert r.n > 10
+    # DW lives in [0, 4]
+    assert -1e-6 <= r.dw_stat <= 4.0 + 1e-6
+    assert r.positive_autocorr == (1 if r.dw_stat < 1.5 else 0)
