@@ -342,3 +342,19 @@ def test_durbin_watson_in_range(spark):
     # DW lives in [0, 4]
     assert -1e-6 <= r.dw_stat <= 4.0 + 1e-6
     assert r.positive_autocorr == (1 if r.dw_stat < 1.5 else 0)
+
+
+def test_granger_f_nonnegative_and_flag(spark):
+    (r,) = rows(spark, "granger_views_to_purchases")
+    assert r.n_days > 5
+    # adding a regressor can only shrink SSR
+    assert r.granger_f >= -1e-6
+    assert r.causal_at_99 == (1 if r.granger_f > 6.8510 else 0)
+
+
+def test_gumbel_return_level_exceeds_location(spark):
+    (r,) = rows(spark, "gumbel_daily_max_fit")
+    assert r.n_blocks > 10
+    assert r.gumbel_beta_dollars > 0
+    # -ln(-ln(1-1/30)) > 0, so the 30-block return level sits above mu
+    assert r.return_level_30_dollars > r.gumbel_mu_dollars
