@@ -1,0 +1,33 @@
+"""Wave 169+ invariants: algebraic laws for this session's queries.
+Oracle equality is covered by test_queries_oracle; these pin bounds and
+identities on the sf0.001 fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark_movie_recommender_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(spark, name):
+    return Q.QUERIES[name](spark, SF).collect()
+
+
+def test_jarque_bera_flag_and_kurtosis_bound(spark):
+    (r,) = rows(spark, "jarque_bera_order_values")
+    assert r.n_orders > 10
+    assert r.jb_stat >= 0
+    # excess kurtosis is bounded below by skew^2 - 2 (Pearson inequality)
+    assert r.excess_kurtosis >= r.skewness**2 - 2 - 1e-6
+    assert r.non_normal_at_99 == (1 if r.jb_stat > 9.21034 else 0)
+
+
+def test_grubbs_bounds_and_flag(spark):
+    (r,) = rows(spark, "grubbs_daily_revenue_outlier")
+    assert r.n_days > 10
+    # one-sided Grubbs statistic is bounded by (n-1)/sqrt(n)
+    bound = (r.n_days - 1) / r.n_days**0.5 + 1e-6
+    assert 0 <= r.g_max <= bound
+    assert 0 <= r.g_min <= bound
+    assert r.outlier_flag == (1 if max(r.g_max, r.g_min) > 3.5 else 0)
