@@ -31,3 +31,18 @@ def test_grubbs_bounds_and_flag(spark):
     assert 0 <= r.g_max <= bound
     assert 0 <= r.g_min <= bound
     assert r.outlier_flag == (1 if max(r.g_max, r.g_min) > 3.5 else 0)
+
+
+def test_max_drawdown_ppm_in_range(spark):
+    (r,) = rows(spark, "max_drawdown_daily_value")
+    assert r.n_days > 10
+    # drawdown vs the running peak lives in [0, 1e6] ppm
+    assert 0 <= r.max_drawdown_ppm <= 1_000_000
+    assert r.trough_day > 0
+
+
+def test_bollinger_breach_counts_bounded(spark):
+    (r,) = rows(spark, "bollinger_breach_census")
+    assert r.n_days_evaluated > 0
+    # a day cannot breach both bands; counts bounded by evaluated days
+    assert 0 <= r.n_breach_upper + r.n_breach_lower <= r.n_days_evaluated
