@@ -46,3 +46,18 @@ def test_bollinger_breach_counts_bounded(spark):
     assert r.n_days_evaluated > 0
     # a day cannot breach both bands; counts bounded by evaluated days
     assert 0 <= r.n_breach_upper + r.n_breach_lower <= r.n_days_evaluated
+
+
+def test_dickey_fuller_rho_negative_or_small(spark):
+    (r,) = rows(spark, "dickey_fuller_daily_value")
+    assert r.n_obs > 5
+    # lag-0 DF rho_hat on a mean-reverting daily series lives in [-2, 0.5]
+    assert -2.5 <= r.rho_hat <= 0.5
+    assert r.stationary_at_99 == (1 if r.df_t_stat < -3.43 else 0)
+
+
+def test_cochran_armitage_chi2_and_flag(spark):
+    (r,) = rows(spark, "cochran_armitage_priority_trend")
+    assert r.n_orders > 0 and r.n_levels == 5
+    assert r.ca_chi2 >= 0
+    assert r.trend_at_99 == (1 if r.ca_chi2 > 6.6349 else 0)
