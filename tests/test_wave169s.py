@@ -61,3 +61,20 @@ def test_cochran_armitage_chi2_and_flag(spark):
     assert r.n_orders > 0 and r.n_levels == 5
     assert r.ca_chi2 >= 0
     assert r.trend_at_99 == (1 if r.ca_chi2 > 6.6349 else 0)
+
+
+def test_logistic_irls_loss_bounded_by_baseline(spark):
+    (r,) = rows(spark, "logistic_irls_status_price")
+    assert r.n_orders > 0
+    # fitted log-loss must beat (or tie) the ln(2) coin-flip baseline
+    assert 0 < r.log_loss <= 0.6932
+
+
+def test_decision_stump_margins_consistent(spark):
+    (r,) = rows(spark, "decision_stump_price_returnflag")
+    assert r.split_dollars > 0
+    assert r.n_left > 0 and r.n_right > 0
+    assert 0 <= r.pos_left <= r.n_left
+    assert 0 <= r.pos_right <= r.n_right
+    # weighted Gini of a binary split lives in [0, 0.5] (ppb scale)
+    assert 0 <= r.split_gini_ppb <= 500_000_000
