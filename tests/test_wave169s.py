@@ -78,3 +78,25 @@ def test_decision_stump_margins_consistent(spark):
     assert 0 <= r.pos_right <= r.n_right
     # weighted Gini of a binary split lives in [0, 0.5] (ppb scale)
     assert 0 <= r.split_gini_ppb <= 500_000_000
+
+
+def test_link_prediction_scores_positive_sorted(spark):
+    r = rows(spark, "link_prediction_resource_alloc")
+    assert len(r) > 0
+    for x in r:
+        assert x.part_a < x.part_b
+        assert x.n_common >= 1
+        # each RA term is at most 1 (deg>=1): score_e12 <= n_common * 1e12
+        assert 0 < x.score_e12 <= x.n_common * 10**12
+    scores = [x.score_e12 for x in r]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_harmonic_centrality_consistency(spark):
+    r = rows(spark, "harmonic_centrality_radius2")
+    assert len(r) > 0
+    for x in r:
+        assert x.n1 >= 1 and x.n2 >= 0
+        assert x.harmonic_2x == 2 * x.n1 + x.n2
+    vals = [x.harmonic_2x for x in r]
+    assert vals == sorted(vals, reverse=True)
