@@ -100,3 +100,21 @@ def test_harmonic_centrality_consistency(spark):
         assert x.harmonic_2x == 2 * x.n1 + x.n2
     vals = [x.harmonic_2x for x in r]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_yule_k_nonnegative_and_types_bounded(spark):
+    r = rows(spark, "yule_k_by_source")
+    assert len(r) > 0
+    for x in r:
+        assert 1 <= x.n_types <= x.n_tokens
+        # K >= 10^4 * (V - N)/N^2 is >= 0 since sum m^2 >= N
+        assert x.yule_k >= 0
+
+
+def test_mattr_between_zero_and_one(spark):
+    r = rows(spark, "mattr_sliding_ttr_by_lang")
+    for x in r:
+        assert x.n_windows > 0
+        # each window's distinct count is in [1, 50]
+        assert 0 < x.mattr_50 <= 1.0
+        assert x.distinct_sum <= 50 * x.n_windows
