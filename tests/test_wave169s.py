@@ -118,3 +118,18 @@ def test_mattr_between_zero_and_one(spark):
         # each window's distinct count is in [1, 50]
         assert 0 < x.mattr_50 <= 1.0
         assert x.distinct_sum <= 50 * x.n_windows
+
+
+def test_wilcoxon_rank_sum_identity(spark):
+    (r,) = rows(spark, "wilcoxon_signed_rank_halves")
+    assert r.n_pairs > 0
+    # 2*W+ is bounded by 2 * n(n+1)/2 = n(n+1)
+    assert 0 <= r.wplus_2x <= r.n_pairs * (r.n_pairs + 1)
+    assert r.shifted_at_99 == (1 if abs(r.z_stat) > 2.5758 else 0)
+
+
+def test_mood_median_chi2_and_flag(spark):
+    (r,) = rows(spark, "mood_median_test_priority")
+    assert r.n_groups == 5
+    assert r.mood_chi2 >= 0
+    assert r.unequal_medians_at_99 == (1 if r.mood_chi2 > 13.2767 else 0)
