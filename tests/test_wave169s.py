@@ -133,3 +133,22 @@ def test_mood_median_chi2_and_flag(spark):
     assert r.n_groups == 5
     assert r.mood_chi2 >= 0
     assert r.unequal_medians_at_99 == (1 if r.mood_chi2 > 13.2767 else 0)
+
+
+def test_holt_winters_forecast_decomposition(spark):
+    r = rows(spark, "holt_winters_weekly")
+    assert len(r) > 0
+    for x in r:
+        assert x.n_days >= 14
+        assert x.level == x.level  # finite
+        # forecast = level + trend + seasonal; seasonal bounded by data scale
+        assert abs(x.forecast_1d - x.level - x.trend) < 10 * abs(x.level) + 1e6
+
+
+def test_pinball_loss_nonnegative_and_ordering(spark):
+    r = rows(spark, "pinball_loss_backtest")
+    assert len(r) > 0
+    for x in r:
+        assert x.n_test_days >= 1
+        assert x.pinball50_dollars >= 0
+        assert x.pinball90_dollars >= 0
