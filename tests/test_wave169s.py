@@ -152,3 +152,23 @@ def test_pinball_loss_nonnegative_and_ordering(spark):
         assert x.n_test_days >= 1
         assert x.pinball50_dollars >= 0
         assert x.pinball90_dollars >= 0
+
+
+def test_atkinson_in_unit_interval(spark):
+    r = rows(spark, "atkinson_index_by_nation")
+    assert len(r) > 0
+    for x in r:
+        # AM-GM: geomean <= mean, so A1 in [0, 1)
+        assert -1e-9 <= x.atkinson_eps1 < 1.0
+        assert x.mean_spend_dollars > 0
+
+
+def test_balassa_rca_share_weighted_unity(spark):
+    r = rows(spark, "balassa_rca_nation_parttype")
+    assert len(r) > 0
+    for x in r:
+        assert x.rca >= 0
+        assert x.specialized == (1 if x.rca > 1.0 else 0)
+    # every nation must be specialized (RCA>1) in at least... not guaranteed;
+    # but at least one (nation, type) pair must have RCA > 1 overall
+    assert any(x.specialized == 1 for x in r)
