@@ -172,3 +172,19 @@ def test_balassa_rca_share_weighted_unity(spark):
     # every nation must be specialized (RCA>1) in at least... not guaranteed;
     # but at least one (nation, type) pair must have RCA > 1 overall
     assert any(x.specialized == 1 for x in r)
+
+
+def test_fleiss_kappa_bounds(spark):
+    (r,) = rows(spark, "fleiss_kappa_returnflags")
+    assert r.n_items > 0
+    assert 0.0 <= r.p_bar <= 1.0
+    assert 0.0 < r.p_e < 1.0
+    # kappa <= 1 always; can be negative under worse-than-chance
+    assert -1.5 <= r.fleiss_kappa <= 1.0
+
+
+def test_somers_d_bounds_and_auc_identity(spark):
+    (r,) = rows(spark, "somers_d_linecount_status")
+    assert r.n_orders > 0
+    assert r.concordant >= 0 and r.discordant >= 0
+    assert -1.0 <= r.somers_d <= 1.0
