@@ -188,3 +188,19 @@ def test_somers_d_bounds_and_auc_identity(spark):
     assert r.n_orders > 0
     assert r.concordant >= 0 and r.discordant >= 0
     assert -1.0 <= r.somers_d <= 1.0
+
+
+def test_breusch_pagan_lm_bounds(spark):
+    (r,) = rows(spark, "breusch_pagan_price_quantity")
+    assert r.n_rows > 0
+    # LM = n*R^2 with R^2 in [0,1]
+    assert 0 <= r.bp_lm_stat <= r.n_rows
+    assert r.heteroskedastic_at_99 == (1 if r.bp_lm_stat > 6.6349 else 0)
+
+
+def test_cochrane_orcutt_rho_in_range(spark):
+    (r,) = rows(spark, "cochrane_orcutt_daily_trend")
+    assert r.n_obs > 5
+    assert -1.5 <= r.rho_hat <= 1.5
+    # both slopes finite
+    assert r.slope_ols == r.slope_ols and r.slope_co == r.slope_co
