@@ -226,3 +226,17 @@ def test_littles_law_ratio_at_most_one(spark):
     # clipped order-days can never exceed full order-days => ratio <= 1
     assert 0 < r.littles_ratio <= 1.0 + 1e-9
     assert r.l_measured <= r.lambda_per_day * r.w_days + 1e-6
+
+
+def test_hosmer_lemeshow_bins_and_flag(spark):
+    (r,) = rows(spark, "hosmer_lemeshow_logistic")
+    assert r.n_bins == 10
+    assert r.hl_stat >= 0
+    assert r.miscalibrated_at_99 == (1 if r.hl_stat > 20.0902 else 0)
+
+
+def test_cramers_v_unit_interval(spark):
+    (r,) = rows(spark, "cramers_v_priority_status")
+    assert r.n_rows_dim == 5 and r.n_cols_dim == 3
+    assert r.chi2_stat >= 0
+    assert 0.0 <= r.cramers_v <= 1.0
