@@ -240,3 +240,23 @@ def test_cramers_v_unit_interval(spark):
     assert r.n_rows_dim == 5 and r.n_cols_dim == 3
     assert r.chi2_stat >= 0
     assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_burrows_delta_sorted_nonnegative(spark):
+    r = rows(spark, "burrows_delta_sources")
+    assert len(r) > 0
+    for x in r:
+        assert x.s1 < x.s2
+        assert x.delta >= 0
+    vals = [x.delta for x in r]
+    assert vals == sorted(vals)
+
+
+def test_readability_suite_sane_ranges(spark):
+    r = rows(spark, "readability_fog_smog_ari")
+    assert len(r) > 0
+    for x in r:
+        assert x.n_docs > 0
+        # SMOG has a +3.1291 floor
+        assert x.avg_smog >= 3.0
+        assert x.avg_fog >= 0
