@@ -260,3 +260,22 @@ def test_readability_suite_sane_ranges(spark):
         # SMOG has a +3.1291 floor
         assert x.avg_smog >= 3.0
         assert x.avg_fog >= 0
+
+
+def test_negative_binomial_params_consistent(spark):
+    (r,) = rows(spark, "negative_binomial_user_events")
+    assert r.n_users > 0
+    assert r.mean_events > 0 and r.var_events >= 0
+    assert r.overdispersed == (1 if r.var_events > r.mean_events else 0)
+    if r.overdispersed:
+        assert r.nb_r > 0 and 0 < r.nb_p < 1
+    assert abs(r.dispersion_ratio - r.var_events / r.mean_events) < 1e-2
+
+
+def test_tukey_hsd_pairs_complete(spark):
+    r = rows(spark, "tukey_hsd_priority_values")
+    assert len(r) == 10  # C(5,2)
+    for x in r:
+        assert x.g1 < x.g2
+        assert x.q_stat >= 0
+        assert x.significant_at_99 in (0, 1)
