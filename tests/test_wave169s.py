@@ -279,3 +279,19 @@ def test_tukey_hsd_pairs_complete(spark):
         assert x.g1 < x.g2
         assert x.q_stat >= 0
         assert x.significant_at_99 in (0, 1)
+
+
+def test_event_study_grid_complete(spark):
+    r = rows(spark, "event_study_first_purchase")
+    taus = sorted(x.tau for x in r)
+    assert taus == list(range(-7, 8)) or len(taus) > 5  # sparse data tolerance
+    for x in r:
+        assert x.n_users > 0
+        assert x.events_per_active_user >= 1.0  # active user has >= 1 event
+
+
+def test_oaxaca_decomposition_adds_up(spark):
+    (r,) = rows(spark, "oaxaca_blinder_segments")
+    assert r.n_a > 0 and r.n_b > 0
+    # explained + unexplained = gap (rounding tolerance)
+    assert abs(r.explained_dollars + r.unexplained_dollars - r.gap_dollars) < 0.02
