@@ -295,3 +295,18 @@ def test_oaxaca_decomposition_adds_up(spark):
     assert r.n_a > 0 and r.n_b > 0
     # explained + unexplained = gap (rounding tolerance)
     assert abs(r.explained_dollars + r.unexplained_dollars - r.gap_dollars) < 0.02
+
+
+def test_kendalls_w_unit_interval(spark):
+    (r,) = rows(spark, "kendalls_w_nation_types")
+    assert r.n_judges > 0 and r.n_objects == 6
+    assert -1e-9 <= r.kendalls_w <= 1.0 + 1e-9
+    assert r.concordant_at_99 == (1 if r.chi2_stat > 15.0863 else 0)
+
+
+def test_pages_l_within_bounds(spark):
+    (r,) = rows(spark, "pages_l_weekly_priority")
+    assert r.n_blocks > 0
+    # L in [m*sum(i*(6-i)) .. m*sum(i*i)] = [m*35, m*55] for k=5
+    assert r.n_blocks * 35 <= r.pages_l <= r.n_blocks * 55
+    assert r.ordered_trend_at_99 == (1 if abs(r.z_stat) > 2.5758 else 0)
