@@ -310,3 +310,17 @@ def test_pages_l_within_bounds(spark):
     # L in [m*sum(i*(6-i)) .. m*sum(i*i)] = [m*35, m*55] for k=5
     assert r.n_blocks * 35 <= r.pages_l <= r.n_blocks * 55
     assert r.ordered_trend_at_99 == (1 if abs(r.z_stat) > 2.5758 else 0)
+
+
+def test_rsi_counts_bounded(spark):
+    (r,) = rows(spark, "rsi_sma_daily_value")
+    assert r.n_days > 0
+    assert 0 <= r.overbought_days + r.oversold_days <= r.n_days
+    assert 0.0 <= r.latest_rsi <= 100.0
+
+
+def test_macd_crossings_bounded(spark):
+    (r,) = rows(spark, "macd_crossings_daily")
+    assert r.n_days > 1
+    # at most one crossing per step
+    assert 0 <= r.n_crossings <= r.n_days - 1
