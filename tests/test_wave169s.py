@@ -324,3 +324,19 @@ def test_macd_crossings_bounded(spark):
     assert r.n_days > 1
     # at most one crossing per step
     assert 0 <= r.n_crossings <= r.n_days - 1
+
+
+def test_cronbach_alpha_upper_bound(spark):
+    (r,) = rows(spark, "cronbach_alpha_linenumbers")
+    assert r.n_orders > 0
+    assert r.sum_item_var_dollars2 > 0 and r.total_var_dollars2 > 0
+    # alpha <= 1 always (k/(k-1) * (1 - pos/pos))
+    assert r.cronbach_alpha <= 1.0 + 1e-9
+
+
+def test_icc_bounds(spark):
+    (r,) = rows(spark, "icc_order_line_prices")
+    assert r.n_orders > 0
+    assert r.msb_dollars2 > 0 and r.msw_dollars2 > 0
+    # ICC(1,1) lives in [-1/(k-1), 1] = [-1/3, 1]
+    assert -1.0 / 3 - 1e-9 <= r.icc_1_1 <= 1.0 + 1e-9
