@@ -340,3 +340,17 @@ def test_icc_bounds(spark):
     assert r.msb_dollars2 > 0 and r.msw_dollars2 > 0
     # ICC(1,1) lives in [-1/(k-1), 1] = [-1/3, 1]
     assert -1.0 / 3 - 1e-9 <= r.icc_1_1 <= 1.0 + 1e-9
+
+
+def test_theils_u_ratio_consistency(spark):
+    (r,) = rows(spark, "theils_u_daily_forecasts")
+    assert r.n_days > 0
+    assert r.theils_u2 > 0
+    assert r.beats_naive == (1 if r.rmse_weekly_naive_dollars < r.rmse_naive_dollars else 0) or \
+        abs(r.rmse_weekly_naive_dollars - r.rmse_naive_dollars) < 0.02
+
+
+def test_diebold_mariano_flag_consistent(spark):
+    (r,) = rows(spark, "diebold_mariano_naive_seasonal")
+    assert r.n_days > 2
+    assert r.significant_at_99 == (1 if abs(r.dm_stat) > 2.5758 else 0)
