@@ -354,3 +354,24 @@ def test_diebold_mariano_flag_consistent(spark):
     (r,) = rows(spark, "diebold_mariano_naive_seasonal")
     assert r.n_days > 2
     assert r.significant_at_99 == (1 if abs(r.dm_stat) > 2.5758 else 0)
+
+
+def test_effect_sizes_sign_consistent(spark):
+    (r,) = rows(spark, "effect_size_segments")
+    assert r.n_a > 0 and r.n_b > 0
+    # all three effect sizes share the sign of the mean difference
+    if r.mean_diff_dollars != 0:
+        sgn = 1 if r.mean_diff_dollars > 0 else -1
+        for v in (r.cohens_d, r.hedges_g, r.glass_delta):
+            assert (v > 0) == (sgn > 0) or v == 0
+    # Hedges' g shrinks |d|
+    assert abs(r.hedges_g) <= abs(r.cohens_d) + 1e-9
+
+
+def test_tost_flag_consistent(spark):
+    (r,) = rows(spark, "tost_equivalence_segments")
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.z_lower > r.z_upper  # margin positive => lower z exceeds upper
+    assert r.equivalent_at_99 == (
+        1 if (r.z_lower > 2.3263 and r.z_upper < -2.3263) else 0
+    )
