@@ -375,3 +375,18 @@ def test_tost_flag_consistent(spark):
     assert r.equivalent_at_99 == (
         1 if (r.z_lower > 2.3263 and r.z_upper < -2.3263) else 0
     )
+
+
+def test_chunk_stitch_roundtrip_all_exact(spark):
+    r = rows(spark, "chunk_overlap_stitch_audit")
+    assert len(r) > 0
+    for x in r:
+        # stride 60 < window 80 covers every token: stitch must be exact
+        assert x.roundtrip_exact_docs == x.n_docs
+        assert x.total_chunk_tokens >= x.total_chunks  # nonempty chunks
+
+
+def test_duncan_d_unit_interval(spark):
+    (r,) = rows(spark, "duncan_dissimilarity_segments")
+    assert r.n_nations > 0
+    assert 0.0 <= r.duncan_d <= 1.0
