@@ -390,3 +390,17 @@ def test_duncan_d_unit_interval(spark):
     (r,) = rows(spark, "duncan_dissimilarity_segments")
     assert r.n_nations > 0
     assert 0.0 <= r.duncan_d <= 1.0
+
+
+def test_stuart_maxwell_flag_consistent(spark):
+    (r,) = rows(spark, "stuart_maxwell_status_shift")
+    assert r.n_pairs > 0
+    assert r.sm_chi2 >= -1e-9
+    assert r.margins_shifted_at_99 == (1 if r.sm_chi2 > 9.21034 else 0)
+
+
+def test_bowker_chi2_nonnegative(spark):
+    (r,) = rows(spark, "bowker_symmetry_status")
+    assert 0 <= r.n_offdiag_pairs <= 3
+    assert r.bowker_chi2 >= 0
+    assert r.asymmetric_at_99 == (1 if r.bowker_chi2 > 11.3449 else 0)
