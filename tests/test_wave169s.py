@@ -404,3 +404,20 @@ def test_bowker_chi2_nonnegative(spark):
     assert 0 <= r.n_offdiag_pairs <= 3
     assert r.bowker_chi2 >= 0
     assert r.asymmetric_at_99 == (1 if r.bowker_chi2 > 11.3449 else 0)
+
+
+def test_rocchio_ranking_sorted_and_positive(spark):
+    r = rows(spark, "rocchio_feedback_search")
+    assert 0 < len(r) <= 10
+    assert [x.rnk for x in r] == list(range(1, len(r) + 1))
+    scores = [x.score_e6 for x in r]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_expansion_overlap_bounds(spark):
+    (r,) = rows(spark, "expansion_overlap_audit")
+    assert 0 <= r.common_at_10 <= 10
+    assert 0.0 <= r.jaccard_at_10 <= 1.0
+    # expansion can only widen the candidate set
+    assert r.expanded_candidates >= r.base_candidates
