@@ -421,3 +421,17 @@ def test_expansion_overlap_bounds(spark):
     assert 0.0 <= r.jaccard_at_10 <= 1.0
     # expansion can only widen the candidate set
     assert r.expanded_candidates >= r.base_candidates
+
+
+def test_rmst_bounds(spark):
+    (r,) = rows(spark, "rmst_signup_purchase")
+    assert 0 <= r.rmst_30_days <= 30
+    assert r.median_survival_day >= -1
+    assert r.n_curve_points > 0
+
+
+def test_tornqvist_positive(spark):
+    (r,) = rows(spark, "tornqvist_price_index")
+    assert r.n_types > 0
+    assert r.tornqvist_index > 0
+    assert r.inflationary == (1 if r.tornqvist_index > 1.0 else 0)
