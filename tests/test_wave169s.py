@@ -435,3 +435,20 @@ def test_tornqvist_positive(spark):
     assert r.n_types > 0
     assert r.tornqvist_index > 0
     assert r.inflationary == (1 if r.tornqvist_index > 1.0 else 0)
+
+
+def test_xbar_r_violations_bounded(spark):
+    (r,) = rows(spark, "xbar_r_control_chart")
+    assert r.n_subgroups > 0
+    assert 0 <= r.xbar_violations <= r.n_subgroups
+    assert 0 <= r.range_violations <= r.n_subgroups
+    assert r.rbar_dollars >= 0
+
+
+def test_process_capability_consistent(spark):
+    (r,) = rows(spark, "process_capability_orders")
+    assert r.n_subgroups > 0
+    assert r.cp > 0
+    # Cpk <= Cp always
+    assert r.cpk <= r.cp + 1e-9
+    assert r.capable == (1 if r.cp >= 1.33 else 0)
