@@ -452,3 +452,22 @@ def test_process_capability_consistent(spark):
     # Cpk <= Cp always
     assert r.cpk <= r.cp + 1e-9
     assert r.capable == (1 if r.cp >= 1.33 else 0)
+
+
+def test_merge_actions_partition(spark):
+    r = rows(spark, "merge_upsert_audit")
+    actions = {x.action for x in r}
+    assert actions <= {"update", "insert", "delete"}
+    for x in r:
+        assert x.n_rows > 0
+        if x.action == "delete":
+            assert x.total_balance_cents == 0
+
+
+def test_feature_ranking_complete_and_sorted(spark):
+    r = rows(spark, "feature_ranking_gini")
+    assert {x.feature for x in r} == {"price", "qty", "disc", "tax"}
+    assert [x.rnk for x in r] == [1, 2, 3, 4]
+    gains = [x.gini_gain_ppb for x in r]
+    assert gains == sorted(gains, reverse=True)
+    assert all(g >= 0 for g in gains)
