@@ -471,3 +471,19 @@ def test_feature_ranking_complete_and_sorted(spark):
     gains = [x.gini_gain_ppb for x in r]
     assert gains == sorted(gains, reverse=True)
     assert all(g >= 0 for g in gains)
+
+
+def test_ridge_shrinks_coefficients(spark):
+    (r,) = rows(spark, "ridge_regression_price")
+    assert r.n_rows > 0
+    # ridge cannot increase the coefficient norm (for lambda > 0, 2x2 SPD)
+    assert (r.b1_ridge**2 + r.b2_ridge**2) <= (r.b1_ols**2 + r.b2_ols**2) + 1e-6
+
+
+def test_pca2_eigen_ordering(spark):
+    (r,) = rows(spark, "pca2_price_quantity")
+    assert r.n_rows > 0
+    assert r.lambda1 >= r.lambda2
+    assert r.lambda1 > 0
+    assert 0.5 <= r.explained_ratio <= 1.0
+    assert -180.0 <= r.pc1_angle_deg <= 180.0
