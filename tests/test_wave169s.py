@@ -487,3 +487,21 @@ def test_pca2_eigen_ordering(spark):
     assert r.lambda1 > 0
     assert 0.5 <= r.explained_ratio <= 1.0
     assert -180.0 <= r.pc1_angle_deg <= 180.0
+
+
+def test_pdp_monotone_in_grid(spark):
+    r = rows(spark, "partial_dependence_price")
+    assert len(r) == 7
+    probs = [x.p_hat for x in r]
+    # logistic in a monotone grid: probabilities must be monotone
+    assert probs == sorted(probs) or probs == sorted(probs, reverse=True)
+    assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_ablation_importance_bounds(spark):
+    (r,) = rows(spark, "ablation_r2_importance")
+    assert r.n_rows > 0
+    assert 0.0 <= r.r2_full <= 1.0
+    # each single-feature R2 <= full R2 => importances nonnegative
+    assert r.importance_quantity >= -1e-9
+    assert r.importance_discount >= -1e-9
