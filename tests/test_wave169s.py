@@ -505,3 +505,19 @@ def test_ablation_importance_bounds(spark):
     # each single-feature R2 <= full R2 => importances nonnegative
     assert r.importance_quantity >= -1e-9
     assert r.importance_discount >= -1e-9
+
+
+def test_knn_accuracy_bounds(spark):
+    r = rows(spark, "knn_holdout_accuracy")
+    assert len(r) > 0
+    for x in r:
+        assert 0 <= x.n_correct <= x.n_probes
+        assert 0 <= x.accuracy_ppm <= 1_000_000
+
+
+def test_silhouette_in_range(spark):
+    r = rows(spark, "silhouette_pairwise_subset")
+    assert len(r) > 0
+    for x in r:
+        assert x.n_points > 0
+        assert -1.0 <= x.mean_silhouette <= 1.0
