@@ -521,3 +521,21 @@ def test_silhouette_in_range(spark):
     for x in r:
         assert x.n_points > 0
         assert -1.0 <= x.mean_silhouette <= 1.0
+
+
+def test_intra_doc_repetition_bounds(spark):
+    r = rows(spark, "intra_doc_repetition_rate")
+    assert len(r) > 0
+    for x in r:
+        assert x.total_shingles >= x.n_docs  # docs with >= 8 tokens
+        assert 0 <= x.repeat_ppm <= 1_000_000
+        assert 0 <= x.high_repeat_docs <= x.n_docs
+
+
+def test_hapax_census_consistent(spark):
+    r = rows(spark, "hapax_ratio_by_source")
+    assert len(r) > 0
+    for x in r:
+        assert 0 <= x.hapax <= x.n_types
+        assert x.hapax + x.dis_legomena <= x.n_types
+        assert x.hapax_ppm_of_tokens <= x.hapax_ppm_of_types
