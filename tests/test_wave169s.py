@@ -539,3 +539,19 @@ def test_hapax_census_consistent(spark):
         assert 0 <= x.hapax <= x.n_types
         assert x.hapax + x.dis_legomena <= x.n_types
         assert x.hapax_ppm_of_tokens <= x.hapax_ppm_of_types
+
+
+def test_weiszfeld_median_within_hull(spark):
+    (r,) = rows(spark, "geometric_median_weiszfeld")
+    assert r.n_rows > 0
+    assert 0 < r.median_qty < 100
+    assert r.median_price_dollars > 0
+    assert r.l1_objective > 0
+
+
+def test_mahalanobis_counts_nested(spark):
+    (r,) = rows(spark, "mahalanobis_outlier_census")
+    assert r.n_rows > 0
+    # 99.9% contour is inside the 99% contour
+    assert 0 <= r.outliers_999 <= r.outliers_99 <= r.n_rows
+    assert r.max_d2 > 0
