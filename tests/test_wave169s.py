@@ -555,3 +555,24 @@ def test_mahalanobis_counts_nested(spark):
     # 99.9% contour is inside the 99% contour
     assert 0 <= r.outliers_999 <= r.outliers_99 <= r.n_rows
     assert r.max_d2 > 0
+
+
+def test_chain_ladder_reserves_nonnegative(spark):
+    r = rows(spark, "chain_ladder_reserves")
+    assert len(r) > 0
+    for x in r:
+        assert x.paid_to_date_cents > 0
+        # development factors >= 1 (cumulative paids) => ultimate >= paid
+        assert x.ultimate_dollars >= x.paid_to_date_cents / 100.0 - 0.01
+        assert x.reserve_dollars >= -0.01
+
+
+def test_benford_second_digit_distribution(spark):
+    r = rows(spark, "benford_second_digit")
+    assert len(r) == 10
+    ps = [x.expected_p for x in r]
+    # second-digit expected probs decrease from d=0 to d=9
+    assert ps == sorted(ps, reverse=True)
+    assert abs(sum(ps) - 1.0) < 1e-4
+    for x in r:
+        assert x.chi2_contrib >= 0
