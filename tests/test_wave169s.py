@@ -576,3 +576,23 @@ def test_benford_second_digit_distribution(spark):
     assert abs(sum(ps) - 1.0) < 1e-4
     for x in r:
         assert x.chi2_contrib >= 0
+
+
+def test_ignore_nulls_counts_ordered(spark):
+    (r,) = rows(spark, "window_ignore_nulls_suite")
+    assert r.n_events > 0
+    assert 0 <= r.with_prior_purchase <= r.n_events
+    assert 0 <= r.with_next_purchase <= r.n_events
+    # every event with a next purchase implies some purchase exists
+    if r.with_next_purchase > 0:
+        assert r.with_prior_purchase > 0
+
+
+def test_filtered_distinct_agg_bounds(spark):
+    r = rows(spark, "filtered_distinct_agg_suite")
+    assert len(r) == 5
+    for x in r:
+        assert x.finished_customers <= x.n_customers
+        assert x.big_spenders <= x.n_customers
+        assert x.small_orders <= x.n_orders
+        assert x.open_revenue_cents >= 0
