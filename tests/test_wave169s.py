@@ -596,3 +596,18 @@ def test_filtered_distinct_agg_bounds(spark):
         assert x.big_spenders <= x.n_customers
         assert x.small_orders <= x.n_orders
         assert x.open_revenue_cents >= 0
+
+
+def test_esd_statistics_positive_distinct_days(spark):
+    (r,) = rows(spark, "generalized_esd_daily")
+    assert r.n_days > 3
+    assert r.esd_stat_1 > 0 and r.esd_stat_2 > 0 and r.esd_stat_3 > 0
+    assert r.outlier_day_1 != r.outlier_day_2
+
+
+def test_binseg_variance_explained_bounds(spark):
+    (r,) = rows(spark, "binseg_single_changepoint")
+    assert r.split_index >= 1
+    # a split can only reduce SSE
+    assert r.sse_split_dollars2 <= r.sse_total_dollars2 + 0.01
+    assert 0.0 <= r.variance_explained <= 1.0
