@@ -611,3 +611,20 @@ def test_binseg_variance_explained_bounds(spark):
     # a split can only reduce SSE
     assert r.sse_split_dollars2 <= r.sse_total_dollars2 + 0.01
     assert 0.0 <= r.variance_explained <= 1.0
+
+
+def test_cliffs_delta_bounds_and_class(spark):
+    (r,) = rows(spark, "cliffs_delta_segments")
+    assert r.n_machinery > 0 and r.n_rest > 0
+    assert -1.0 <= r.cliffs_delta <= 1.0
+    assert r.magnitude_class in (0, 1, 2, 3)
+
+
+def test_quantile_shift_monotone_quantiles(spark):
+    r = rows(spark, "quantile_shift_function")
+    assert [x.decile for x in r] == list(range(1, 10))
+    m = [x.machinery_dollars for x in r]
+    rest = [x.rest_dollars for x in r]
+    assert m == sorted(m) and rest == sorted(rest)
+    for x in r:
+        assert abs(x.shift_dollars - (x.machinery_dollars - x.rest_dollars)) < 0.02
