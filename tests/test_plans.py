@@ -608,3 +608,60 @@ def test_sorted_neighborhood_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- wave 169+ plan pins ----------------------------------------------------
+
+
+def test_jarque_bera_single_census_no_exchange_of_rows(spark, sf_dir):
+    df = Q.QUERIES["jarque_bera_order_values"](spark, sf_dir)
+    plan = physical_plan(df)
+    # streaming moment census: partial+final agg, no sort anywhere
+    assert plan.count("HashAggregate") >= 2
+    assert "Sort" not in plan or "TakeOrdered" in plan
+
+
+def test_decision_stump_fact_read_once(spark, sf_dir):
+    df = Q.QUERIES["decision_stump_price_returnflag"](spark, sf_dir)
+    plan = physical_plan(df)
+    # one parquet scan of lineitem (node + its formatted-detail entry):
+    # candidate evaluation runs on the bin relation, never rescanning
+    # the fact table
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_merge_upsert_is_single_shuffled_join(spark, sf_dir):
+    df = Q.QUERIES["merge_upsert_audit"](spark, sf_dir)
+    plan = physical_plan(df)
+    # full-outer join must be a shuffled hash/sort-merge join, and the
+    # staged side pre-aggregates before the join (partial agg present)
+    assert "FullOuter" in plan.replace(" ", "")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_knn_probes_broadcast_corpus_unshuffled(spark, sf_dir):
+    df = Q.QUERIES["knn_holdout_accuracy"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_mahalanobis_two_streaming_passes_no_sort(spark, sf_dir):
+    df = Q.QUERIES["mahalanobis_outlier_census"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Sort" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row params broadcast
+
+
+def test_binseg_single_window_pass(spark, sf_dir):
+    df = Q.QUERIES["binseg_single_changepoint"](spark, sf_dir)
+    # day relation: one shuffle to the single-partition window at most
+    # plus the broadcast of the 1-row best; candidate stats come from
+    # ONE window pass (no per-candidate joins)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") <= 2  # events scanned for daily (+reuse)
+
+
+def test_tornqvist_dims_broadcast(spark, sf_dir):
+    df = Q.QUERIES["tornqvist_price_index"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan  # part dim broadcast
