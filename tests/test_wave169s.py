@@ -628,3 +628,17 @@ def test_quantile_shift_monotone_quantiles(spark):
     assert m == sorted(m) and rest == sorted(rest)
     for x in r:
         assert abs(x.shift_dollars - (x.machinery_dollars - x.rest_dollars)) < 0.02
+
+
+def test_gk_gamma_bounds(spark):
+    (r,) = rows(spark, "goodman_kruskal_gamma")
+    assert r.concordant >= 0 and r.discordant >= 0
+    assert -1.0 <= r.gk_gamma <= 1.0
+
+
+def test_gk_lambda_bounds(spark):
+    (r,) = rows(spark, "goodman_kruskal_lambda")
+    assert r.n_orders > 0
+    # row modes sum dominates the marginal mode; lambda in [0, 1]
+    assert r.sum_row_modes >= r.marginal_mode
+    assert 0.0 <= r.gk_lambda <= 1.0
