@@ -642,3 +642,18 @@ def test_gk_lambda_bounds(spark):
     # row modes sum dominates the marginal mode; lambda in [0, 1]
     assert r.sum_row_modes >= r.marginal_mode
     assert 0.0 <= r.gk_lambda <= 1.0
+
+
+def test_haar_energy_share_bounds(spark):
+    (r,) = rows(spark, "haar_wavelet_energy")
+    assert r.n_days > 4
+    assert r.energy_scale2_cents2 >= 0 and r.energy_scale4_cents2 >= 0
+    assert 0.0 <= r.share_fast <= 1.0
+
+
+def test_dominant_period_unique(spark):
+    r = rows(spark, "dominant_period_scan")
+    assert [x.period_days for x in r] == [3, 4, 5, 7, 10, 14]
+    assert sum(x.is_dominant for x in r) == 1
+    for x in r:
+        assert x.power >= 0
