@@ -657,3 +657,23 @@ def test_dominant_period_unique(spark):
     assert sum(x.is_dominant for x in r) == 1
     for x in r:
         assert x.power >= 0
+
+
+def test_cost_threshold_unique_optimum(spark):
+    r = rows(spark, "cost_threshold_tuning")
+    assert len(r) == 9
+    assert sum(x.is_optimal for x in r) == 1
+    for x in r:
+        assert x.expected_cost == x.false_positives + 5 * x.false_negatives
+    best = min(r, key=lambda x: (x.expected_cost, x.threshold_x10))
+    assert best.is_optimal == 1
+
+
+def test_lift_gains_monotone(spark):
+    r = rows(spark, "lift_gains_deciles")
+    assert [x.decile for x in r] == list(range(1, 11))
+    gains = [x.cum_gain for x in r]
+    assert gains == sorted(gains)
+    assert abs(gains[-1] - 1.0) < 1e-6
+    # top decile lift should be >= bottom decile lift for a real signal
+    assert r[0].lift >= r[-1].lift
