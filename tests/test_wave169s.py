@@ -677,3 +677,19 @@ def test_lift_gains_monotone(spark):
     assert abs(gains[-1] - 1.0) < 1e-6
     # top decile lift should be >= bottom decile lift for a real signal
     assert r[0].lift >= r[-1].lift
+
+
+def test_bcg_quadrants_consistent(spark):
+    r = rows(spark, "bcg_growth_share_matrix")
+    assert len(r) > 0
+    assert any(x.relative_share == 1.0 for x in r)  # the leader itself
+    for x in r:
+        assert 0 < x.relative_share <= 1.0
+        assert x.quadrant in ("star", "cash_cow", "question_mark", "dog")
+
+
+def test_cross_price_elasticity_fit(spark):
+    (r,) = rows(spark, "cross_price_elasticity")
+    assert r.n_weeks > 3
+    assert 0.0 <= r.fit_r2 <= 1.0
+    assert r.substitutes == (1 if r.cross_elasticity > 0 else 0)
