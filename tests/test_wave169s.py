@@ -693,3 +693,19 @@ def test_cross_price_elasticity_fit(spark):
     assert r.n_weeks > 3
     assert 0.0 <= r.fit_r2 <= 1.0
     assert r.substitutes == (1 if r.cross_elasticity > 0 else 0)
+
+
+def test_gravity_model_fit(spark):
+    (r,) = rows(spark, "gravity_trade_model")
+    assert r.n_pairs > 100
+    assert 0.0 <= r.r2 <= 1.0
+    # mass exponents should be positive for a size-driven network
+    assert r.supplier_mass_exp > 0 and r.customer_mass_exp > 0
+
+
+def test_cr4_cr8_nested(spark):
+    r = rows(spark, "concentration_cr4_cr8")
+    assert len(r) == 6
+    for x in r:
+        assert 0 < x.cr4_ppm <= x.cr8_ppm <= 1_000_000
+        assert x.n_brands >= 8
