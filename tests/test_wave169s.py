@@ -709,3 +709,19 @@ def test_cr4_cr8_nested(spark):
     for x in r:
         assert 0 < x.cr4_ppm <= x.cr8_ppm <= 1_000_000
         assert x.n_brands >= 8
+
+
+def test_viterbi_switches_bounded(spark):
+    (r,) = rows(spark, "hmm_viterbi_daily")
+    assert r.n_days > 1
+    assert r.final_state_high in (0, 1)
+    assert 0 <= r.n_switches <= r.n_days - 1
+
+
+def test_forward_dominates_viterbi(spark):
+    (v,) = rows(spark, "hmm_viterbi_daily")
+    (f,) = rows(spark, "hmm_forward_likelihood")
+    assert f.n_days == v.n_days
+    # marginal likelihood >= best-path likelihood (sum over paths,
+    # minus the initial ln(0.5) handicap on the forward side)
+    assert f.forward_loglik >= v.viterbi_logscore - 1.0
