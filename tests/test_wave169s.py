@@ -725,3 +725,21 @@ def test_forward_dominates_viterbi(spark):
     # marginal likelihood >= best-path likelihood (sum over paths,
     # minus the initial ln(0.5) handicap on the forward side)
     assert f.forward_loglik >= v.viterbi_logscore - 1.0
+
+
+def test_absorbing_markov_steps_positive(spark):
+    (r,) = rows(spark, "absorbing_markov_purchase")
+    assert r.n_transitions > 0
+    assert r.exp_steps_from_view >= 1.0
+    assert r.exp_steps_from_other >= 1.0
+    assert 0.0 <= r.p_view_view <= 1.0 and 0.0 <= r.p_other_other <= 1.0
+
+
+def test_conversion_hazard_risk_monotone(spark):
+    r = rows(spark, "conversion_hazard_by_depth")
+    assert len(r) == 8
+    risks = [x.at_risk for x in r]
+    assert risks == sorted(risks, reverse=True)  # risk set shrinks with depth
+    for x in r:
+        assert 0 <= x.converted <= x.at_risk
+        assert 0 <= x.hazard_ppm <= 1_000_000
