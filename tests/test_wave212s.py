@@ -1,0 +1,32 @@
+"""Wave 212+ invariants: algebraic laws for this session's queries.
+Oracle equality is covered by the driver-sim sweep; these pin bounds
+and identities on the sf0.001 fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark_movie_recommender_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(spark, name):
+    return Q.QUERIES[name](spark, SF).collect()
+
+
+def test_psi_panel_nonnegative(spark):
+    r = rows(spark, "psi_feature_panel")
+    assert {x.feature for x in r} == {"price", "qty", "disc", "tax"}
+    for x in r:
+        assert x.n_bins >= 1
+        # PSI is a symmetrized KL: nonnegative
+        assert x.psi >= -1e-9
+        assert x.drift_class in (0, 1, 2)
+
+
+def test_ks_panel_unit_interval(spark):
+    r = rows(spark, "ks_feature_panel")
+    assert {x.feature for x in r} == {"price", "qty", "disc", "tax"}
+    for x in r:
+        assert 0.0 <= x.ks_stat <= 1.0
+        assert x.drifted_at_99 in (0, 1)
