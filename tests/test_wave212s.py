@@ -30,3 +30,21 @@ def test_ks_panel_unit_interval(spark):
     for x in r:
         assert 0.0 <= x.ks_stat <= 1.0
         assert x.drifted_at_99 in (0, 1)
+
+
+def test_sprt_decision_consistency(spark):
+    (r,) = rows(spark, "sprt_conversion_monitor")
+    assert r.n_days > 0
+    assert r.decision in (-1, 0, 1)
+    if r.decision == 0:
+        assert r.decision_day == -1
+    else:
+        assert r.decision_day >= 0
+
+
+def test_run_length_gaps_sane(spark):
+    (r,) = rows(spark, "signal_run_length_gaps")
+    assert r.n_days > 0
+    assert r.n_signals >= 0
+    if r.n_signals >= 2:
+        assert 1 <= r.min_gap_days <= r.max_gap_days
