@@ -48,3 +48,17 @@ def test_run_length_gaps_sane(spark):
     assert r.n_signals >= 0
     if r.n_signals >= 2:
         assert 1 <= r.min_gap_days <= r.max_gap_days
+
+
+def test_survivorship_counts_nested(spark):
+    (r,) = rows(spark, "survivorship_bias_audit")
+    assert 0 < r.surviving_customers <= r.h1_customers
+    assert r.mean_spend_all > 0 and r.mean_spend_survivors > 0
+
+
+def test_berkson_shift_defined(spark):
+    (r,) = rows(spark, "berkson_selection_correlation")
+    assert 0 < r.n_selected <= r.n_all
+    assert -1.0 <= r.corr_all <= 1.0
+    assert -1.0 <= r.corr_selected <= 1.0
+    assert abs(r.berkson_shift - (r.corr_selected - r.corr_all)) < 1e-5
