@@ -62,3 +62,20 @@ def test_berkson_shift_defined(spark):
     assert -1.0 <= r.corr_all <= 1.0
     assert -1.0 <= r.corr_selected <= 1.0
     assert abs(r.berkson_shift - (r.corr_selected - r.corr_all)) < 1e-5
+
+
+def test_geohash_census_consistent(spark):
+    (r,) = rows(spark, "geohash_grid_census")
+    assert r.total_customers > 0
+    assert 1 <= r.n_cells <= r.total_customers
+    assert r.singleton_cells <= r.n_cells
+    assert r.max_cell_pop >= 1
+
+
+def test_haversine_hub_partition(spark):
+    r = rows(spark, "haversine_hub_assignment")
+    assert len(r) >= 2
+    for x in r:
+        assert x.n_customers > 0
+        # max possible great-circle distance ~ 20015 km = 200150 hm
+        assert 0 <= x.min_dist_hm <= x.max_dist_hm <= 200151
