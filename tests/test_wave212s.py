@@ -79,3 +79,19 @@ def test_haversine_hub_partition(spark):
         assert x.n_customers > 0
         # max possible great-circle distance ~ 20015 km = 200150 hm
         assert 0 <= x.min_dist_hm <= x.max_dist_hm <= 200151
+
+
+def test_morans_i_bounds(spark):
+    (r,) = rows(spark, "spatial_moran_i")
+    assert r.n_points > 0 and r.n_neighbor_pairs > 0
+    # Moran's I on random assignment lives near -1/(n-1); bounded ~[-1, 1]
+    assert -1.5 <= r.morans_i <= 1.5
+
+
+def test_idw_balances_plausible(spark):
+    r = rows(spark, "idw_hub_interpolation")
+    assert len(r) == 5
+    for x in r:
+        assert x.total_weight > 0
+        # IDW is a convex combination: inside the data range
+        assert -100000 <= x.idw_balance <= 100000
