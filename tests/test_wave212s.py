@@ -95,3 +95,17 @@ def test_idw_balances_plausible(spark):
         assert x.total_weight > 0
         # IDW is a convex combination: inside the data range
         assert -100000 <= x.idw_balance <= 100000
+
+
+def test_garch_vols_positive(spark):
+    (r,) = rows(spark, "garch11_daily_vol")
+    assert r.n_returns > 1
+    assert r.final_vol > 0 and r.uncond_vol > 0
+    assert 0 <= r.n_2sigma_exceed <= r.n_returns
+
+
+def test_garman_klass_nonnegative_var(spark):
+    (r,) = rows(spark, "garman_klass_volatility")
+    assert r.n_days > 0
+    assert r.gk_daily_vol >= 0
+    assert 0 <= r.negative_days <= r.n_days
