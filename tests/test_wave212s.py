@@ -109,3 +109,20 @@ def test_garman_klass_nonnegative_var(spark):
     assert r.n_days > 0
     assert r.gk_daily_vol >= 0
     assert 0 <= r.negative_days <= r.n_days
+
+
+def test_bloom_fpr_calibrated(spark):
+    (r,) = rows(spark, "bloom_fpr_empirical")
+    assert r.n_members > 0 and r.n_probes > 0
+    assert 0 < r.set_bits <= 3 * r.n_members
+    assert 0.0 <= r.observed_fpr <= 1.0
+    # observed should be within a loose band of theoretical
+    assert abs(r.observed_fpr - r.theoretical_fpr) < 0.2
+
+
+def test_consistent_hashing_no_collateral(spark):
+    (r,) = rows(spark, "consistent_hashing_rebalance")
+    assert r.n_keys > 0
+    # the defining property: only keys on the removed shard move
+    assert r.collateral_moves == 0
+    assert r.moved == r.on_removed_shard
