@@ -126,3 +126,18 @@ def test_consistent_hashing_no_collateral(spark):
     # the defining property: only keys on the removed shard move
     assert r.collateral_moves == 0
     assert r.moved == r.on_removed_shard
+
+
+def test_lru_hit_rate_bounds(spark):
+    (r,) = rows(spark, "lru_cache_hit_simulation")
+    assert r.n_customers > 0
+    assert r.n_accesses >= r.n_customers
+    assert 0 <= r.n_hits < r.n_accesses
+    assert 0 <= r.hit_rate_ppm < 1_000_000
+
+
+def test_working_set_saturation_bounds(spark):
+    (r,) = rows(spark, "working_set_trailing_distinct")
+    if r.n_customers:
+        assert 1.0 <= r.mean_working_set <= 8.0
+        assert 0 < r.saturation_ppm <= 1_000_000
