@@ -141,3 +141,19 @@ def test_working_set_saturation_bounds(spark):
     if r.n_customers:
         assert 1.0 <= r.mean_working_set <= 8.0
         assert 0 < r.saturation_ppm <= 1_000_000
+
+
+def test_gamma_interarrival_consistency(spark):
+    (r,) = rows(spark, "gamma_mom_interarrival")
+    assert r.n_gaps > 0
+    assert r.mean_gap_hours > 0 and r.gamma_scale_hours > 0
+    assert r.gamma_shape_k > 0
+    assert r.burstier_than_poisson == (1 if r.gamma_shape_k < 1.0 else 0)
+
+
+def test_burstiness_memory_bounds(spark):
+    (r,) = rows(spark, "burstiness_memory_coords")
+    assert r.n_gaps > 1 and r.n_pairs >= 1
+    assert -1.0 <= r.burstiness_b <= 1.0
+    assert -1.0 <= r.memory_m <= 1.0
+    assert r.bursty == (1 if r.burstiness_b > 0 else 0)
