@@ -157,3 +157,17 @@ def test_burstiness_memory_bounds(spark):
     assert -1.0 <= r.burstiness_b <= 1.0
     assert -1.0 <= r.memory_m <= 1.0
     assert r.bursty == (1 if r.burstiness_b > 0 else 0)
+
+
+def test_isotropy_cosine_bounds(spark):
+    (r,) = rows(spark, "embedding_isotropy_score")
+    assert r.n_vectors > 1
+    assert -1.0 <= r.mean_pairwise_cosine <= 1.0
+    assert r.anisotropic == (1 if r.mean_pairwise_cosine > 0.1 else 0)
+
+
+def test_effective_rank_bounds(spark):
+    (r,) = rows(spark, "embedding_effective_rank")
+    assert r.n_dims > 1
+    assert 1.0 <= r.effective_rank <= r.n_dims + 1e-6
+    assert 0.0 < r.top_dim_var_share <= 1.0
