@@ -171,3 +171,19 @@ def test_effective_rank_bounds(spark):
     assert r.n_dims > 1
     assert 1.0 <= r.effective_rank <= r.n_dims + 1e-6
     assert 0.0 < r.top_dim_var_share <= 1.0
+
+
+def test_bartlett_flag_consistent(spark):
+    (r,) = rows(spark, "bartlett_variance_test")
+    assert r.n_groups == 5
+    assert r.bartlett_chi2 >= -1e-9
+    assert r.heteroscedastic_at_99 == (1 if r.bartlett_chi2 > 13.2767 else 0)
+
+
+def test_cochrans_q_nonnegative(spark):
+    (r,) = rows(spark, "cochrans_q_monthly")
+    assert r.n_customers > 0
+    assert r.cochrans_q >= -1e-9
+    assert r.participation_shifted_at_99 == (
+        1 if r.cochrans_q > 9.21034 else 0
+    )
