@@ -187,3 +187,18 @@ def test_cochrans_q_nonnegative(spark):
     assert r.participation_shifted_at_99 == (
         1 if r.cochrans_q > 9.21034 else 0
     )
+
+
+def test_zip_fit_consistency(spark):
+    (r,) = rows(spark, "zip_orders_per_customer")
+    assert r.n_customers > 0
+    assert 0 <= r.observed_zeros <= r.n_customers
+    assert 0.0 <= r.zip_pi < 1.0
+    assert r.zip_lambda > 0
+    assert 0 <= r.expected_zeros <= r.n_customers
+
+
+def test_hurdle_identity_adds_up(spark):
+    (r,) = rows(spark, "hurdle_growth_decomposition")
+    total = r.participation_part + r.intensity_part + r.interaction_part
+    assert abs(total - r.growth_per_cust_dollars) < 0.05
