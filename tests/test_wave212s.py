@@ -202,3 +202,26 @@ def test_hurdle_identity_adds_up(spark):
     (r,) = rows(spark, "hurdle_growth_decomposition")
     total = r.participation_part + r.intensity_part + r.interaction_part
     assert abs(total - r.growth_per_cust_dollars) < 0.05
+
+
+def test_welch_anova_positive(spark):
+    (r,) = rows(spark, "welch_anova_segments")
+    assert r.n_groups == 5
+    assert r.welch_f >= 0
+    assert r.df_denominator > 0
+    assert r.means_differ_at_99 == (1 if r.welch_f > 3.32 else 0)
+
+
+def test_median_polish_residual_medians_zeroish(spark):
+    r = rows(spark, "median_polish_cells")
+    assert len(r) == 25
+    # after a column sweep, each segment's residual median is exactly 0
+    from collections import defaultdict
+    by_seg = defaultdict(list)
+    for x in r:
+        by_seg[x.segment].append(x.residual_cents)
+    import statistics
+    for seg, vals in by_seg.items():
+        vals.sort()
+        # discrete median (lower) of 5 values is the 3rd
+        assert vals[len(vals) // 2] == 0 or vals[(len(vals) - 1) // 2] == 0
