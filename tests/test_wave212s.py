@@ -225,3 +225,17 @@ def test_median_polish_residual_medians_zeroish(spark):
         vals.sort()
         # discrete median (lower) of 5 values is the 3rd
         assert vals[len(vals) // 2] == 0 or vals[(len(vals) - 1) // 2] == 0
+
+
+def test_markov_hit_rate_bounds(spark):
+    (r,) = rows(spark, "markov_next_event_hit_rate")
+    assert r.n_test > 0
+    assert 0 <= r.hits <= r.n_test
+    assert 0 <= r.hit_rate_ppm <= 1_000_000
+
+
+def test_popularity_baseline_same_testset(spark):
+    (m,) = rows(spark, "markov_next_event_hit_rate")
+    (b,) = rows(spark, "popularity_baseline_hit_rate")
+    assert b.n_test == m.n_test  # identical holdout
+    assert b.predicted_type in ("view", "click", "purchase", "signup", "error")
