@@ -239,3 +239,21 @@ def test_popularity_baseline_same_testset(spark):
     (b,) = rows(spark, "popularity_baseline_hit_rate")
     assert b.n_test == m.n_test  # identical holdout
     assert b.predicted_type in ("view", "click", "purchase", "signup", "error")
+
+
+def test_ips_policy_values_positive(spark):
+    (r,) = rows(spark, "ips_policy_value")
+    assert r.n_logged > 0
+    assert 0 < r.n_matched <= r.n_logged
+    assert r.ips_value_dollars > 0
+    assert r.logging_value_dollars > 0
+
+
+def test_snips_weight_diagnostics(spark):
+    (r,) = rows(spark, "snips_policy_value")
+    assert r.n_logged > 0
+    # empirical propensities make mean weight exactly ~ match-rate scaled;
+    # with consistent propensities it sits near 1
+    assert 0.2 <= r.mean_weight <= 5.0
+    assert r.max_weight >= r.mean_weight
+    assert r.snips_value_dollars > 0
