@@ -257,3 +257,19 @@ def test_snips_weight_diagnostics(spark):
     assert 0.2 <= r.mean_weight <= 5.0
     assert r.max_weight >= r.mean_weight
     assert r.snips_value_dollars > 0
+
+
+def test_dr_estimators_coherent(spark):
+    (r,) = rows(spark, "dr_policy_value")
+    assert r.n_logged > 0
+    for v in (r.dr_value_dollars, r.dm_value_dollars, r.ips_value_dollars):
+        assert v > 0
+
+
+def test_greedy_improvement_dominates(spark):
+    r = rows(spark, "greedy_policy_improvement")
+    assert len(r) == 5
+    for x in r:
+        # the greedy max of per-action means >= the overall segment mean
+        # (it maxes over a partition of the same rows, modulo n>=30 cells)
+        assert x.greedy_value_dollars >= x.logging_value_dollars - 1.0
