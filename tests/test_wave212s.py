@@ -273,3 +273,19 @@ def test_greedy_improvement_dominates(spark):
         # the greedy max of per-action means >= the overall segment mean
         # (it maxes over a partition of the same rows, modulo n>=30 cells)
         assert x.greedy_value_dollars >= x.logging_value_dollars - 1.0
+
+
+def test_zone_map_sorted_prunes_more(spark):
+    (r,) = rows(spark, "zone_map_pruning_simulation")
+    assert r.natural_blocks > 0 and r.sorted_blocks > 0
+    # sorting by the predicate column can only improve pruning
+    assert r.sorted_prune_ppm >= r.natural_prune_ppm
+    assert 0 <= r.sorted_pruned <= r.sorted_blocks
+
+
+def test_clustering_factor_panel(spark):
+    r = rows(spark, "clustering_factor_audit")
+    assert [x.column_name for x in r] == ["partkey", "price", "shipdate"]
+    for x in r:
+        assert -1.0 <= x.key_order_corr <= 1.0
+        assert x.well_clustered == (1 if abs(x.key_order_corr) > 0.5 else 0)
