@@ -289,3 +289,17 @@ def test_clustering_factor_panel(spark):
     for x in r:
         assert -1.0 <= x.key_order_corr <= 1.0
         assert x.well_clustered == (1 if abs(x.key_order_corr) > 0.5 else 0)
+
+
+def test_switchback_ate_arms_balanced(spark):
+    (r,) = rows(spark, "switchback_day_parity_ate")
+    assert r.treated_days > 0 and r.control_days > 0
+    assert abs(r.treated_days - r.control_days) <= 1
+    assert r.se_dollars > 0
+
+
+def test_switchback_carryover_counts(spark):
+    (r,) = rows(spark, "switchback_carryover_audit")
+    # strict day parity: every control day follows a treated day
+    assert r.ctrl_after_control == 0
+    assert r.ctrl_after_treated >= 0
