@@ -303,3 +303,20 @@ def test_switchback_carryover_counts(spark):
     # strict day parity: every control day follows a treated day
     assert r.ctrl_after_control == 0
     assert r.ctrl_after_treated >= 0
+
+
+def test_jackknife_se_positive(spark):
+    (r,) = rows(spark, "jackknife_ratio_se")
+    assert r.n_groups == 25
+    assert r.ratio_dollars > 0
+    assert r.jackknife_se_dollars >= 0
+    # bias-corrected estimate stays in the neighborhood of theta
+    assert abs(r.bias_corrected_dollars - r.ratio_dollars) < r.ratio_dollars
+
+
+def test_delta_method_agrees_on_point(spark):
+    (j,) = rows(spark, "jackknife_ratio_se")
+    (d,) = rows(spark, "delta_method_ratio_se")
+    # same ratio target (marginal revenue/orders)
+    assert abs(j.ratio_dollars - d.ratio_dollars) < 1.0
+    assert d.delta_se_dollars > 0
