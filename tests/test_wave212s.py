@@ -320,3 +320,18 @@ def test_delta_method_agrees_on_point(spark):
     # same ratio target (marginal revenue/orders)
     assert abs(j.ratio_dollars - d.ratio_dollars) < 1.0
     assert d.delta_se_dollars > 0
+
+
+def test_rtm_top_decile_falls_back(spark):
+    (r,) = rows(spark, "regression_to_mean_audit")
+    assert r.n_top_decile > 0
+    # the H1 top decile's H2 mean must sit below its (selected) H1 mean
+    assert r.h2_mean_dollars < r.h1_mean_dollars
+    assert 0 <= r.mean_h2_rank_from_top_ppm <= 1_000_000
+
+
+def test_winners_curse_fields(spark):
+    (r,) = rows(spark, "winners_curse_estimate")
+    assert r.h1_edge_dollars > 0  # the winner had a positive H1 edge
+    # persistence below 1 demonstrates the curse on noisy selection
+    assert r.edge_persistence < 1.5
