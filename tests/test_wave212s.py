@@ -335,3 +335,19 @@ def test_winners_curse_fields(spark):
     assert r.h1_edge_dollars > 0  # the winner had a positive H1 edge
     # persistence below 1 demonstrates the curse on noisy selection
     assert r.edge_persistence < 1.5
+
+
+def test_german_tank_estimate_sane(spark):
+    (r,) = rows(spark, "german_tank_estimator")
+    assert r.n_observed > 0
+    assert r.mvue_estimate >= r.max_serial  # estimate can't undercut max
+    assert r.rel_err_ppm < 500_000  # within 50% of truth
+
+
+def test_birthday_estimates_bracket_truth(spark):
+    (r,) = rows(spark, "birthday_collision_estimate")
+    assert 0 < r.occupied_buckets <= 4096
+    assert r.true_distinct > 0
+    # occupancy estimator is tight in this regime: within 25%
+    assert abs(r.occupancy_estimate - r.true_distinct) < 0.25 * r.true_distinct
+    assert r.collision_estimate > 0
