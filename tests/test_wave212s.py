@@ -351,3 +351,17 @@ def test_birthday_estimates_bracket_truth(spark):
     # occupancy estimator is tight in this regime: within 25%
     assert abs(r.occupancy_estimate - r.true_distinct) < 0.25 * r.true_distinct
     assert r.collision_estimate > 0
+
+
+def test_bellman_ford_distances_sane(spark):
+    (r,) = rows(spark, "bellman_ford_trade_costs")
+    assert r.reachable_nations > 1
+    assert 0 < r.nearest_cost_micro_nats <= r.max_cost_micro_nats
+    assert r.total_cost_micro_nats > 0
+
+
+def test_minplus_radius_le_diameter(spark):
+    (r,) = rows(spark, "minplus_diameter_trade")
+    assert r.n_nodes > 1
+    assert 0 < r.radius_micro_nats <= r.diameter_micro_nats
+    assert r.reachable_pairs <= r.n_nodes * r.n_nodes
