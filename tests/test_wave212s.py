@@ -365,3 +365,22 @@ def test_minplus_radius_le_diameter(spark):
     assert r.n_nodes > 1
     assert 0 < r.radius_micro_nats <= r.diameter_micro_nats
     assert r.reachable_pairs <= r.n_nodes * r.n_nodes
+
+
+def test_palma_hoover_bounds(spark):
+    (r,) = rows(spark, "palma_hoover_inequality")
+    assert r.top10_n == r.n_customers // 10
+    assert r.bottom40_n == (4 * r.n_customers) // 10
+    assert 0 <= r.hoover_ppm <= 1_000_000
+    assert r.top10_share_ppm + r.bottom40_share_ppm <= 1_000_000
+    assert r.palma_ppm > 0
+
+
+def test_ransac_consensus_sane(spark):
+    (r,) = rows(spark, "ransac_line_quantity_price")
+    assert 0 < r.n_candidates <= 16
+    assert 1 <= r.best_pair_id <= 16
+    # the winning model's own two generating points are always inliers
+    assert 2 <= r.best_inliers <= r.n_points
+    assert 0 < r.inlier_ratio_ppm <= 1_000_000
+    assert r.refit_slope_cents == r.refit_slope_cents  # finite, not NaN
