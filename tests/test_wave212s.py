@@ -384,3 +384,19 @@ def test_ransac_consensus_sane(spark):
     assert 2 <= r.best_inliers <= r.n_points
     assert 0 < r.inlier_ratio_ppm <= 1_000_000
     assert r.refit_slope_cents == r.refit_slope_cents  # finite, not NaN
+
+
+def test_largest_rectangle_bounds(spark):
+    (r,) = rows(spark, "largest_rectangle_daily_value")
+    assert 1 <= r.width_days <= r.n_days
+    assert r.area_cents_days == r.width_days * r.min_height_cents
+    assert r.best_start_date <= r.best_end_date
+
+
+def test_convex_hull_invariants(spark):
+    (r,) = rows(spark, "convex_hull_nation_profile")
+    # hull of >=3 points in general position: edges form a cycle
+    assert r.hull_edges == r.hull_vertices
+    assert 3 <= r.hull_vertices <= r.n_points
+    assert r.shoelace_2a > 0  # counterclockwise orientation
+    assert r.perimeter_rounded > 0
