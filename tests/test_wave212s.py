@@ -400,3 +400,23 @@ def test_convex_hull_invariants(spark):
     assert 3 <= r.hull_vertices <= r.n_points
     assert r.shoelace_2a > 0  # counterclockwise orientation
     assert r.perimeter_rounded > 0
+
+
+def test_shannon_sandwich(spark):
+    (r,) = rows(spark, "shannon_code_audit")
+    assert r.vocab_size > 0 and r.total_tokens >= r.vocab_size
+    # Kraft inequality holds for any prefix-free code
+    assert 0 < r.kraft_ppm <= 1_000_000
+    # source coding theorem: H <= E[L] < H + 1 (milli-bits, rounding slack)
+    assert r.entropy_milli_bits - 1 <= r.expected_len_milli_bits
+    assert r.expected_len_milli_bits <= r.entropy_milli_bits + 1001
+
+
+def test_vickrey_revenue_dominance(spark):
+    (r,) = rows(spark, "vickrey_auction_parts")
+    assert r.n_auctions > 0
+    # second-price revenue never exceeds first-price
+    assert r.sp_revenue_cents <= r.fp_revenue_cents
+    assert 0 <= r.vickrey_discount_ppm <= 1_000_000
+    assert r.max_single_discount_cents >= 0
+    assert 0 <= r.tied_auctions <= r.n_auctions
