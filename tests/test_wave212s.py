@@ -420,3 +420,29 @@ def test_vickrey_revenue_dominance(spark):
     assert 0 <= r.vickrey_discount_ppm <= 1_000_000
     assert r.max_single_discount_cents >= 0
     assert 0 <= r.tied_auctions <= r.n_auctions
+
+
+def test_banzhaf_power_sums_and_bounds(spark):
+    r = rows(spark, "banzhaf_region_power")
+    assert len(r) == 5
+    total = sum(x.n_swings for x in r)
+    assert total > 0
+    # swing counts are even in a simple-majority game without a dictator
+    for x in r:
+        assert 0 <= x.n_swings <= 16
+    # ppm shares sum to ~1e6 (rounding slack)
+    assert abs(sum(x.banzhaf_ppm for x in r) - 1_000_000) <= 5
+
+
+def test_holm_dominates_bonferroni(spark):
+    r = rows(spark, "holm_bonferroni_stepdown")
+    assert len(r) == 25
+    prev = 0.0
+    for x in sorted(r, key=lambda x: x.rnk):
+        # adjusted p monotone nondecreasing in rank, clamped at 1
+        assert x.holm_adj_p >= prev - 1e-9
+        assert x.holm_adj_p <= 1.0
+        prev = x.holm_adj_p
+        # Holm rejects whenever Bonferroni does
+        if x.rejected_bonferroni:
+            assert x.rejected_holm
