@@ -446,3 +446,37 @@ def test_holm_dominates_bonferroni(spark):
         # Holm rejects whenever Bonferroni does
         if x.rejected_bonferroni:
             assert x.rejected_holm
+
+
+def test_hilbert_unit_steps_beat_zorder(spark):
+    (r,) = rows(spark, "hilbert_vs_zorder_locality")
+    # sf0.001 has 150 customers -> not all 256 cells occupied; bounds only
+    assert 1 <= r.n_cells <= 256
+    # Hilbert's defining property: every consecutive step is distance 1
+    # when the full grid is occupied; in general its walk never exceeds Z's
+    assert r.h_total_manhattan <= r.z_total_manhattan
+    assert r.h_max_step <= r.z_max_step
+    assert 1 <= r.h_rect_runs <= r.z_rect_runs + 6
+
+
+def test_hilbert_lut_bijective_unit_steps():
+    from pyspark_movie_recommender_spark.queries import _hilbert_lut_16
+
+    lut = _hilbert_lut_16()
+    assert sorted(h for _, _, _, h in lut) == list(range(256))
+    assert sorted(z for _, _, z, _ in lut) == list(range(256))
+    inv = {h: (x, y) for x, y, _, h in lut}
+    for i in range(255):
+        x0, y0 = inv[i]
+        x1, y1 = inv[i + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1
+
+
+def test_frequent_triples_bounds(spark):
+    (r,) = rows(spark, "frequent_triples_parts")
+    assert r.n_baskets > 0
+    assert r.n_triples > 0
+    # capped baskets: at most C(10,3) triples per basket
+    assert r.total_triple_occurrences <= 120 * r.n_baskets
+    assert 1 <= r.max_support
+    assert r.triples_support_ge2 <= r.n_triples
