@@ -480,3 +480,22 @@ def test_frequent_triples_bounds(spark):
     assert r.total_triple_occurrences <= 120 * r.n_baskets
     assert 1 <= r.max_support
     assert r.triples_support_ge2 <= r.n_triples
+
+
+def test_anderson_darling_nonnegative(spark):
+    (r,) = rows(spark, "anderson_darling_two_sample")
+    assert r.n_urgent > 0 and r.n_other > 0
+    assert r.a2_milli >= 0  # A^2 is a sum of squares
+    assert r.reject_05 == (1 if r.a2_milli > 2492 else 0)
+
+
+def test_lepage_combines_components(spark):
+    (r,) = rows(spark, "lepage_location_scale_test")
+    assert r.n_returned > 0 and r.n_other > 0
+    # L = zW^2 + zAB^2 (milli rounding slack on each component)
+    approx = (r.wilcoxon_z_milli / 1000.0) ** 2 + (
+        r.ansari_z_milli / 1000.0
+    ) ** 2
+    assert abs(r.lepage_l_milli / 1000.0 - approx) < 0.01
+    assert r.lepage_l_milli >= 0
+    assert r.reject_05 == (1 if r.lepage_l_milli > 5991 else 0)
