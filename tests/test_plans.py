@@ -665,3 +665,63 @@ def test_tornqvist_dims_broadcast(spark, sf_dir):
     df = Q.QUERIES["tornqvist_price_index"](spark, sf_dir)
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan  # part dim broadcast
+
+
+def test_kmv_topk_is_take_ordered(spark, sf_dir):
+    df = Q.QUERIES["kmv_distinct_sketch"](spark, sf_dir)
+    # the k smallest hashes ride a per-partition top-k merge, not a
+    # global sort
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_cms_sketch_joins_are_broadcast(spark, sf_dir):
+    df = Q.QUERIES["cms_heavy_hitter_audit"](spark, sf_dir)
+    plan = physical_plan(df)
+    # params (4 rows) and the 4x512 sketch both broadcast back to keys
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_delong_placements_avoid_pair_blowup(spark, sf_dir):
+    df = Q.QUERIES["delong_auc_variance"](spark, sf_dir)
+    plan = physical_plan(df)
+    # the placement-value formulation must never build pos x neg pairs
+    assert "CartesianProduct" not in plan
+    # windows (global + per-class midranks) then scalar agg
+    assert plan.count("Window") >= 2
+
+
+def test_myerson_argmax_is_window_group_limit(spark, sf_dir):
+    df = Q.QUERIES["myerson_reserve_price"](spark, sf_dir)
+    # per-segment argmax over the demand curve prunes before shuffle
+    assert has_operator(df, "WindowGroupLimit")
+
+
+def test_win_ratio_never_materializes_pairs(spark, sf_dir):
+    df = Q.QUERIES["win_ratio_composite"](spark, sf_dir)
+    plan = physical_plan(df)
+    # marginal/rank-sum formulation: no join of treated vs control rows
+    # (the only joins are the order-grain lineitem rollup inputs)
+    assert "CartesianProduct" not in plan
+    # order-grain agg is partial+final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_fairness_audit_dims_broadcast(spark, sf_dir):
+    df = Q.QUERIES["fairness_group_audit"](spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_mantel_fact_aggs_partial_final(spark, sf_dir):
+    df = Q.QUERIES["mantel_matrix_correlation"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 4  # two fact rollups, each 2-phase
+
+
+def test_sketch_pipeline_single_fact_scan(spark, sf_dir):
+    # AMS builds its sketch FROM per-key counts: lineitem scanned once
+    df = Q.QUERIES["ams_f2_sketch"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") <= 2  # exact agg + audit reuse
