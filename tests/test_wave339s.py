@@ -1,0 +1,169 @@
+"""Wave 339-343 invariants: algebraic laws for this session's queries.
+Oracle equality is covered by the driver-sim sweep; these pin bounds
+and identities on the sf0.001 fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark_movie_recommender_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(spark, name):
+    return Q.QUERIES[name](spark, SF).collect()
+
+
+def test_dbscan_partition(spark):
+    out = rows(spark, "dbscan_embedding_2d")
+    assert len(out) == 500
+    roles = {r.role for r in out}
+    assert roles <= {"core", "border", "noise"}
+    for r in out:
+        if r.role == "noise":
+            assert r.cluster == -1
+        else:
+            assert r.cluster >= 0
+    # cluster labels are min-member ids: the labelling core point is
+    # in its own cluster
+    clusters = {r.cluster for r in out if r.role == "core"}
+    by_id = {r.id: r for r in out}
+    for c in clusters:
+        assert by_id[c].role == "core" and by_id[c].cluster == c
+
+
+def test_kalman_gain_band(spark):
+    out = rows(spark, "kalman_local_level_daily")
+    assert len(out) == 5
+    # steady-state gain for q/r=0.25 is (sqrt(1.25*4+...)-...)~0.390;
+    # after 30 steps the gain must be inside (prior-heavy) [0.39, 0.5]
+    for r in out:
+        assert 0.38 < r.gain_final < 0.5
+        assert r.var_final > 0
+        assert r.innovation_rmse > 0
+
+
+def test_kemeny_beats_reversal(spark):
+    out = rows(spark, "kemeny_optimal_ranking")
+    assert len(out) == 5
+    assert len({r.rank_pos for r in out}) == 5
+    # the optimum must win at least half of all pairwise comparisons
+    # (otherwise its reversal scores higher); total = sum over nation
+    # ballots of C(k,2)
+    from pyspark.sql import functions as F
+
+    ballots = (
+        Q.load_table(spark, SF, "orders")
+        .join(
+            Q.load_table(spark, SF, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                "c_nationkey",
+                "c_mktsegment",
+            ),
+            "o_custkey",
+        )
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] * (r["count"] - 1) // 2 for r in ballots)
+    agree = out[0].total_agreements
+    assert agree * 2 >= total > 0
+
+
+def test_irv_round_structure(spark):
+    out = rows(spark, "instant_runoff_winner")
+    assert len(out) == 5
+    elim = [r for r in out if r.outcome == "eliminated"]
+    win = [r for r in out if r.outcome == "winner"]
+    assert len(elim) == 4 and len(win) == 1
+    assert sorted(r.round for r in elim) == [1, 2, 3, 4]
+    # round-4 votes split all ballots between the two survivors
+    r4 = [r for r in out if r.round == 4]
+    n_voters = (
+        Q.load_table(spark, SF, "orders")
+        .join(
+            Q.load_table(spark, SF, "customer").select(
+                __import__("pyspark.sql.functions", fromlist=["col"]).col(
+                    "c_custkey"
+                ).alias("o_custkey"),
+                "c_nationkey",
+            ),
+            "o_custkey",
+        )
+        .select("c_nationkey")
+        .distinct()
+        .count()
+    )
+    # ballots listing neither round-4 survivor are exhausted
+    assert 0 < sum(r.first_choice_votes for r in r4) <= n_voters
+    assert win[0].first_choice_votes >= elim[-1].first_choice_votes
+
+
+def test_mcf_monotone(spark):
+    out = sorted(rows(spark, "mean_cumulative_function_purchases"),
+                 key=lambda r: r.day)
+    assert out
+    prev = 0.0
+    for r in out:
+        assert r.n_risk > 0
+        assert r.mcf >= prev - 1e-9  # cumulative, nondecreasing
+        prev = r.mcf
+
+
+def test_base_stock_service(spark):
+    out = rows(spark, "base_stock_policy_replay")
+    assert len(out) == 25
+    for r in out:
+        assert r.base_stock >= 0
+        assert 0 <= r.stockout_weeks <= r.n_weeks
+        assert r.service_ppm <= 1_000_000
+        if r.stockout_weeks == 0:
+            assert r.min_on_hand >= 0 and r.service_ppm == 1_000_000
+
+
+def test_value_iteration_bounds(spark):
+    out = rows(spark, "value_iteration_event_mdp")
+    assert len(out) == 5
+    for r in out:
+        # v <= r_max/(1-gamma) = 4*r_max over all states
+        rmax = max(x.r_micro for x in out)
+        assert r.r_micro <= r.value_micro <= 4 * rmax
+        assert r.n_obs > 0
+
+
+def test_maxflow_equals_mincut(spark):
+    out = rows(spark, "maxflow_mincut_trade")
+    assert len(out) == 25
+    # weak duality: flow <= any cut; equality certifies optimality
+    f = out[0].max_flow_cents
+    c = out[0].min_cut_cents
+    assert f == c > 0
+    sides = {r.side for r in out}
+    assert sides == {"source", "sink"}
+
+
+def test_sax_word_census(spark):
+    out = rows(spark, "sax_symbolic_motifs")
+    assert out
+    for r in out:
+        assert len(r.sax_word) == 3
+        assert set(r.sax_word) <= set("abcd")
+        assert r.n_occurrences >= 1
+    # 15 PAA segments -> 13 words per type
+    per_type = {}
+    for r in out:
+        per_type[r.event_type] = per_type.get(r.event_type, 0) + r.n_occurrences
+    assert all(v == 13 for v in per_type.values())
+
+
+def test_pq_adc_overlap(spark):
+    out = rows(spark, "product_quantization_adc")
+    assert len(out) == 5
+    for r in out:
+        assert 0 <= r.overlap_at_10 <= 10
+    # 4x16 codebook on clustered data should recover at least a few
+    # exact neighbours somewhere
+    assert max(r.overlap_at_10 for r in out) >= 3
