@@ -167,3 +167,20 @@ def test_pq_adc_overlap(spark):
     # 4x16 codebook on clustered data should recover at least a few
     # exact neighbours somewhere
     assert max(r.overlap_at_10 for r in out) >= 3
+
+
+def test_assignment_vs_stable(spark):
+    opt = rows(spark, "assignment_optimal_exact")
+    st = rows(spark, "stable_matching_region_segment")
+    assert len(opt) == 5 and len(st) == 5
+    # permutation structure on both
+    assert len({r.region for r in opt}) == 5
+    assert len({r.segment for r in opt}) == 5
+    assert len({r.region for r in st}) == 5
+    assert len({r.segment for r in st}) == 5
+    # stability certificate
+    assert all(r.n_blocking_pairs == 0 for r in st)
+    # the enumerated optimum dominates any other assignment, including
+    # the stable one
+    assert opt[0].optimal_total_cents >= sum(r.pair_cents for r in st)
+    assert opt[0].optimal_total_cents == sum(r.pair_cents for r in opt)
