@@ -184,3 +184,34 @@ def test_assignment_vs_stable(spark):
     # the stable one
     assert opt[0].optimal_total_cents >= sum(r.pair_cents for r in st)
     assert opt[0].optimal_total_cents == sum(r.pair_cents for r in opt)
+
+
+def test_lz76_bounds(spark):
+    out = rows(spark, "lz76_complexity_docs")
+    assert out
+    for r in out:
+        assert 1 <= r.n_phrases <= r.n_chars_used
+        # parse with cap-40 matches: each phrase consumes >= 1 char
+        assert r.phrases_ppm <= 1_000_000
+
+
+def test_huffman_certificates(spark):
+    out = rows(spark, "huffman_code_audit")
+    assert len(out) >= 20  # letters observed in the corpus
+    lmax = out[0].max_code_len
+    # Kraft EQUALITY for a full binary code tree
+    assert out[0].kraft_scaled == 2 ** lmax
+    # anti-monotone: heavier symbols never get longer codes
+    srt = sorted(out, key=lambda r: r.weight)
+    for a, b in zip(srt, srt[1:]):
+        if b.weight > a.weight:
+            assert b.code_len <= a.code_len
+    # entropy sandwich: H <= avg_len < H + 1
+    import math
+
+    n = sum(r.weight for r in out)
+    h = -sum(
+        (r.weight / n) * math.log2(r.weight / n) for r in out if r.weight
+    )
+    avg = out[0].total_bits / n
+    assert h - 1e-9 <= avg < h + 1
