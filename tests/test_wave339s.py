@@ -215,3 +215,21 @@ def test_huffman_certificates(spark):
     )
     avg = out[0].total_bits / n
     assert h - 1e-9 <= avg < h + 1
+
+
+def test_page_hinkley_structure(spark):
+    out = rows(spark, "page_hinkley_drift")
+    assert len(out) == 5
+    for r in out:
+        assert r.max_deviation >= 0
+        # alarm day, if any, is a real index in [1, n]
+        if r.alarm_t is not None:
+            assert 1 <= r.alarm_t <= r.n_days
+            assert r.alarm_day is not None
+
+
+def test_synthetic_control_weight(spark):
+    (r,) = rows(spark, "synthetic_control_weekly")
+    assert 0 <= r.w_ppm <= 1_000_000
+    assert r.pre_rmse_cents >= 0
+    assert len({r.treated_nation, r.donor1, r.donor2}) == 3
