@@ -233,3 +233,25 @@ def test_synthetic_control_weight(spark):
     assert 0 <= r.w_ppm <= 1_000_000
     assert r.pre_rmse_cents >= 0
     assert len({r.treated_nation, r.donor1, r.donor2}) == 3
+
+
+def test_poisson_irls_sane(spark):
+    (r,) = rows(spark, "poisson_irls_weekly_orders")
+    assert r.n_weeks > 0
+    assert r.deviance >= 0
+    # after two steps from ln(mean) start the intercept stays near
+    # ln(mean weekly orders): e^beta0 within the observed count range
+    import math
+
+    assert 0 < math.exp(r.beta0) < 10000
+
+
+def test_textrank_scores(spark):
+    out = rows(spark, "textrank_keywords")
+    assert out
+    # damping floor: every score >= (1-d) = 150000 ppm; connected
+    # nodes exceed it
+    for r in out:
+        assert r.score_ppm >= 150_000
+        assert r.strength >= 0
+    assert max(r.score_ppm for r in out) > 150_000
