@@ -255,3 +255,24 @@ def test_textrank_scores(spark):
         assert r.score_ppm >= 150_000
         assert r.strength >= 0
     assert max(r.score_ppm for r in out) > 150_000
+
+
+def test_lcs_bounds(spark):
+    out = rows(spark, "longest_common_substring_pairs")
+    assert out
+    for r in out:
+        assert 1 <= r.lcs_len <= 150
+        assert len(r.lcs_min) == r.lcs_len
+
+
+def test_point_in_polygon_parity(spark):
+    out = rows(spark, "point_in_polygon_census")
+    assert out
+    tot = sum(r.n_customers for r in out)
+    ins = sum(r.n_inside for r in out)
+    assert 0 <= ins <= tot
+    # pentagon from region centroids covers a nontrivial interior
+    # fraction of the 100x100km plane, but never everything
+    assert 0 < ins < tot
+    for r in out:
+        assert 0 <= r.inside_ppm <= 1_000_000
