@@ -276,3 +276,30 @@ def test_point_in_polygon_parity(spark):
     assert 0 < ins < tot
     for r in out:
         assert 0 <= r.inside_ppm <= 1_000_000
+
+
+def test_lis_certificates(spark):
+    out = sorted(rows(spark, "lis_patience_daily"), key=lambda r: r.day)
+    assert out
+    L = out[0].lis_len
+    # witness: strictly increasing subsequence of length exactly L
+    wit = [r for r in out if r.in_witness]
+    assert len(wit) == L
+    for a, b in zip(wit, wit[1:]):
+        assert a.day < b.day and a.cents < b.cents
+    # Dilworth cover: exactly L piles, each non-increasing in time
+    piles = {}
+    for r in out:
+        piles.setdefault(r.pile_id, []).append(r.cents)
+    assert len(piles) == L
+    for vals in piles.values():
+        for a, b in zip(vals, vals[1:]):
+            assert b <= a
+
+
+def test_weighted_interval_dp(spark):
+    out = rows(spark, "weighted_interval_scheduling")
+    assert out
+    for r in out:
+        assert r.n_intervals >= 1
+        assert r.best_cents > 0
