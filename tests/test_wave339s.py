@@ -303,3 +303,20 @@ def test_weighted_interval_dp(spark):
     for r in out:
         assert r.n_intervals >= 1
         assert r.best_cents > 0
+
+
+def test_knapsack_dp_bounds(spark):
+    out = rows(spark, "knapsack_01_by_brand")
+    assert len(out) == 25
+    for r in out:
+        assert 0 <= r.best_value_cents_cap50 <= r.best_value_cents
+        assert r.n_items >= 1
+
+
+def test_bwt_runs(spark):
+    out = rows(spark, "bwt_rle_compressibility")
+    assert out
+    for r in out:
+        assert 1 <= r.runs_bwt <= r.n_chars
+        assert 1 <= r.runs_orig <= r.n_chars
+        assert r.bwt_run_ratio_ppm > 0
