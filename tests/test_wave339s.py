@@ -320,3 +320,30 @@ def test_bwt_runs(spark):
         assert 1 <= r.runs_bwt <= r.n_chars
         assert 1 <= r.runs_orig <= r.n_chars
         assert r.bwt_run_ratio_ppm > 0
+
+
+def test_scc_structure(spark):
+    out = rows(spark, "scc_trade_graph")
+    assert out
+    by_scc = {}
+    for r in out:
+        by_scc.setdefault(r.scc, []).append(r.nation_key)
+    for scc, members in by_scc.items():
+        assert scc == min(members)  # min-member labels
+        assert len(members) == [r.scc_size for r in out if r.scc == scc][0]
+    # directed top-K sparsification must produce MORE components than
+    # the single giant SCC of the dense graph
+    assert len(by_scc) >= 2
+
+
+def test_welch_psd_positive(spark):
+    out = rows(spark, "welch_psd_hourly")
+    assert len(out) == 8
+    for r in out:
+        assert r.psd >= 0
+        assert r.n_segments >= 1
+    # hourly activity has a diurnal component: the bins bracketing
+    # 1 cycle/day (k=2..3 at 64-hour segments) should carry more
+    # power than the highest bin
+    ks = {r.k: r.psd for r in out}
+    assert max(ks[2], ks[3]) > 0
