@@ -347,3 +347,25 @@ def test_welch_psd_positive(spark):
     # power than the highest bin
     ks = {r.k: r.psd for r in out}
     assert max(ks[2], ks[3]) > 0
+
+
+def test_border_period_laws(spark):
+    out = rows(spark, "string_border_period_census")
+    assert out
+    for r in out:
+        assert 0 <= r.max_border < r.n_chars
+        assert 1 <= r.min_period <= r.n_chars
+        assert r.min_period == r.n_chars - r.max_border
+        if r.fully_periodic:
+            assert r.n_chars % r.min_period == 0
+
+
+def test_jackson_traffic_equations(spark):
+    out = rows(spark, "jackson_network_solve")
+    assert len(out) == 5
+    for r in out:
+        # exact rational solve: rounded residual within 2 micro
+        assert abs(r.residual_micro) <= 2
+        assert r.lambda_micro > 0
+        assert 0 < r.rho_ppm < 1_000_000  # stable network
+        assert r.l_station_micro is not None and r.l_station_micro > 0
