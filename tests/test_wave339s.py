@@ -369,3 +369,36 @@ def test_jackson_traffic_equations(spark):
         assert r.lambda_micro > 0
         assert 0 < r.rho_ppm < 1_000_000  # stable network
         assert r.l_station_micro is not None and r.l_station_micro > 0
+
+
+def test_konig_duality(spark):
+    out = rows(spark, "konig_matching_cover")
+    assert out
+    m = out[0].matching_size
+    c = out[0].cover_size
+    # Koenig's theorem: |max matching| == |min vertex cover|
+    assert m == c > 0
+    # certificate: no uncovered edge
+    assert out[0].n_uncovered_edges == 0
+    # matching consistency: matched pairs agree across sides
+    pm = {
+        r.node_key: r.matched_to
+        for r in out
+        if r.side == "part" and r.matched_to is not None
+    }
+    sm = {
+        r.node_key: r.matched_to
+        for r in out
+        if r.side == "supplier" and r.matched_to is not None
+    }
+    assert len(pm) == m
+    for p_, s_ in pm.items():
+        assert sm.get(s_) == p_
+    cover_n = sum(1 for r in out if r.in_cover)
+    assert cover_n == c
+
+
+def test_cluster_robust_se(spark):
+    (r,) = rows(spark, "cluster_robust_se_regression")
+    assert r.n_orders > 0 and r.n_clusters > 1
+    assert r.se_cluster > 0 and r.se_iid > 0
