@@ -402,3 +402,21 @@ def test_cluster_robust_se(spark):
     (r,) = rows(spark, "cluster_robust_se_regression")
     assert r.n_orders > 0 and r.n_clusters > 1
     assert r.se_cluster > 0 and r.se_iid > 0
+
+
+def test_voptimal_cost_ladder(spark):
+    (r,) = rows(spark, "voptimal_segmentation_daily")
+    # more segments can never cost more (nested feasible sets)
+    assert r.cost_k1 >= r.cost_k2 >= r.cost_k3 >= r.cost_k4 >= 0
+    assert 2 <= r.k4_last_segment_start <= r.n_days
+
+
+def test_ziv_merhav_directions(spark):
+    out = rows(spark, "ziv_merhav_cross_parse")
+    assert out
+    for r in out:
+        assert 1 <= r.n_cross_phrases <= r.n_chars
+    # both directions present per pair
+    pairs = {(r.src_doc, r.db_doc) for r in out}
+    for (s_, d_) in pairs:
+        assert (d_, s_) in pairs
