@@ -420,3 +420,33 @@ def test_ziv_merhav_directions(spark):
     pairs = {(r.src_doc, r.db_doc) for r in out}
     for (s_, d_) in pairs:
         assert (d_, s_) in pairs
+
+
+def test_inclusion_dependencies(spark):
+    out = rows(spark, "inclusion_dependency_discovery")
+    assert len(out) == 10
+    by_child = {r.child: r for r in out}
+    # genuine FK edges hold
+    for child in [
+        "orders.o_custkey",
+        "lineitem.l_orderkey",
+        "lineitem.l_partkey",
+        "lineitem.l_suppkey",
+        "customer.c_nationkey",
+        "supplier.s_nationkey",
+        "nation.n_regionkey",
+    ]:
+        assert by_child[child].ind_holds == 1, child
+    # at least one reversed decoy must fail (customers without orders)
+    assert by_child["customer.c_custkey"].ind_holds == 0
+    for r in out:
+        assert 0 < r.containment_ppm <= 1_000_000
+
+
+def test_pps_ht_estimate(spark):
+    (r,) = rows(spark, "pps_horvitz_thompson")
+    assert 1 <= r.n_sampled <= 50
+    assert r.true_total_cents > 0
+    # PPS-by-balance is only loosely correlated with revenue; allow a
+    # wide but bounded relative error
+    assert abs(r.error_ppm) < 600_000
