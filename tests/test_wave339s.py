@@ -451,3 +451,28 @@ def test_pps_ht_estimate(spark):
     # PPS-by-balance is only loosely correlated with revenue; allow a
     # wide but bounded relative error
     assert abs(r.error_ppm) < 600_000
+
+
+def test_belady_dominates_lru(spark):
+    opt = {r.capacity: r for r in rows(spark, "belady_opt_cache_replay")}
+    assert set(opt) == {1, 2, 4, 8}
+    # monotone in capacity
+    assert (
+        opt[1].hit_ppm <= opt[2].hit_ppm <= opt[4].hit_ppm <= opt[8].hit_ppm
+    )
+    # OPT is an upper bound on LRU at every shared capacity
+    lru = {
+        r.capacity: r for r in rows(spark, "mattson_reuse_profile")
+    }
+    for cap in (1, 2, 4, 8):
+        if cap in lru:
+            assert opt[cap].hits >= lru[cap].hits
+
+
+def test_rle_advisor(spark):
+    out = rows(spark, "rle_sort_compression_advisor")
+    assert len(out) == 3
+    for r in out:
+        # sorting can only reduce (or keep) the run count
+        assert 1 <= r.runs_sorted <= r.runs_natural <= r.n_rows
+        assert r.sorted_run_ratio_ppm <= 1_000_000
