@@ -476,3 +476,19 @@ def test_rle_advisor(spark):
         # sorting can only reduce (or keep) the run count
         assert 1 <= r.runs_sorted <= r.runs_natural <= r.n_rows
         assert r.sorted_run_ratio_ppm <= 1_000_000
+
+
+def test_yates_effects(spark):
+    out = rows(spark, "factorial_effects_yates")
+    assert len(out) == 7
+    names = {r.effect for r in out}
+    assert names == {"A_urgent", "B_finished", "C_h2", "AB", "AC", "BC", "ABC"}
+    n = out[0].n_orders
+    assert all(r.n_orders == n for r in out)
+
+
+def test_sobol_indices(spark):
+    out = rows(spark, "sobol_main_effects")
+    assert len(out) == 3
+    for r in out:
+        assert 0 <= r.s_ppm <= 1_000_000
