@@ -492,3 +492,23 @@ def test_sobol_indices(spark):
     assert len(out) == 3
     for r in out:
         assert 0 <= r.s_ppm <= 1_000_000
+
+
+def test_tsp_two_opt_certificate(spark):
+    out = rows(spark, "tsp_two_opt_certified")
+    assert len(out) == 25
+    assert sorted(r.seq for r in out) == list(range(1, 26))
+    assert len({r.nation_key for r in out}) == 25  # a real tour
+    # declarative 2-opt local optimality
+    assert out[0].n_improving_swaps == 0
+    assert out[0].tour_len_micro > 0
+
+
+def test_lpt_graham_bound(spark):
+    out = rows(spark, "lpt_makespan_certified")
+    assert len(out) == 4
+    r = out[0]
+    assert r.makespan_cents == max(x.load_cents for x in out)
+    assert r.makespan_cents >= r.lower_bound_cents
+    # Graham: LPT <= (4/3 - 1/(3m)) OPT <= (4/3 - 1/12) LB
+    assert r.ratio_ppm <= 1_250_000
