@@ -512,3 +512,26 @@ def test_lpt_graham_bound(spark):
     assert r.makespan_cents >= r.lower_bound_cents
     # Graham: LPT <= (4/3 - 1/(3m)) OPT <= (4/3 - 1/12) LB
     assert r.ratio_ppm <= 1_250_000
+
+
+def test_halton_qmc(spark):
+    out = rows(spark, "halton_qmc_integration")
+    assert len(out) == 6
+    h = {r.n_points: r for r in out if r.method == "halton"}
+    assert set(h) == {64, 256, 1024}
+    # low-discrepancy: by n=1024 the estimate is within 2% of truth
+    assert h[1024].abs_error_ppm < 20_000
+    for r in out:
+        assert 0 <= r.estimate_ppm <= 1_000_000
+
+
+def test_dorfman_design(spark):
+    out = rows(spark, "dorfman_pooling_design")
+    assert out
+    for r in out:
+        assert 2 <= r.best_pool_size <= 20
+        # pooling must beat individual testing at observed rates
+        # (p < ~0.3 always pools profitably)
+        if r.n_defective * 100 < r.n_items * 25:
+            assert r.tests_per_item_ppm < 1_000_000
+            assert r.savings_ppm > 0
