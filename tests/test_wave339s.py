@@ -535,3 +535,12 @@ def test_dorfman_design(spark):
         if r.n_defective * 100 < r.n_items * 25:
             assert r.tests_per_item_ppm < 1_000_000
             assert r.savings_ppm > 0
+
+
+def test_bca_bootstrap(spark):
+    (r,) = rows(spark, "bootstrap_bca_ci")
+    assert r.n_resamples >= 99
+    assert r.bca_lo < r.theta_hat < r.bca_hi
+    # acceleration is a skewness-scale quantity, small for n~1500 means
+    assert abs(r.acceleration) < 0.2
+    assert abs(r.z0) < 1.0
