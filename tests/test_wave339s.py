@@ -544,3 +544,35 @@ def test_bca_bootstrap(spark):
     # acceleration is a skewness-scale quantity, small for n~1500 means
     assert abs(r.acceleration) < 0.2
     assert abs(r.z0) < 1.0
+
+
+def test_lp_duality_certificates(spark):
+    out = rows(spark, "lp_duality_certified")
+    vars_ = [r for r in out if r.kind == "variable"]
+    cons = [r for r in out if r.kind == "constraint"]
+    assert len(vars_) == 5 and len(cons) == 7
+    r0 = out[0]
+    # strong duality: primal == dual objective (exact rationals)
+    assert r0.primal_obj_micro == r0.dual_obj_micro > 0
+    for v in vars_:
+        assert v.value_micro >= 0  # primal feasible sign
+        assert v.partner_micro >= 0  # reduced costs at optimum
+        # complementary slackness: x_j * reduced_j == 0
+        assert v.value_micro == 0 or v.partner_micro == 0
+    for cn in cons:
+        assert cn.value_micro >= 0  # dual feasible
+        assert cn.partner_micro >= 0  # slack >= 0
+        # complementary slackness: y_i * slack_i == 0
+        assert cn.value_micro == 0 or cn.partner_micro == 0
+
+
+def test_getis_ord_grid(spark):
+    out = rows(spark, "getis_ord_hotspots")
+    # at sf0.001 only ~150 points: some raster cells may be empty
+    assert 1 <= len(out) <= 100
+    for r in out:
+        # neighbors incl. self on a 10x10 raster with possible holes
+        assert 1 <= r.n_neighbors <= 9
+    # z-scores roughly centered: both signs appear
+    assert any(r.gi_star > 0 for r in out)
+    assert any(r.gi_star < 0 for r in out)
