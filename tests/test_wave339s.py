@@ -576,3 +576,22 @@ def test_getis_ord_grid(spark):
     # z-scores roughly centered: both signs appear
     assert any(r.gi_star > 0 for r in out)
     assert any(r.gi_star < 0 for r in out)
+
+
+def test_number_partition(spark):
+    (r,) = rows(spark, "number_partition_kk_vs_exact")
+    assert r.n_items == 24
+    # exact optimum dominates the KK heuristic
+    assert 0 <= r.exact_diff_cents <= r.kk_diff_cents
+    # parity: any partition difference has the total's parity
+    assert r.exact_diff_cents % 2 == r.total_cents % 2
+    assert r.kk_diff_cents % 2 == r.total_cents % 2
+
+
+def test_ski_rental_bound(spark):
+    (r,) = rows(spark, "ski_rental_competitive_audit")
+    assert r.n_users > 0
+    assert r.total_online >= r.total_opt
+    # (2B-1)/B = 1.9 worst-case guarantee, B = 10
+    assert r.worst_ratio_ppm <= 1_900_000
+    assert 1_000_000 <= r.aggregate_ratio_ppm <= 1_900_000
