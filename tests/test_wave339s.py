@@ -595,3 +595,25 @@ def test_ski_rental_bound(spark):
     # (2B-1)/B = 1.9 worst-case guarantee, B = 10
     assert r.worst_ratio_ppm <= 1_900_000
     assert 1_000_000 <= r.aggregate_ratio_ppm <= 1_900_000
+
+
+def test_ewma_chart(spark):
+    out = sorted(rows(spark, "ewma_control_chart"), key=lambda r: r.day)
+    assert len(out) == 30
+    for r in out:
+        assert r.lcl < r.ucl
+        assert r.breach in (0, 1)
+        if r.lcl <= r.ewma <= r.ucl:
+            assert r.breach == 0
+    # limits widen toward the asymptote: UCL nondecreasing
+    for a, b in zip(out, out[1:]):
+        assert b.ucl >= a.ucl - 1e-9
+
+
+def test_hyperexponential_fit(spark):
+    (r,) = rows(spark, "hyperexponential_mom_fit")
+    assert r.n_gaps > 0
+    assert r.mean_gap_s > 0
+    if r.cv2 > 1:
+        assert 0.5 <= r.p_phase1 <= 1.0
+        assert r.lambda1 >= r.lambda2 > 0
