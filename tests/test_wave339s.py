@@ -617,3 +617,12 @@ def test_hyperexponential_fit(spark):
     if r.cv2 > 1:
         assert 0.5 <= r.p_phase1 <= 1.0
         assert r.lambda1 >= r.lambda2 > 0
+
+
+def test_haar_synopsis(spark):
+    (r,) = rows(spark, "haar_synopsis_topk")
+    assert r.n_slots == 32 and r.k_kept == 8
+    assert 0 <= r.sse_scaled <= r.energy_scaled
+    # an 8-of-32 top-energy synopsis on a smooth-ish daily series
+    # retains most of the energy
+    assert r.retained_ppm > 900_000
