@@ -626,3 +626,20 @@ def test_haar_synopsis(spark):
     # an 8-of-32 top-energy synopsis on a smooth-ish daily series
     # retains most of the energy
     assert r.retained_ppm > 900_000
+
+
+def test_dgim_guarantee(spark):
+    (r,) = rows(spark, "dgim_sliding_count")
+    assert r.window == 1000
+    assert r.n_buckets <= r.bucket_bound
+    # 50% error guarantee
+    if r.exact_ones > 0:
+        assert abs(r.dgim_estimate - r.exact_ones) * 2 <= r.exact_ones + 1
+
+
+def test_mg_merge_guarantee(spark):
+    out = rows(spark, "misra_gries_merge_audit")
+    assert out
+    for r in out:
+        assert r.within_bound == 1
+        assert r.mg_estimate <= r.true_count
