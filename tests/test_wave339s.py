@@ -643,3 +643,22 @@ def test_mg_merge_guarantee(spark):
     for r in out:
         assert r.within_bound == 1
         assert r.mg_estimate <= r.true_count
+
+
+def test_panjer_distribution(spark):
+    out = sorted(rows(spark, "panjer_compound_poisson"), key=lambda r: r.s)
+    assert len(out) == 31
+    prev = 0.0
+    for r in out:
+        assert r.prob >= 0
+        assert r.cdf >= prev - 1e-9
+        prev = r.cdf
+    assert out[-1].cdf <= 1.0 + 1e-6
+
+
+def test_median_of_means(spark):
+    (r,) = rows(spark, "median_of_means_estimator")
+    assert r.n_groups == 10
+    assert r.group_spread >= 0
+    # MoM and plain mean agree within the group spread
+    assert abs(r.mom_estimate - r.plain_mean) <= r.group_spread + 1e-6
