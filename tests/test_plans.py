@@ -725,3 +725,43 @@ def test_sketch_pipeline_single_fact_scan(spark, sf_dir):
     df = Q.QUERIES["ams_f2_sketch"](spark, sf_dir)
     plan = physical_plan(df)
     assert plan.count("lineitem.parquet") <= 2  # exact agg + audit reuse
+
+
+def test_dbscan_grid_join_never_cartesian(spark, sf_dir):
+    # eps-neighborhood candidates come from the 3x3 cell equi-join;
+    # the O(n^2) pair space must never materialize
+    df = Q.QUERIES["dbscan_embedding_2d"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_scoring_join_is_broadcast_lut(spark, sf_dir):
+    # ADC scores come from codes joined to the tiny probe LUT —
+    # broadcast, never shuffling the vectors into the scoring join
+    df = Q.QUERIES["product_quantization_adc"](spark, sf_dir)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_rle_advisor_single_fact_window(spark, sf_dir):
+    # natural-order runs: one window per exploded column set; sorted
+    # runs come from a distinct-count agg, not a sorted materialization
+    df = Q.QUERIES["rle_sort_compression_advisor"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_voptimal_cost_relation_from_prefix_sums(spark, sf_dir):
+    # the DP cost matrix derives from prefix-sum windows over the tiny
+    # day grid; the fact table is scanned once for the day agg
+    df = Q.QUERIES["voptimal_segmentation_daily"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("events.parquet") <= 1
+
+
+def test_mcf_risk_sets_without_user_day_blowup(spark, sf_dir):
+    # risk sets come from entry/exit count deltas + prefix sums,
+    # never a |users| x |days| join
+    df = Q.QUERIES["mean_cumulative_function_purchases"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
