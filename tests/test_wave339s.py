@@ -662,3 +662,22 @@ def test_median_of_means(spark):
     assert r.group_spread >= 0
     # MoM and plain mean agree within the group spread
     assert abs(r.mom_estimate - r.plain_mean) <= r.group_spread + 1e-6
+
+
+def test_pk_mg1(spark):
+    (r,) = rows(spark, "pollaczek_khinchine_mg1")
+    assert r.n_jobs > 0
+    assert 0 < r.rho < 1  # stable queue at these synthetic rates
+    assert r.wq_s >= 0
+    assert r.sojourn_s >= r.mean_service_s
+
+
+def test_elo_conservation(spark):
+    out = rows(spark, "elo_rating_replay")
+    assert len(out) == 25
+    # zero-sum updates: total rating mass is conserved at 25 * 1000
+    assert abs(sum(r.rating for r in out) - 25000.0) < 0.5
+    for r in out:
+        assert r.n_games >= 0
+        if r.n_games == 0:
+            assert r.rating == 1000.0
