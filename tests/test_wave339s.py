@@ -681,3 +681,20 @@ def test_elo_conservation(spark):
         assert r.n_games >= 0
         if r.n_games == 0:
             assert r.rating == 1000.0
+
+
+def test_distinct_substring_bounds(spark):
+    out = rows(spark, "distinct_substring_census")
+    assert out
+    for r in out:
+        assert r.n_chars <= r.n_distinct <= r.max_possible
+        assert 0 < r.complexity_ppm <= 1_000_000
+
+
+def test_bridge_forest_identity(spark):
+    out = rows(spark, "tarjan_bridges_certified")
+    assert out
+    nb = out[0].n_bridges
+    assert nb == sum(1 for r in out if r.is_bridge)
+    # removing all bridges adds exactly one component per bridge
+    assert out[0].cc_nonbridge == out[0].cc_all + nb
