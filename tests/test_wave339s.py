@@ -698,3 +698,29 @@ def test_bridge_forest_identity(spark):
     assert nb == sum(1 for r in out if r.is_bridge)
     # removing all bridges adds exactly one component per bridge
     assert out[0].cc_nonbridge == out[0].cc_all + nb
+
+
+def test_effective_resistance_metric(spark):
+    out = rows(spark, "effective_resistance_trade")
+    assert len(out) == 5
+    r = {(x.node_a, x.node_b): x.r_eff_micro / 1e6 for x in out}
+    for x in out:
+        assert x.r_eff_micro > 0
+        # parallel-routes bound: R <= 1/c_direct when a direct edge
+        # exists
+        if x.direct_conductance > 0:
+            assert x.r_eff_micro <= 1_000_000 // x.direct_conductance + 1
+    # triangle inequality over the reported triple (a, b), (b, c), (a, c)
+    nodes0 = sorted({x.node_a for x in out} | {x.node_b for x in out})
+    a, b = nodes0[0], nodes0[1]
+    last = max(nodes0)
+    if (a, b) in r and (b, last) in r and (a, last) in r:
+        assert r[(a, last)] <= r[(a, b)] + r[(b, last)] + 1e-9
+
+
+def test_wilks_interval(spark):
+    (r,) = rows(spark, "wilks_tolerance_interval")
+    assert r.n_orders > 0
+    assert r.confidence_ppm >= 900_000
+    assert r.lower_cents < r.upper_cents
+    assert r.r >= 1
