@@ -724,3 +724,24 @@ def test_wilks_interval(spark):
     assert r.confidence_ppm >= 900_000
     assert r.lower_cents < r.upper_cents
     assert r.r >= 1
+
+
+def test_kriging_interpolation_certificate(spark):
+    out = rows(spark, "kriging_simple_trade")
+    assert len(out) == 4
+    at = [r for r in out if r.site.startswith("at_nation_")]
+    assert len(at) == 1
+    # exact interpolation at an observed site
+    assert abs(at[0].prediction - at[0].observed_at_site) < 1e-3
+    assert abs(at[0].kriging_var_ratio_ppm) <= 1000  # variance ~0
+    for r in out:
+        assert 0 <= r.kriging_var_ratio_ppm <= 1_000_000 or r.site.startswith(
+            "at_"
+        )
+
+
+def test_passing_bablok(spark):
+    (r,) = rows(spark, "passing_bablok_regression")
+    assert r.n_days > 2
+    assert r.n_slopes >= r.n_days - 1
+    assert r.slope is not None
