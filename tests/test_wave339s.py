@@ -769,3 +769,32 @@ def test_chao2(spark):
     assert r.q1 >= 0 and r.q2 >= 0
     # extrapolation never shrinks richness
     assert r.chao2_estimate >= r.s_obs
+
+
+def test_dp_exponential_mechanism(spark):
+    out = rows(spark, "dp_exponential_mechanism")
+    assert len(out) == 5
+    total = sum(r.select_ppm for r in out)
+    assert abs(total - 1_000_000) <= 5  # rounding slack
+    best = max(out, key=lambda r: r.n_orders)
+    assert best.is_argmax == 1
+    # monotone: higher utility -> no lower selection probability
+    srt = sorted(out, key=lambda r: r.n_orders)
+    for a, b in zip(srt, srt[1:]):
+        assert b.select_ppm >= a.select_ppm - 1
+
+
+def test_mondrian_k(spark):
+    out = rows(spark, "mondrian_k_anonymization")
+    assert out
+    total = sum(r.n_customers for r in out)
+    for r in out:
+        assert r.n_customers >= 50  # k-anonymity guarantee
+        assert r.bal_min <= r.bal_max
+        assert r.nk_min <= r.nk_max
+    # discernibility cost is consistent
+    assert out[0].discernibility == sum(
+        r.n_customers * r.n_customers for r in out
+    )
+    # leaves partition the population
+    assert total > 0
