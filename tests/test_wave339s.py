@@ -798,3 +798,23 @@ def test_mondrian_k(spark):
     )
     # leaves partition the population
     assert total > 0
+
+
+def test_sinkhorn_marginals(spark):
+    out = rows(spark, "sinkhorn_ot_segments")
+    assert len(out) == 25
+    for r in out:
+        assert r.plan_ppm >= 0
+        # 50 Sinkhorn iterations: marginal residuals within rounding
+        assert abs(r.row_resid_ppm) <= 10
+        assert abs(r.col_resid_ppm) <= 10
+    assert abs(sum(r.plan_ppm for r in out) - 1_000_000) <= 30
+
+
+def test_ktruss_support_certificate(spark):
+    out = rows(spark, "ktruss_copurchase_certified")
+    assert out
+    for r in out:
+        # every surviving 3-truss edge has in-subgraph support >= 1
+        assert r.triangle_support >= 1
+        assert r.part_a < r.part_b
