@@ -818,3 +818,23 @@ def test_ktruss_support_certificate(spark):
         # every surviving 3-truss edge has in-subgraph support >= 1
         assert r.triangle_support >= 1
         assert r.part_a < r.part_b
+
+
+def test_bayes_superiority(spark):
+    (r,) = rows(spark, "bayes_prob_superiority")
+    assert 0 <= r.p_auto_gt_build_ppm <= 1_000_000
+    assert r.n_auto > 0 and r.n_build > 0
+    # sanity: if observed rates are very close, P stays away from 0/1
+    ra = r.k_auto / r.n_auto
+    rb = r.k_build / r.n_build
+    if abs(ra - rb) < 0.01:
+        assert 50_000 <= r.p_auto_gt_build_ppm <= 950_000
+
+
+def test_beta_binomial_fit(spark):
+    (r,) = rows(spark, "beta_binomial_mom_fit")
+    assert r.n_customers > 0
+    assert 0 < r.mean_rate < 1
+    # alpha/beta reproduce the mean: alpha/(alpha+beta) == mean_rate
+    if r.icc_rho > 0:
+        assert abs(r.alpha / (r.alpha + r.beta) - r.mean_rate) < 1e-3
