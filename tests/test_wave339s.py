@@ -838,3 +838,21 @@ def test_beta_binomial_fit(spark):
     # alpha/beta reproduce the mean: alpha/(alpha+beta) == mean_rate
     if r.icc_rho > 0:
         assert abs(r.alpha / (r.alpha + r.beta) - r.mean_rate) < 1e-3
+
+
+def test_greedy_coloring(spark):
+    out = rows(spark, "greedy_coloring_certified")
+    assert out
+    r0 = out[0]
+    # proper coloring certificate
+    assert r0.n_monochromatic_edges == 0
+    # Welsh-Powell bound
+    assert r0.n_colors <= r0.max_degree + 1
+    assert all(1 <= r.color <= r0.n_colors for r in out)
+
+
+def test_geary_c(spark):
+    (r,) = rows(spark, "geary_c_balance")
+    assert r.n_cells > 1
+    assert r.n_directed_links > 0
+    assert r.geary_c > 0
