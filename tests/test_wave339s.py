@@ -856,3 +856,20 @@ def test_geary_c(spark):
     assert r.n_cells > 1
     assert r.n_directed_links > 0
     assert r.geary_c > 0
+
+
+def test_fifo_vs_sjf(spark):
+    (r,) = rows(spark, "fifo_vs_sjf_replay")
+    assert r.n_jobs > 0
+    # SRPT optimality theorem: mean flow no worse than FIFO
+    assert r.sjf_mean_flow_us <= r.fifo_mean_flow_us
+    assert r.fifo_max_flow_us >= r.fifo_mean_flow_us
+    assert r.sjf_max_flow_us >= r.sjf_mean_flow_us
+
+
+def test_lorenz_dominance(spark):
+    out = rows(spark, "lorenz_dominance_pairs")
+    assert len(out) == 10  # C(5,2) segment pairs
+    for r in out:
+        assert 0 <= r.n_ge <= 9
+        assert r.a_dominates == (1 if r.n_ge == 9 else 0)
