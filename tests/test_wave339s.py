@@ -873,3 +873,18 @@ def test_lorenz_dominance(spark):
     for r in out:
         assert 0 <= r.n_ge <= 9
         assert r.a_dominates == (1 if r.n_ge == 9 else 0)
+
+
+def test_arma11_mom(spark):
+    (r,) = rows(spark, "arma11_mom_daily")
+    assert -1 <= r.rho1 <= 1 and -1 <= r.rho2 <= 1
+    assert r.theta is not None and r.phi is not None
+
+
+def test_engle_granger(spark):
+    (r,) = rows(spark, "engle_granger_cointegration")
+    assert r.n_weeks > 10
+    assert r.hedge_beta is not None
+    # gamma in (-2, 0] for a DF regression on any real residual series
+    assert -2.0 < r.adf_gamma <= 0.5
+    assert r.cointegrated_5pct in (0, 1)
