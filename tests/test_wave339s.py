@@ -888,3 +888,21 @@ def test_engle_granger(spark):
     # gamma in (-2, 0] for a DF regression on any real residual series
     assert -2.0 < r.adf_gamma <= 0.5
     assert r.cointegrated_5pct in (0, 1)
+
+
+def test_symbolic_te(spark):
+    (r,) = rows(spark, "symbolic_transfer_entropy")
+    assert r.n_triples > 0
+    # TE is a KL divergence: nonnegative, bounded by 1 bit for
+    # binary symbols
+    assert -1e-9 <= r.te_x_to_y_bits <= 1.0
+
+
+def test_half_sample_mode(spark):
+    out = rows(spark, "half_sample_mode")
+    assert len(out) == 5
+    for r in out:
+        assert r.n_orders > 0
+        # the mode is a genuine data point within the distribution
+        assert r.hsm_mode_cents > 0
+        assert r.mean_cents > 0 and r.median_cents > 0
