@@ -906,3 +906,25 @@ def test_half_sample_mode(spark):
         # the mode is a genuine data point within the distribution
         assert r.hsm_mode_cents > 0
         assert r.mean_cents > 0 and r.median_cents > 0
+
+
+def test_visibility_graphs(spark):
+    out = sorted(rows(spark, "visibility_graph_daily"),
+                 key=lambda r: r.day_idx)
+    n = len(out)
+    assert n >= 10
+    for r in out:
+        # adjacent days always see each other: degree >= 1, and HVG
+        # edges are a subset of NVG edges
+        assert 1 <= r.hvg_degree <= r.nvg_degree <= n - 1
+    # chain edges guarantee total NVG degree >= 2(n-1)
+    assert sum(r.nvg_degree for r in out) >= 2 * (n - 1)
+
+
+def test_robbins_eb(spark):
+    out = rows(spark, "robbins_poisson_eb")
+    assert out
+    tot = sum(r.n_users for r in out)
+    assert tot > 0
+    for r in out:
+        assert r.robbins_posterior_mean >= 0
