@@ -928,3 +928,23 @@ def test_robbins_eb(spark):
     assert tot > 0
     for r in out:
         assert r.robbins_posterior_mean >= 0
+
+
+def test_jonckheere_terpstra(spark):
+    (r,) = rows(spark, "jonckheere_terpstra_priority")
+    assert r.jt_times_2 > 0
+    assert r.z_stat is not None
+
+
+def test_storey_qvalues(spark):
+    out = sorted(rows(spark, "storey_qvalue_nations"),
+                 key=lambda r: r.p_value)
+    assert out
+    for r in out:
+        assert 0 <= r.p_value <= 1
+        assert 0 <= r.q_value <= 1
+        # q-values dominate neither below their own adaptive floor
+        assert r.q_value <= 1.0
+    # monotone in p (running-min construction)
+    for a, b in zip(out, out[1:]):
+        assert a.q_value <= b.q_value + 1e-9
