@@ -948,3 +948,25 @@ def test_storey_qvalues(spark):
     # monotone in p (running-min construction)
     for a, b in zip(out, out[1:]):
         assert a.q_value <= b.q_value + 1e-9
+
+
+def test_perron_cw_bounds(spark):
+    out = rows(spark, "perron_eigenvalue_certified")
+    assert out
+    r0 = out[0]
+    # Collatz-Wielandt bracket contains the power-iteration estimate
+    assert r0.cw_lower <= r0.lambda_est * 1.001
+    assert r0.cw_upper >= r0.lambda_est * 0.999
+    # after 40 iterations the bracket is tight (within 2%)
+    assert r0.cw_upper <= r0.cw_lower * 1.02
+    assert all(r.x_micro >= 1 for r in out)
+
+
+def test_range_splitter_balance(spark):
+    out = rows(spark, "range_partition_splitter_audit")
+    assert len(out) == 8
+    tot = sum(r.n_rows for r in out)
+    assert tot > 0
+    for r in out:
+        # a 1.5% sample keeps every partition within 3x of ideal
+        assert r.size_ratio_ppm < 3_000_000
