@@ -970,3 +970,33 @@ def test_range_splitter_balance(spark):
     for r in out:
         # a 1.5% sample keeps every partition within 3x of ideal
         assert r.size_ratio_ppm < 3_000_000
+
+
+def test_ttc_core_properties(spark):
+    out = rows(spark, "top_trading_cycles")
+    assert len(out) == 5
+    # permutation: licenses assigned exactly once
+    assert sorted(r.ttc_license for r in out) == sorted(
+        r.endowment for r in out
+    )
+    for r in out:
+        # individual rationality: never worse than the endowment
+        assert r.rank_of_assignment <= r.rank_of_endowment
+
+
+def test_bankers_safety_replay(spark):
+    out = rows(spark, "bankers_algorithm_safety")
+    assert len(out) == 10
+    safe = out[0].state_safe
+    seq = sorted(
+        (r for r in out if r.safe_position is not None),
+        key=lambda r: r.safe_position,
+    )
+    if safe:
+        assert len(seq) == 10
+    # replay the emitted sequence: each step's need fits the running
+    # available pool
+    avail = out[0].initial_available_cents
+    for r in seq:
+        assert r.need_cents <= avail
+        avail += r.alloc_cents
