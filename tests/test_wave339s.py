@@ -1000,3 +1000,20 @@ def test_bankers_safety_replay(spark):
     for r in seq:
         assert r.need_cents <= avail
         avail += r.alloc_cents
+
+
+def test_cp_rank1(spark):
+    out = rows(spark, "cp_rank1_tensor_als")
+    assert len(out) == 5
+    fit = out[0].fit_ppm
+    # revenue tensors are strongly rank-1 (scale dominates): ALS
+    # captures the bulk
+    assert 500_000 <= fit <= 1_000_000
+    assert all(r.u_i > 0 for r in out)
+
+
+def test_bullwhip(spark):
+    (r,) = rows(spark, "bullwhip_ratio_monthly")
+    assert r.n_order_months > 0 and r.n_ship_months > 0
+    assert r.order_cv2 > 0 and r.ship_cv2 > 0
+    assert r.bullwhip_ratio > 0
