@@ -1017,3 +1017,23 @@ def test_bullwhip(spark):
     assert r.n_order_months > 0 and r.n_ship_months > 0
     assert r.order_cv2 > 0 and r.ship_cv2 > 0
     assert r.bullwhip_ratio > 0
+
+
+def test_fictitious_play(spark):
+    (r,) = rows(spark, "fictitious_play_minimax")
+    # Robinson convergence: FP value near the exact minimax value
+    assert abs(r.fp_value_cents - r.minimax_value_cents) <= max(
+        0.05 * abs(r.minimax_value_cents), 100.0
+    )
+    # exploitability is nonnegative and small after 300 rounds
+    assert -1e-6 <= r.exploitability_cents
+    assert 0 <= r.p_urgent_ppm <= 1_000_000
+    assert 0 <= r.q_finished_ppm <= 1_000_000
+
+
+def test_garp(spark):
+    (r,) = rows(spark, "garp_consistency_audit")
+    assert r.n_periods >= 2
+    assert r.n_direct_relations >= 0
+    assert r.n_closure_relations >= r.n_direct_relations
+    assert r.n_garp_violations >= 0
