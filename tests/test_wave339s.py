@@ -1037,3 +1037,21 @@ def test_garp(spark):
     assert r.n_direct_relations >= 0
     assert r.n_closure_relations >= r.n_direct_relations
     assert r.n_garp_violations >= 0
+
+
+def test_plackett_luce(spark):
+    out = rows(spark, "plackett_luce_mm")
+    assert len(out) == 5
+    total = sum(r.pl_strength_ppm for r in out)
+    assert abs(total - 1_000_000) <= 5
+    # strengths track top-3 appearance counts monotonically overall
+    srt = sorted(out, key=lambda r: r.n_top3)
+    assert srt[0].pl_strength_ppm <= srt[-1].pl_strength_ppm
+
+
+def test_triad_census(spark):
+    (r,) = rows(spark, "triad_man_census")
+    n = r.n_triads
+    assert n > 0
+    assert r.t_300 + r.t_003 + r.t_all_asym + r.t_two_mutual <= n
+    assert r.n_mutual_dyad_slots >= 3 * r.t_300
