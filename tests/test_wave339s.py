@@ -1055,3 +1055,26 @@ def test_triad_census(spark):
     assert n > 0
     assert r.t_300 + r.t_003 + r.t_all_asym + r.t_two_mutual <= n
     assert r.n_mutual_dyad_slots >= 3 * r.t_300
+
+
+def test_minimal_keys(spark):
+    out = rows(spark, "minimal_key_discovery")
+    assert len(out) == 15  # 5 singles + C(5,2) pairs
+    by_cols = {r.columns: r for r in out}
+    # o_orderkey is the true primary key
+    assert by_cols["o_orderkey"].is_unique == 1
+    # lattice rule: any pair containing a unique column is unique
+    for r in out:
+        if r.width == 2:
+            c1, c2 = r.columns.split(",")
+            if by_cols[c1].is_unique or by_cols[c2].is_unique:
+                assert r.is_unique == 1
+        assert r.n_distinct <= r.n_rows
+
+
+def test_fisher_exact(spark):
+    (r,) = rows(spark, "fisher_exact_enrichment")
+    assert 0 <= r.fisher_one_tail_p <= 1.0 + 1e-9
+    assert (
+        r.n_ret_heavy + r.n_ret_light + r.n_ok_heavy + r.n_ok_light > 0
+    )
