@@ -1078,3 +1078,27 @@ def test_fisher_exact(spark):
     assert (
         r.n_ret_heavy + r.n_ret_light + r.n_ok_heavy + r.n_ok_light > 0
     )
+
+
+def test_process_conformance(spark):
+    (r,) = rows(spark, "process_conformance_audit")
+    # prefix-monotone funnel
+    assert (
+        r.n_traces
+        >= r.reach_signup
+        >= r.reach_view_after
+        >= r.reach_click_after
+        >= r.fully_conformant
+        >= 0
+    )
+    assert 0 <= r.conformance_ppm <= 1_000_000
+    assert 0 <= r.avg_fitness_ppm <= 1_000_000
+
+
+def test_dixon_q(spark):
+    out = rows(spark, "dixon_q_outlier")
+    assert len(out) == 5
+    for r in out:
+        assert r.x1 >= r.x2 >= r.x10
+        assert 0 <= r.q_statistic <= 1
+        assert r.outlier_5pct == (1 if r.q_statistic > 0.412 else 0)
