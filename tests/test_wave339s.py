@@ -1102,3 +1102,24 @@ def test_dixon_q(spark):
         assert r.x1 >= r.x2 >= r.x10
         assert 0 <= r.q_statistic <= 1
         assert r.outlier_5pct == (1 if r.q_statistic > 0.412 else 0)
+
+
+def test_cheeger_conductance(spark):
+    out = rows(spark, "cheeger_conductance_chain")
+    assert len(out) == 5
+    r0 = out[0]
+    # exact rational stationary solve: residual vanishes
+    assert r0.pi_residual_micro == 0
+    assert abs(sum(r.pi_ppm for r in out) - 1_000_000) <= 5
+    assert 0 < r0.conductance <= 1.001
+    assert 1 <= r0.best_cut_mask <= 30
+
+
+def test_buhlmann(spark):
+    out = rows(spark, "buhlmann_credibility")
+    assert out
+    for r in out:
+        assert 0 <= r.z_ppm <= 1_000_000
+        lo = min(r.own_mean, r.grand_mean) - 1e-6
+        hi = max(r.own_mean, r.grand_mean) + 1e-6
+        assert lo <= r.credibility_premium <= hi
