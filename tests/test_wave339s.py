@@ -1123,3 +1123,26 @@ def test_buhlmann(spark):
         lo = min(r.own_mean, r.grand_mean) - 1e-6
         hi = max(r.own_mean, r.grand_mean) + 1e-6
         assert lo <= r.credibility_premium <= hi
+
+
+def test_abtt(spark):
+    (r,) = rows(spark, "abtt_top_pc_removal")
+    assert r.n_vectors > 0
+    assert 0 < r.top_share_before_ppm < 1_000_000
+    assert (
+        r.top_share_before_ppm + r.retained_after_abtt_ppm
+        in range(999_998, 1_000_003)
+    )
+
+
+def test_renewal_function(spark):
+    out = sorted(rows(spark, "renewal_function_purchases"),
+                 key=lambda r: r.day)
+    assert len(out) == 15
+    prev = 0.0
+    for r in out:
+        assert 0 <= r.renewal_prob <= 1.000001
+        assert r.expected_renewals >= prev - 1e-9
+        prev = r.expected_renewals
+    # elementary renewal theorem: m(t)/t approaches 1/mean_gap < 1
+    assert out[-1].expected_renewals <= 15.0
