@@ -1164,9 +1164,10 @@ def test_mrmr(spark):
     assert out[0].redundancy_nats == 0.0
     assert out[0].relevance_nats >= out[1].relevance_nats - 1e-12 or True
     for r in out:
+        # each term independently rounded at 9dp
         assert abs(
             r.mrmr_score_nats - (r.relevance_nats - r.redundancy_nats)
-        ) < 1e-9
+        ) < 2e-9
         assert r.relevance_nats >= 0
         assert r.redundancy_nats >= 0
     assert len({r.feature for r in out}) == 3
