@@ -1171,3 +1171,20 @@ def test_mrmr(spark):
         assert r.relevance_nats >= 0
         assert r.redundancy_nats >= 0
     assert len({r.feature for r in out}) == 3
+
+
+def test_amihud(spark):
+    out = rows(spark, "amihud_illiquidity_monthly")
+    assert out
+    for r in out:
+        assert r.amihud_illiq_x1e6 >= 0
+        assert r.mean_absret >= 0
+        assert r.n_days >= 1
+
+
+def test_var_cvar(spark):
+    (r,) = rows(spark, "historical_var_cvar")
+    assert r.n_returns > 0
+    assert r.k_tail >= 1
+    # ES dominates VaR (coherence of the tail mean)
+    assert r.cvar_90 >= r.var_90 - 1e-9
