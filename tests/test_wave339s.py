@@ -1188,3 +1188,22 @@ def test_var_cvar(spark):
     assert r.k_tail >= 1
     # ES dominates VaR (coherence of the tail mean)
     assert r.cvar_90 >= r.var_90 - 1e-9
+
+
+def test_hill_fit(spark):
+    (r,) = rows(spark, "hill_saturation_fit")
+    assert 10 <= r.half_saturation_orders <= 100
+    assert 1 <= r.hill_exponent <= 4
+    assert r.n_weeks > 0
+
+
+def test_rarefaction(spark):
+    out = sorted(rows(spark, "rarefaction_expected_vocab"),
+                 key=lambda r: r.subsample_tokens)
+    assert len(out) == 3
+    prev = 0.0
+    for r in out:
+        # monotone in subsample size, bounded by observed vocabulary
+        assert prev <= r.expected_vocab <= r.observed_vocab + 1e-6
+        assert r.expected_vocab <= r.subsample_tokens + 1e-6
+        prev = r.expected_vocab
