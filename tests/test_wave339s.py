@@ -1207,3 +1207,26 @@ def test_rarefaction(spark):
         assert prev <= r.expected_vocab <= r.observed_vocab + 1e-6
         assert r.expected_vocab <= r.subsample_tokens + 1e-6
         prev = r.expected_vocab
+
+
+def test_topological_entropy(spark):
+    out = sorted(rows(spark, "topological_entropy_ladder"),
+                 key=lambda r: r.word_length)
+    assert [r.word_length for r in out] == [2, 3, 4, 5]
+    for r in out:
+        assert 1 <= r.n_words <= min(r.max_possible, r.n_windows)
+        assert 0 <= r.entropy_rate_bits <= 1.0 + 1e-9
+    # word counts cannot grow faster than alphabet growth
+    for a, b in zip(out, out[1:]):
+        assert b.n_words <= 2 * a.n_words
+
+
+def test_box_counting(spark):
+    out = sorted(rows(spark, "box_counting_dimension"),
+                 key=lambda r: r.grid_size)
+    assert [r.grid_size for r in out] == [4, 8, 16]
+    for r in out:
+        # a curve occupies at least g boxes (one per column band is
+        # not guaranteed at tiny n, but at least 1) and at most g^2
+        assert 1 <= r.n_boxes <= r.grid_size * r.grid_size
+        assert 0 < r.dim_estimate <= 2.0 + 1e-9
