@@ -1230,3 +1230,25 @@ def test_box_counting(spark):
         # not guaranteed at tiny n, but at least 1) and at most g^2
         assert 1 <= r.n_boxes <= r.grid_size * r.grid_size
         assert 0 < r.dim_estimate <= 2.0 + 1e-9
+
+
+def test_katz_exact(spark):
+    out = rows(spark, "katz_centrality_exact")
+    assert out
+    for r in out:
+        # exact rational solve: residual vanishes at micro scale
+        assert abs(r.residual_micro) <= 1
+        assert r.katz_micro >= 1_000_000  # x = 1 + nonneg walks
+
+
+def test_kirchhoff(spark):
+    (r,) = rows(spark, "kirchhoff_spanning_trees")
+    n = r.n_nodes
+    count = int(r.n_spanning_trees)
+    assert count >= 0
+    if count > 0:
+        # Cayley bound: at most n^(n-2) spanning trees
+        assert count <= n ** max(n - 2, 1)
+        import math
+
+        assert abs(r.log10_trees - math.log10(count)) < 1e-3
