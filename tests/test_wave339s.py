@@ -1252,3 +1252,21 @@ def test_kirchhoff(spark):
         import math
 
         assert abs(r.log10_trees - math.log10(count)) < 1e-3
+
+
+def test_permanent(spark):
+    (r,) = rows(spark, "matrix_permanent_ryser")
+    # permanent of a 5x5 0/1 matrix counts perfect matchings: 0..120
+    assert 0 <= r.permanent <= 120
+    assert 0 <= r.n_ones <= 25
+
+
+def test_mtf_audit(spark):
+    out = rows(spark, "mtf_after_bwt_audit")
+    assert out
+    for r in out:
+        assert 0 <= r.raw_zero_ppm <= 1_000_000
+        assert 0 <= r.bwt_zero_ppm <= 1_000_000
+        # mean MTF code is bounded by the alphabet size (< n_chars)
+        assert 0 <= r.raw_mtf_mean_milli <= 1000 * r.n_chars
+        assert 0 <= r.bwt_mtf_mean_milli <= 1000 * r.n_chars
