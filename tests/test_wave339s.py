@@ -1270,3 +1270,20 @@ def test_mtf_audit(spark):
         # mean MTF code is bounded by the alphabet size (< n_chars)
         assert 0 <= r.raw_mtf_mean_milli <= 1000 * r.n_chars
         assert 0 <= r.bwt_mtf_mean_milli <= 1000 * r.n_chars
+
+
+def test_aitchison(spark):
+    out = rows(spark, "aitchison_clr_variation")
+    assert len(out) == 10  # C(5,2) segment pairs
+    for r in out:
+        assert r.variation_t >= -1e-9
+        assert r.n_nations >= 2
+
+
+def test_dersimonian_laird(spark):
+    (r,) = rows(spark, "dersimonian_laird_meta")
+    assert r.n_studies >= 2
+    assert r.cochran_q >= 0
+    assert r.tau_squared >= 0
+    assert r.random_se > 0
+    assert 0 <= r.i_squared_ppm <= 1_000_000
