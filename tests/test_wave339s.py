@@ -1287,3 +1287,22 @@ def test_dersimonian_laird(spark):
     assert r.tau_squared >= 0
     assert r.random_se > 0
     assert 0 <= r.i_squared_ppm <= 1_000_000
+
+
+def test_liu_layland(spark):
+    (r,) = rows(spark, "liu_layland_schedulability")
+    assert r.n_tasks >= 1
+    assert r.total_utilization > 0
+    # ln 2 asymptote
+    assert 0.69 <= r.rm_bound <= 1.0
+    # RM bound implies EDF bound
+    if r.rm_schedulable:
+        assert r.edf_schedulable
+
+
+def test_usl_fit(spark):
+    (r,) = rows(spark, "usl_scalability_fit")
+    assert r.lambda_per_user > 0
+    assert 0 <= r.sigma_contention <= 0.05
+    assert 0 <= r.kappa_crosstalk <= 0.002
+    assert r.n_hours > 0
