@@ -1306,3 +1306,23 @@ def test_usl_fit(spark):
     assert 0 <= r.sigma_contention <= 0.05
     assert 0 <= r.kappa_crosstalk <= 0.002
     assert r.n_hours > 0
+
+
+def test_krippendorff(spark):
+    (r,) = rows(spark, "krippendorff_alpha_nominal")
+    assert r.n_units > 0
+    assert 0 <= r.disagreement_obs <= 1
+    assert 0 < r.disagreement_exp <= 1
+    # independent hash rater: alpha near zero
+    assert -0.3 <= r.alpha <= 0.3
+
+
+def test_cusum_arl(spark):
+    out = sorted(rows(spark, "cusum_arl_markov"),
+                 key=lambda r: r.start_state)
+    assert len(out) == 8
+    # exact solve: residual vanishes
+    assert all(r.resid_micro == 0 for r in out)
+    # ARL decreases as the start state approaches the alarm barrier
+    assert out[0].arl_micro >= out[-1].arl_micro
+    assert all(r.arl_micro >= 1_000_000 for r in out)  # ARL >= 1
