@@ -1326,3 +1326,15 @@ def test_cusum_arl(spark):
     # ARL decreases as the start state approaches the alarm barrier
     assert out[0].arl_micro >= out[-1].arl_micro
     assert all(r.arl_micro >= 1_000_000 for r in out)  # ARL >= 1
+
+
+def test_gph(spark):
+    (r,) = rows(spark, "gph_long_memory")
+    assert r.n_freqs == 8
+    assert abs(r.implied_hurst - (r.d_gph + 0.5)) < 1e-6
+
+
+def test_cca_2x2(spark):
+    (r,) = rows(spark, "cca_2x2_closed_form")
+    # canonical correlations are ordered and in [0, 1]
+    assert 0 <= r.rho2 <= r.rho1 <= 1.0 + 1e-9
