@@ -1338,3 +1338,16 @@ def test_cca_2x2(spark):
     (r,) = rows(spark, "cca_2x2_closed_form")
     # canonical correlations are ordered and in [0, 1]
     assert 0 <= r.rho2 <= r.rho1 <= 1.0 + 1e-9
+
+
+def test_steiner_tree(spark):
+    out = rows(spark, "steiner_tree_dreyfus_wagner")
+    assert out
+    r = out[0]
+    # Kou-Markowsky-Berman sandwich
+    assert r.optimal_cost <= r.heuristic_cost <= 2 * r.optimal_cost
+    # emitted tree cost is consistent with its edges
+    assert sum(x.edge_cost for x in out) == r.heuristic_cost
+    # connectivity certificate: all terminals reached, one component
+    assert r.n_components == 1
+    assert r.n_unreached == 0
