@@ -1351,3 +1351,25 @@ def test_steiner_tree(spark):
     # connectivity certificate: all terminals reached, one component
     assert r.n_components == 1
     assert r.n_unreached == 0
+
+
+def test_sde(spark):
+    (r,) = rows(spark, "std_deviational_ellipse")
+    assert r.n_points > 0
+    assert r.minor_axis_sd <= r.major_axis_sd
+    assert -90 <= r.orientation_deg <= 90
+    # hash coordinates are near-isotropic
+    assert r.minor_axis_sd >= 0.5 * r.major_axis_sd
+
+
+def test_dp_composition(spark):
+    out = sorted(rows(spark, "dp_composition_ladder"),
+                 key=lambda r: r.n_queries)
+    assert [r.n_queries for r in out] == [1, 5, 10, 50, 100]
+    for r in out:
+        assert r.advanced_wins == (
+            1 if r.advanced_eps < r.basic_eps else 0
+        )
+    # advanced grows sublinearly: wins at large k, loses at k = 1
+    assert out[0].advanced_wins == 0
+    assert out[-1].advanced_wins == 1
