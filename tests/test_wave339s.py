@@ -1373,3 +1373,23 @@ def test_dp_composition(spark):
     # advanced grows sublinearly: wins at large k, loses at k = 1
     assert out[0].advanced_wins == 0
     assert out[-1].advanced_wins == 1
+
+
+def test_kelly_ladder(spark):
+    out = sorted(rows(spark, "kelly_growth_ladder"),
+                 key=lambda r: r.kelly_quarters)
+    assert len(out) == 4
+    assert all(r.win_prob >= 0.5 for r in out)
+    # g is concave and maximized at full Kelly: growth is
+    # nondecreasing along the ladder up to f*
+    for a, b in zip(out, out[1:]):
+        assert b.growth_rate >= a.growth_rate - 1e-12
+    assert all(r.growth_rate >= -1e-12 for r in out)
+
+
+def test_site_percolation(spark):
+    (r,) = rows(spark, "site_percolation_raster")
+    assert 0 < r.n_occupied <= r.n_cells
+    assert 1 <= r.n_clusters <= r.n_occupied
+    assert 1 <= r.largest_cluster <= r.n_occupied
+    assert 0 < r.giant_share_ppm <= 1_000_000
