@@ -1393,3 +1393,18 @@ def test_site_percolation(spark):
     assert 1 <= r.n_clusters <= r.n_occupied
     assert 1 <= r.largest_cluster <= r.n_occupied
     assert 0 < r.giant_share_ppm <= 1_000_000
+
+
+def test_pdm(spark):
+    out = {r.period_days: r.pdm_theta
+           for r in rows(spark, "phase_dispersion_minimization")}
+    assert set(out) == set(range(2, 11))
+    for v in out.values():
+        assert 0 <= v <= 1.5
+
+
+def test_n50(spark):
+    (r,) = rows(spark, "n50_length_summary")
+    assert r.n_docs > 0
+    assert r.n50 >= r.n90 >= 1  # N90 reaches deeper into short docs
+    assert r.total_chars >= r.n50
