@@ -1408,3 +1408,20 @@ def test_n50(spark):
     assert r.n_docs > 0
     assert r.n50 >= r.n90 >= 1  # N90 reaches deeper into short docs
     assert r.total_chars >= r.n50
+
+
+def test_juilland(spark):
+    out = rows(spark, "juilland_dispersion")
+    assert len(out) == 10
+    for r in out:
+        assert 0 <= r.juilland_d <= 1.0 + 1e-9
+        assert r.total >= 1
+
+
+def test_pythagorean(spark):
+    out = rows(spark, "pythagorean_expectation")
+    assert out
+    for r in out:
+        assert 0 <= r.wins <= r.games
+        assert 0 <= r.pyth_expected_wins <= r.games + 1e-6
+        assert abs(r.luck - (r.wins - r.pyth_expected_wins)) < 1e-3
