@@ -1425,3 +1425,28 @@ def test_pythagorean(spark):
         assert 0 <= r.wins <= r.games
         assert 0 <= r.pyth_expected_wins <= r.games + 1e-6
         assert abs(r.luck - (r.wins - r.pyth_expected_wins)) < 1e-3
+
+
+def test_evalue(spark):
+    (r,) = rows(spark, "vanderweele_evalue")
+    assert r.risk_ratio > 0
+    # E-value >= oriented RR >= 1
+    rra = max(r.risk_ratio, 1 / r.risk_ratio)
+    assert r.e_value >= rra - 1e-6
+    assert r.e_value >= 1.0
+
+
+def test_erlang_b(spark):
+    out = sorted(rows(spark, "erlang_b_blocking"),
+                 key=lambda r: r.n_servers)
+    assert len(out) == 20
+    a = out[0].offered_load_erlangs
+    # monotone decreasing in servers
+    for x, y in zip(out, out[1:]):
+        assert y.blocking_prob <= x.blocking_prob + 1e-12
+    # Erlang-B recursion between adjacent rows
+    prev = out[0].blocking_prob
+    for r in out[1:]:
+        pred = a * prev / (r.n_servers + a * prev)
+        assert abs(r.blocking_prob - pred) < 1e-4
+        prev = r.blocking_prob
