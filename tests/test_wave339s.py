@@ -1450,3 +1450,18 @@ def test_erlang_b(spark):
         pred = a * prev / (r.n_servers + a * prev)
         assert abs(r.blocking_prob - pred) < 1e-4
         prev = r.blocking_prob
+
+
+def test_hu_moments(spark):
+    (r,) = rows(spark, "hu_moment_invariants")
+    assert r.hu1_x1e6 > 0  # phi1 is a positive spread measure
+    assert r.hu2_x1e12 >= 0
+
+
+def test_haralick(spark):
+    (r,) = rows(spark, "haralick_glcm_texture")
+    assert r.n_pairs > 0
+    assert r.contrast >= 0
+    assert 0 < r.homogeneity <= 1.0 + 1e-9
+    # energy of a distribution over >= 1 cells
+    assert 0 < r.energy <= 1.0 + 1e-9
