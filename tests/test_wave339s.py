@@ -1465,3 +1465,18 @@ def test_haralick(spark):
     assert 0 < r.homogeneity <= 1.0 + 1e-9
     # energy of a distribution over >= 1 cells
     assert 0 < r.energy <= 1.0 + 1e-9
+
+
+def test_otsu(spark):
+    (r,) = rows(spark, "otsu_threshold_raster")
+    assert r.n_background >= 1 and r.n_foreground >= 1
+    assert r.between_class_score > 0
+
+
+def test_sobel(spark):
+    (r,) = rows(spark, "sobel_edge_census")
+    # 10x10 raster (or sparser at sf0.001) has interior cells only if
+    # dense; allow zero interior at tiny scale
+    assert r.n_interior >= 0
+    if r.n_interior > 0:
+        assert 0 <= r.mean_gradient <= r.max_gradient
