@@ -1480,3 +1480,24 @@ def test_sobel(spark):
     assert r.n_interior >= 0
     if r.n_interior > 0:
         assert 0 <= r.mean_gradient <= r.max_gradient
+
+
+def test_arcsine(spark):
+    (r,) = rows(spark, "arcsine_law_leads")
+    assert r.n_days > 0
+    assert 0 <= r.n_lead <= r.n_days
+    assert 0 <= r.n_sign_changes < r.n_days
+    if r.last_sign_change is not None:
+        assert 2 <= r.last_sign_change <= r.n_days
+
+
+def test_gamblers_ruin(spark):
+    out = sorted(rows(spark, "gamblers_ruin_ladder"),
+                 key=lambda r: r.start_capital)
+    assert [r.start_capital for r in out] == [1, 2, 5, 10]
+    prev = 1.1
+    for r in out:
+        assert 0 <= r.ruin_prob <= 1
+        # more capital, less ruin
+        assert r.ruin_prob <= prev + 1e-12
+        prev = r.ruin_prob
