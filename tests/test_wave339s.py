@@ -1501,3 +1501,29 @@ def test_gamblers_ruin(spark):
         # more capital, less ruin
         assert r.ruin_prob <= prev + 1e-12
         prev = r.ruin_prob
+
+
+def test_rsd_bistochastic(spark):
+    out = rows(spark, "random_serial_dictatorship")
+    assert len(out) == 25
+    by_agent = {}
+    by_item = {}
+    for r in out:
+        by_agent[r.agent] = by_agent.get(r.agent, 0) + r.prob_120ths
+        by_item[r.item] = by_item.get(r.item, 0) + r.prob_120ths
+    assert all(v == 120 for v in by_agent.values())
+    assert all(v == 120 for v in by_item.values())
+
+
+def test_ps_bistochastic(spark):
+    out = rows(spark, "probabilistic_serial_eating")
+    assert len(out) == 25
+    by_agent = {}
+    by_item = {}
+    for r in out:
+        by_agent[r.agent] = by_agent.get(r.agent, 0) + r.share_ppm
+        by_item[r.item] = by_item.get(r.item, 0) + r.share_ppm
+    for v in by_agent.values():
+        assert abs(v - 1_000_000) <= 5
+    for v in by_item.values():
+        assert abs(v - 1_000_000) <= 5
