@@ -1527,3 +1527,22 @@ def test_ps_bistochastic(spark):
         assert abs(v - 1_000_000) <= 5
     for v in by_item.values():
         assert abs(v - 1_000_000) <= 5
+
+
+def test_disk_scheduling(spark):
+    (r,) = rows(spark, "disk_scheduling_replay")
+    assert r.n_requests > 0
+    # SCAN elevator bound: at most up-sweep + full back-sweep
+    assert r.scan_seek <= 2 * r.track_span + 100
+    # greedy never loses to arrival order on a dense uniform workload
+    assert r.sstf_seek <= r.fcfs_seek
+    assert r.fcfs_seek > 0
+
+
+def test_fifo_anomaly_scan(spark):
+    out = sorted(rows(spark, "fifo_belady_anomaly"),
+                 key=lambda r: r.capacity)
+    assert [r.capacity for r in out] == list(range(1, 9))
+    for prev, cur in zip(out, out[1:]):
+        assert cur.anomaly == (cur.hits < prev.hits)
+    assert out[0].hits >= 0
