@@ -1546,3 +1546,21 @@ def test_fifo_anomaly_scan(spark):
     for prev, cur in zip(out, out[1:]):
         assert cur.anomaly == (cur.hits < prev.hits)
     assert out[0].hits >= 0
+
+
+def test_latin_hypercube(spark):
+    (r,) = rows(spark, "latin_hypercube_audit")
+    assert r.n_points == 32
+    # the LHS property: one point per row and per column stratum
+    assert r.distinct_x_strata == 32
+    assert r.distinct_y_strata == 32
+    assert 0 <= r.estimate_ppm <= 1_000_000
+
+
+def test_richardson(spark):
+    (r,) = rows(spark, "richardson_extrapolation_audit")
+    # Simpson sits between the two trapezoid estimates' neighborhood
+    lo = min(r.trap_coarse, r.trap_fine) - r.refinement_delta
+    hi = max(r.trap_coarse, r.trap_fine) + r.refinement_delta
+    assert lo <= r.richardson_simpson <= hi
+    assert r.refinement_delta >= 0
