@@ -1564,3 +1564,23 @@ def test_richardson(spark):
     hi = max(r.trap_coarse, r.trap_fine) + r.refinement_delta
     assert lo <= r.richardson_simpson <= hi
     assert r.refinement_delta >= 0
+
+
+def test_two_sat(spark):
+    out = rows(spark, "two_sat_certified")
+    assert len(out) == 10
+    r0 = out[0]
+    if r0.satisfiable:
+        # the assignment satisfies every clause, declaratively checked
+        assert r0.n_violated == 0
+    assert r0.n_clauses >= 10  # at least the coverage ring
+
+
+def test_boyer_moore(spark):
+    (r,) = rows(spark, "boyer_moore_majority")
+    assert r.candidate_count >= 1
+    assert r.is_majority == (
+        1 if 2 * r.candidate_count > r.n_rows else 0
+    )
+    # 25 near-uniform brands: provably no majority
+    assert r.is_majority == 0
