@@ -1584,3 +1584,21 @@ def test_boyer_moore(spark):
     )
     # 25 near-uniform brands: provably no majority
     assert r.is_majority == 0
+
+
+def test_anagram_census(spark):
+    (r,) = rows(spark, "anagram_census")
+    assert r.n_vocab >= r.n_signatures >= 1
+    assert r.largest_class >= 1
+    assert 0 <= r.n_anagram_classes <= r.n_signatures
+
+
+def test_pareto_layers(spark):
+    out = rows(spark, "pareto_layers_certified")
+    assert out
+    # antichain certificate: no within-layer strict dominance
+    assert out[0].n_within_layer_dominance == 0
+    layers = [r.layer for r in out]
+    assert min(layers) == 1
+    # layer numbers are contiguous 1..max
+    assert set(layers) == set(range(1, max(layers) + 1))
