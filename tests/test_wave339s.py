@@ -1602,3 +1602,20 @@ def test_pareto_layers(spark):
     assert min(layers) == 1
     # layer numbers are contiguous 1..max
     assert set(layers) == set(range(1, max(layers) + 1))
+
+
+def test_pattern_masks(spark):
+    out = rows(spark, "pattern_mask_profile")
+    assert 1 <= len(out) <= 10
+    for r in out:
+        assert r.n_values >= 1
+        # masks contain only the abstract alphabet + separators
+        assert all(ch in "aA9 -_.#,'" for ch in r.mask)
+
+
+def test_time_reversal(spark):
+    (r,) = rows(spark, "time_reversal_asymmetry")
+    assert r.n_triples > 0
+    # normalized statistics live in a narrow band for short series
+    assert abs(r.tra_c3) < 3.0
+    assert abs(r.ramsey_t_rev) < 10.0
