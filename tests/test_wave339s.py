@@ -1619,3 +1619,23 @@ def test_time_reversal(spark):
     # normalized statistics live in a narrow band for short series
     assert abs(r.tra_c3) < 3.0
     assert abs(r.ramsey_t_rev) < 10.0
+
+
+def test_footrule_vs_kemeny(spark):
+    fr = rows(spark, "footrule_rank_aggregation")
+    assert len(fr) == 5
+    assert len({r.rank_pos for r in fr}) == 5
+    assert fr[0].total_footrule >= 0
+    # Diaconis-Graham: K <= F <= 2K links the two optima's objective
+    # scales; here just pin both consensus rankings exist and share
+    # the electorate
+    km = rows(spark, "kemeny_optimal_ranking")
+    assert len(km) == 5
+
+
+def test_g_chart(spark):
+    (r,) = rows(spark, "g_chart_rare_events")
+    assert r.n_gaps >= 1
+    assert r.mean_gap_days >= 1
+    assert r.ucl_days >= r.mean_gap_days
+    assert 0 <= r.n_breaches <= r.n_gaps
