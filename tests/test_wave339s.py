@@ -1639,3 +1639,19 @@ def test_g_chart(spark):
     assert r.mean_gap_days >= 1
     assert r.ucl_days >= r.mean_gap_days
     assert 0 <= r.n_breaches <= r.n_gaps
+
+
+def test_learned_index(spark):
+    (r,) = rows(spark, "learned_index_audit")
+    assert r.n_keys > 0
+    assert 0 <= r.mean_abs_error <= r.max_abs_error
+    assert r.learned_probe_bits >= 0
+    assert r.btree_probe_bits > 0
+
+
+def test_presortedness(spark):
+    (r,) = rows(spark, "presortedness_census")
+    assert r.n_rows > 1
+    assert 1 <= r.n_runs <= r.n_rows
+    assert 0 <= r.n_inversions <= r.n_rows * (r.n_rows - 1) // 2
+    assert 0 <= r.inversion_ratio_ppm <= 1_000_000
