@@ -1655,3 +1655,22 @@ def test_presortedness(spark):
     assert 1 <= r.n_runs <= r.n_rows
     assert 0 <= r.n_inversions <= r.n_rows * (r.n_rows - 1) // 2
     assert 0 <= r.inversion_ratio_ppm <= 1_000_000
+
+
+def test_mm1_priority(spark):
+    out = {r.priority_class: r for r in rows(spark, "mm1_priority_classes")}
+    assert set(out) == {1, 2}
+    # priority privilege: class 1 waits strictly less
+    assert out[1].wq_seconds <= out[2].wq_seconds
+    assert 0 < out[1].rho + out[2].rho < 1
+
+
+def test_birthday_spacings(spark):
+    (r,) = rows(spark, "birthday_spacings_test")
+    assert r.n_points > 10
+    assert r.n_dup_spacings >= 0
+    assert r.poisson_lambda > 0
+    # the multiplicative hash over SEQUENTIAL keys has lattice
+    # structure: the test must DETECT it (duplicates far above the
+    # Poisson expectation) — this is the Diehard test working
+    assert r.n_dup_spacings > r.poisson_lambda + 3
