@@ -1674,3 +1674,19 @@ def test_birthday_spacings(spark):
     # structure: the test must DETECT it (duplicates far above the
     # Poisson expectation) — this is the Diehard test working
     assert r.n_dup_spacings > r.poisson_lambda + 3
+
+
+def test_luce_iia(spark):
+    (r,) = rows(spark, "luce_iia_audit")
+    assert r.n_months > 0
+    assert 0 <= r.n_0_beats_1 <= r.n_months
+    assert r.n_0_beats_1_c_first <= min(r.n_0_beats_1, r.n_c_first)
+    assert 0 <= r.p_unconditional_ppm <= 1_000_000
+
+
+def test_hausman(spark):
+    (r,) = rows(spark, "hausman_iv_vs_ols")
+    assert r.n_rows > 0
+    assert r.hausman_stat >= 0
+    # the slope can be near zero on synthetic data; just pin finiteness
+    assert abs(r.beta_ols) < 10 and abs(r.beta_iv) < 1000
