@@ -1690,3 +1690,21 @@ def test_hausman(spark):
     assert r.hausman_stat >= 0
     # the slope can be near zero on synthetic data; just pin finiteness
     assert abs(r.beta_ols) < 10 and abs(r.beta_iv) < 1000
+
+
+def test_round_robin(spark):
+    (r,) = rows(spark, "round_robin_schedule")
+    n = r.n_teams
+    assert n % 2 == 0
+    assert r.n_rounds == n - 1
+    assert r.n_games == n * (n - 1) // 2
+    # every pair exactly once, no team twice per round
+    assert r.n_distinct_pairs == r.n_required_pairs == r.n_games
+    assert r.max_games_per_round == 1
+
+
+def test_circular_triads(spark):
+    (r,) = rows(spark, "circular_triads_count")
+    assert r.n_items == 5
+    # Kendall bound for odd n = 5: at most (5*24)/24 = 5 cycles
+    assert 0 <= r.n_circular_triads <= r.max_possible_odd_n
