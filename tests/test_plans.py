@@ -765,3 +765,25 @@ def test_mcf_risk_sets_without_user_day_blowup(spark, sf_dir):
     df = Q.QUERIES["mean_cumulative_function_purchases"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_lcs_substring_join_is_equi(spark, sf_dir):
+    # shared-substring candidates come from a (len, sub) hash join;
+    # the doc-pair space must never materialize as a nested loop
+    df = Q.QUERIES["longest_common_substring_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_ind_discovery_all_joins_hashed(spark, sf_dir):
+    df = Q.QUERIES["inclusion_dependency_discovery"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # distinct-reduce before the containment join: 2-phase aggregates
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_learned_index_single_scan(spark, sf_dir):
+    df = Q.QUERIES["learned_index_audit"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("orders.parquet") <= 1
