@@ -1708,3 +1708,24 @@ def test_circular_triads(spark):
     assert r.n_items == 5
     # Kendall bound for odd n = 5: at most (5*24)/24 = 5 cycles
     assert 0 <= r.n_circular_triads <= r.max_possible_odd_n
+
+
+def test_lacunarity(spark):
+    out = sorted(rows(spark, "lacunarity_raster"),
+                 key=lambda r: r.box_size)
+    assert [r.box_size for r in out] == [2, 3]
+    for r in out:
+        # Lambda >= 1 always (Jensen)
+        assert r.lacunarity >= 1.0 - 1e-9
+        assert r.n_boxes >= 1
+    # lacunarity decays (or stays flat) with box size
+    assert out[1].lacunarity <= out[0].lacunarity + 0.5
+
+
+def test_moran_correlogram(spark):
+    out = sorted(rows(spark, "moran_correlogram"),
+                 key=lambda r: r.distance_band)
+    assert [r.distance_band for r in out] == [1, 2, 3]
+    for r in out:
+        assert r.n_links > 0
+        assert -1.5 <= r.moran_i <= 1.5
