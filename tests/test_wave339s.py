@@ -1729,3 +1729,20 @@ def test_moran_correlogram(spark):
     for r in out:
         assert r.n_links > 0
         assert -1.5 <= r.moran_i <= 1.5
+
+
+def test_capm_betas(spark):
+    out = rows(spark, "capm_beta_nations")
+    assert len(out) == 5
+    for r in out:
+        assert 0 <= r.r2 <= 1.0 + 1e-9
+        assert r.systematic_var_ppm <= 1_000_000
+        assert r.n_days > 10
+
+
+def test_momentum(spark):
+    (r,) = rows(spark, "momentum_persistence")
+    if r.n_pairs > 0:
+        assert -1.0 <= r.mean_rank_autocorr <= 1.0
+        assert 0 <= r.stay_top <= r.was_top
+        assert 0 <= r.top5_persistence_ppm <= 1_000_000
