@@ -1746,3 +1746,20 @@ def test_momentum(spark):
         assert -1.0 <= r.mean_rank_autocorr <= 1.0
         assert 0 <= r.stay_top <= r.was_top
         assert 0 <= r.top5_persistence_ppm <= 1_000_000
+
+
+def test_friendship_paradox(spark):
+    (r,) = rows(spark, "friendship_paradox_audit")
+    assert r.n_nodes > 0 and r.n_edges > 0
+    # Feld's theorem: friends have (weakly) more friends, and the
+    # friend mean equals the size-biased mean
+    assert r.mean_friend_degree >= r.mean_degree - 1e-6
+    assert abs(r.mean_friend_degree - r.size_biased_mean) < 1e-4
+
+
+def test_molloy_reed(spark):
+    (r,) = rows(spark, "molloy_reed_giant_audit")
+    assert r.n_nodes > 0
+    assert r.molloy_reed_ratio >= 1.0
+    assert 1 <= r.largest_component <= r.n_nodes
+    assert r.predicts_giant in (0, 1)
