@@ -1763,3 +1763,23 @@ def test_molloy_reed(spark):
     assert r.molloy_reed_ratio >= 1.0
     assert 1 <= r.largest_component <= r.n_nodes
     assert r.predicts_giant in (0, 1)
+
+
+def test_reid_ladder(spark):
+    out = sorted(rows(spark, "reidentification_risk_ladder"),
+                 key=lambda r: r.qi_width)
+    assert [r.qi_width for r in out] == [1, 2, 3]
+    # uniqueness is monotone in quasi-identifier width
+    for a, b in zip(out, out[1:]):
+        assert b.n_unique >= a.n_unique
+        assert b.n_people == a.n_people
+    assert all(0 <= r.unique_ppm <= 1_000_000 for r in out)
+
+
+def test_attribution_ladder(spark):
+    out = sorted(rows(spark, "attribution_lookback_ladder"),
+                 key=lambda r: r.lookback_days)
+    assert [r.lookback_days for r in out] == [1, 3, 7]
+    for a, b in zip(out, out[1:]):
+        assert b.n_attributed >= a.n_attributed
+        assert b.n_purchases == a.n_purchases
