@@ -1783,3 +1783,18 @@ def test_attribution_ladder(spark):
     for a, b in zip(out, out[1:]):
         assert b.n_attributed >= a.n_attributed
         assert b.n_purchases == a.n_purchases
+
+
+def test_siegel(spark):
+    (r,) = rows(spark, "siegel_repeated_median")
+    assert r.n_days > 2
+    assert r.slope_cents_per_day is not None
+
+
+def test_quantile_conventions(spark):
+    out = sorted(rows(spark, "quantile_type_audit"), key=lambda r: r.p)
+    assert [r.p for r in out] == [0.5, 0.9, 0.99]
+    for r in out:
+        # interpolated quantile sits at or after the discrete one
+        assert r.q_cont >= r.q_disc - 1e-6
+        assert r.convention_gap >= -1e-6
