@@ -1798,3 +1798,21 @@ def test_quantile_conventions(spark):
         # interpolated quantile sits at or after the discrete one
         assert r.q_cont >= r.q_disc - 1e-6
         assert r.convention_gap >= -1e-6
+
+
+def test_segment_migration(spark):
+    out = rows(spark, "segment_migration_matrix")
+    assert len(out) == 9
+    by_from = {}
+    for r in out:
+        by_from[r.from_tier] = by_from.get(r.from_tier, 0) + r.transition_ppm
+    # each row of the migration matrix sums to ~1
+    for v in by_from.values():
+        assert abs(v - 1_000_000) <= 5
+
+
+def test_lorenz_asymmetry(spark):
+    (r,) = rows(spark, "lorenz_asymmetry")
+    assert r.n_orders > 0
+    assert 0 < r.lorenz_asymmetry_s < 2
+    assert r.driven_by_large_units in (0, 1)
