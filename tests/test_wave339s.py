@@ -1816,3 +1816,21 @@ def test_lorenz_asymmetry(spark):
     assert r.n_orders > 0
     assert 0 < r.lorenz_asymmetry_s < 2
     assert r.driven_by_large_units in (0, 1)
+
+
+def test_chain_drift(spark):
+    (r,) = rows(spark, "chain_drift_audit")
+    assert r.n_links >= 1
+    assert r.chained_fisher > 0 and r.direct_fisher > 0
+    # drift is a bounded methodology artifact, not an explosion
+    assert abs(r.chain_drift_ppm) < 500_000
+
+
+def test_iso_week_year(spark):
+    (r,) = rows(spark, "iso_week_year_boundary_audit")
+    assert r.n_days > 0
+    assert 0 <= r.n_mismatch_days < r.n_days
+    assert 0 <= r.n_affected_orders <= r.n_orders
+    # a multi-year span must contain boundary days
+    if r.n_days > 400:
+        assert r.n_mismatch_days > 0
