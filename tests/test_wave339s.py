@@ -1854,3 +1854,27 @@ def test_massey(spark):
     assert all(r.resid_micro == 0 for r in out)
     # identifiability: ratings sum to 0
     assert abs(sum(r.massey_micro for r in out)) <= len(out)
+
+
+def test_binomial_option(spark):
+    (r,) = rows(spark, "binomial_american_option")
+    # option-pricing sandwich: american >= european >= 0 and
+    # american >= intrinsic
+    assert r.american_put >= r.european_put - 1e-9
+    assert r.american_put >= r.intrinsic - 1e-9
+    assert r.early_exercise_premium >= -1e-9
+    assert r.sigma_daily_milli >= 0
+
+
+def test_certainty_equivalents(spark):
+    out = {r.aversion: r for r in rows(spark, "certainty_equivalent_ladder")}
+    assert set(out) == {"gamma_0.5", "gamma_1_log", "gamma_2"}
+    # generalized-means inequality: CE decreases with risk aversion
+    assert (
+        out["gamma_0.5"].certainty_equivalent
+        >= out["gamma_1_log"].certainty_equivalent
+        >= out["gamma_2"].certainty_equivalent
+    )
+    for r in out.values():
+        assert r.certainty_equivalent <= r.expected_value + 1e-9
+        assert r.risk_premium_ppm >= 0
