@@ -1878,3 +1878,17 @@ def test_certainty_equivalents(spark):
     for r in out.values():
         assert r.certainty_equivalent <= r.expected_value + 1e-9
         assert r.risk_premium_ppm >= 0
+
+
+def test_pipeline_health(spark):
+    out = {r.metric: r.value for r in rows(spark, "pipeline_health_dashboard")}
+    assert len(out) == 9
+    assert out["orders_rows"] > 0
+    assert out["lineitem_rows"] > 0
+    # clean synthetic data: no orphans, no nulls, no dupes, no
+    # time-travel shipments
+    assert out["orphan_orders"] == 0
+    assert out["orphan_lineitems"] == 0
+    assert out["orders_null_priority"] == 0
+    assert out["duplicate_orderkeys"] == 0
+    assert out["order_date_span_days"] > 0
