@@ -1892,3 +1892,25 @@ def test_pipeline_health(spark):
     assert out["orders_null_priority"] == 0
     assert out["duplicate_orderkeys"] == 0
     assert out["order_date_span_days"] > 0
+
+
+def test_clarke_wright(spark):
+    out = rows(spark, "clarke_wright_savings")
+    assert len(out) == 25  # every nation routed exactly once
+    assert len({r.nation_key for r in out}) == 25
+    r0 = out[0]
+    # savings certificate: routes never exceed the star total
+    assert r0.total_routed_micro <= r0.star_total_micro
+    # capacity: no route longer than 5 stops
+    by_route = {}
+    for r in out:
+        by_route[r.route_id] = max(
+            by_route.get(r.route_id, 0), r.stop_pos
+        )
+    assert all(v <= 5 for v in by_route.values())
+
+
+def test_p_center(spark):
+    (r,) = rows(spark, "p_center_exact")
+    assert r.facility_a < r.facility_b
+    assert r.coverage_radius_sq > 0
