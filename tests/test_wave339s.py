@@ -1914,3 +1914,27 @@ def test_p_center(spark):
     (r,) = rows(spark, "p_center_exact")
     assert r.facility_a < r.facility_b
     assert r.coverage_radius_sq > 0
+
+
+def test_cori_rt(spark):
+    out = rows(spark, "cori_rt_estimate")
+    assert out
+    for r in out:
+        assert r.r_t > 0
+        assert r.incidence >= 0
+    # stationary error stream: R_t hovers near 1 on average
+    mean_rt = sum(r.r_t for r in out) / len(out)
+    assert 0.5 < mean_rt < 2.0
+
+
+def test_basket_diversity(spark):
+    out = rows(spark, "basket_diversity_census")
+    assert out
+    for r in out:
+        assert 1 <= r.distinct_groups <= 10
+        assert 0 <= r.mean_gini_simpson <= 0.9 + 1e-9
+        assert r.mean_items >= r.distinct_groups - 1e-9
+    # single-group baskets have exactly zero diversity
+    singles = [r for r in out if r.distinct_groups == 1]
+    for r in singles:
+        assert r.mean_gini_simpson == 0.0
