@@ -1938,3 +1938,22 @@ def test_basket_diversity(spark):
     singles = [r for r in out if r.distinct_groups == 1]
     for r in singles:
         assert r.mean_gini_simpson == 0.0
+
+
+def test_efficiency_gap(spark):
+    (r,) = rows(spark, "efficiency_gap_gerrymander")
+    assert r.n_districts >= 1
+    assert 0 <= r.seats_a <= r.n_districts
+    assert r.wasted_a >= 0 and r.wasted_b >= 0
+    assert -1_000_000 <= r.efficiency_gap_ppm <= 1_000_000
+
+
+def test_alabama_paradox(spark):
+    out = rows(spark, "alabama_paradox_check")
+    assert len(out) == 5
+    assert sum(r.seats_house10 for r in out) == 10
+    assert sum(r.seats_house11 for r in out) == 11
+    for r in out:
+        assert r.alabama_paradox == (
+            1 if r.seats_house11 < r.seats_house10 else 0
+        )
