@@ -1957,3 +1957,22 @@ def test_alabama_paradox(spark):
         assert r.alabama_paradox == (
             1 if r.seats_house11 < r.seats_house10 else 0
         )
+
+
+def test_sqrt_staffing(spark):
+    out = sorted(rows(spark, "square_root_staffing"),
+                 key=lambda r: r.beta)
+    assert [r.beta for r in out] == [0.5, 1.0, 2.0]
+    prev = 0
+    for r in out:
+        assert r.staffing_n >= r.offered_load
+        assert r.staffing_n >= prev
+        assert r.achieved_beta >= r.beta - 1e-9  # ceiling only adds
+        prev = r.staffing_n
+
+
+def test_token_bucket(spark):
+    (r,) = rows(spark, "token_bucket_conformance")
+    assert r.n_events == r.conforming + r.dropped
+    # rate 1.2x the mean passes the bulk of a stationary stream
+    assert r.conforming_ppm > 500_000
