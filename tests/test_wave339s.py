@@ -1976,3 +1976,20 @@ def test_token_bucket(spark):
     assert r.n_events == r.conforming + r.dropped
     # rate 1.2x the mean passes the bulk of a stationary stream
     assert r.conforming_ppm > 500_000
+
+
+def test_gmd(spark):
+    (r,) = rows(spark, "gini_mean_difference")
+    assert r.n_orders > 1
+    assert r.gini_mean_difference_cents > 0
+    # Gini coefficient lives in [0, 1)
+    assert 0 < r.implied_gini < 1
+
+
+def test_tukey_summary(spark):
+    (r,) = rows(spark, "tukey_summary_statistics")
+    assert r.minimum <= r.q1 <= r.median <= r.q3 <= r.maximum
+    # trimean and midhinge live inside the quartile box
+    assert r.q1 <= r.trimean <= r.q3
+    assert r.q1 <= r.midhinge <= r.q3
+    assert 0 <= r.quartile_coef_dispersion < 1
