@@ -1993,3 +1993,19 @@ def test_tukey_summary(spark):
     assert r.q1 <= r.trimean <= r.q3
     assert r.q1 <= r.midhinge <= r.q3
     assert 0 <= r.quartile_coef_dispersion < 1
+
+
+def test_concentration_index(spark):
+    (r,) = rows(spark, "concentration_index_health")
+    assert r.n_customers > 1
+    # CI is bounded by the Gini in magnitude; comfortably within (-1, 1)
+    assert -1 < r.concentration_index < 1
+
+
+def test_ssd(spark):
+    (r,) = rows(spark, "ssd_check_segments")
+    assert r.n_grid == 10
+    assert 0 <= r.auto_dominates_points <= 10
+    assert 0 <= r.building_dominates_points <= 10
+    # at every grid point at least one side weakly dominates
+    assert r.auto_dominates_points + r.building_dominates_points >= 10
