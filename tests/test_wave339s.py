@@ -2009,3 +2009,24 @@ def test_ssd(spark):
     assert 0 <= r.building_dominates_points <= 10
     # at every grid point at least one side weakly dominates
     assert r.auto_dominates_points + r.building_dominates_points >= 10
+
+
+def test_selfish_routing(spark):
+    (r,) = rows(spark, "selfish_routing_poa")
+    # Roughgarden-Tardos: affine latencies bound PoA by 4/3
+    assert 1.0 - 1e-9 <= r.price_of_anarchy <= 4.0 / 3.0 + 1e-6
+    assert r.cost_eq >= r.cost_opt - 1e-9
+    assert 0 <= r.equilibrium_share_r1 <= 1
+    assert 0 <= r.optimal_share_r1 <= 1
+
+
+def test_arrival_curve(spark):
+    out = sorted(rows(spark, "arrival_curve_envelope"),
+                 key=lambda r: r.window_seconds)
+    assert [r.window_seconds for r in out] == [60, 600, 3600]
+    prev = 0
+    for r in out:
+        # envelopes dominate the mean line and are monotone in w
+        assert r.envelope >= max(r.mean_rate_times_w - 1e-6, prev)
+        assert r.burst_allowance >= -1e-6
+        prev = r.envelope
