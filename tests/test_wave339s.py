@@ -2030,3 +2030,20 @@ def test_arrival_curve(spark):
         assert r.envelope >= max(r.mean_rate_times_w - 1e-6, prev)
         assert r.burst_allowance >= -1e-6
         prev = r.envelope
+
+
+def test_cover_universal(spark):
+    (r,) = rows(spark, "cover_universal_portfolio")
+    assert r.n_portfolios == 11
+    # structural no-regret certificate: average >= max / n_grid
+    assert r.universal_ratio >= 1.0 / 11 - 1e-9
+    assert r.universal_log_wealth <= r.best_crp_log_wealth + 1e-9
+
+
+def test_evpi(spark):
+    (r,) = rows(spark, "evpi_decision_value")
+    assert r.n_months > 0
+    # Jensen: perfect information is never worth less than zero
+    assert r.evpi_cents >= -0.01
+    assert r.evpi_ppm >= 0
+    assert r.expected_with_perfect_info >= r.best_fixed_choice - 0.01
