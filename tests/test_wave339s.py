@@ -2047,3 +2047,21 @@ def test_evpi(spark):
     assert r.evpi_cents >= -0.01
     assert r.evpi_ppm >= 0
     assert r.expected_with_perfect_info >= r.best_fixed_choice - 0.01
+
+
+def test_line_breaking(spark):
+    out = rows(spark, "line_breaking_dp")
+    assert out
+    for r in out:
+        # DP optimality certificate
+        assert r.dp_badness <= r.greedy_badness
+        assert 1 <= r.dp_lines
+        assert r.n_words >= 1
+
+
+def test_hot_hand(spark):
+    (r,) = rows(spark, "hot_hand_conditional")
+    assert r.n_days > 0
+    assert 0 <= r.p_up_ppm <= 1_000_000
+    if r.p_up_after_2up_ppm is not None:
+        assert 0 <= r.p_up_after_2up_ppm <= 1_000_000
