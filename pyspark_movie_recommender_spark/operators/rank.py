@@ -118,6 +118,185 @@ def sorted_neighborhood_pairs(
     )
 
 
+def distributed_order_stats(
+    df: DataFrame,
+    key_col: str,
+    tie_cols: list[str],
+    n_buckets: int = 32,
+    rank_col: str | None = None,
+    cumsum_cols: dict[str, str] | None = None,
+    grp_col: str | None = None,
+    grp_rank_col: str | None = None,
+) -> DataFrame:
+    """Generalized distributed order statistics over the total order
+    ``(key_col, *tie_cols)`` — the multi-output sibling of
+    :func:`distributed_global_rank`, with the same three-step shape
+    (range-bucket on the numeric key via ``approxQuantile``,
+    per-bucket partitioned windows, broadcast exclusive-prefix
+    offsets), so no task ever sorts more than one bucket:
+
+    - ``rank_col``       → global ROW_NUMBER()
+    - ``cumsum_cols``    → {out_name: val_col} inclusive running SUMs
+      over the same order (keeps the value column's numeric type)
+    - ``grp_rank_col``   → ROW_NUMBER() *within* ``grp_col`` under the
+      same global order (pooled-vs-group ranks: Mann-Whitney / CvM /
+      Anderson-Darling rank statistics). ``grp_col`` cardinality must
+      be small (offsets are collected per (bucket, group)).
+
+    All driver actions are O(n_buckets · n_groups) scalars — the same
+    legitimate driver-side-scalar class as a convergence check.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(key_col, probs, 0.001)))
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket: Column = F.size(F.filter(arr, lambda b: b < F.col(key_col)))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn(_BUCKET, bucket)
+
+    cumsum_cols = cumsum_cols or {}
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(src).alias(f"__s_{out}") for out, src in cumsum_cols.items()
+    ]
+    gb = [_BUCKET] + ([grp_col] if grp_col else [])
+    part = bucketed.groupBy(*gb).agg(*aggs).collect()
+
+    # bucket-level exclusive prefixes: row count + each running-sum col
+    by_bucket: dict[int, dict[str, float]] = {}
+    for r in part:
+        d = by_bucket.setdefault(r[_BUCKET], {"__n": 0})
+        d["__n"] += r["__n"]
+        for out in cumsum_cols:
+            d[f"__s_{out}"] = d.get(f"__s_{out}", 0) + (r[f"__s_{out}"] or 0)
+    n_off, acc = {}, 0
+    for b in sorted(by_bucket):
+        n_off[b] = acc
+        acc += by_bucket[b]["__n"]
+    s_off: dict[str, dict[int, float]] = {}
+    for out in cumsum_cols:
+        offs, sacc = {}, 0
+        for b in sorted(by_bucket):
+            offs[b] = sacc
+            sacc += by_bucket[b].get(f"__s_{out}", 0)
+        s_off[out] = offs
+
+    order = [F.col(key_col).asc()] + [F.col(c).asc() for c in tie_cols]
+    w_pool = Window.partitionBy(_BUCKET).orderBy(*order)
+    out = bucketed
+    if rank_col is not None:
+        n_map = F.create_map(
+            *[F.lit(x) for kv in sorted(n_off.items()) for x in kv]
+        )
+        out = out.withColumn(
+            rank_col,
+            (
+                F.element_at(n_map, F.col(_BUCKET))
+                + F.row_number().over(w_pool)
+            ).cast("long"),
+        )
+    for cname, src in cumsum_cols.items():
+        c_map = F.create_map(
+            *[F.lit(x) for kv in sorted(s_off[cname].items()) for x in kv]
+        )
+        out = out.withColumn(
+            cname,
+            F.element_at(c_map, F.col(_BUCKET))
+            + F.sum(src).over(
+                w_pool.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    if grp_rank_col is not None:
+        if grp_col is None:
+            raise ValueError("grp_rank_col requires grp_col")
+        # per-(bucket, group) exclusive prefix of that group's counts,
+        # shipped as one literal map keyed "bucket\x00grp" — a broadcast
+        # JOIN here would let constraint inference push the bucket
+        # expression (which references key_col) into the tiny side and
+        # fail binding; the literal map has no such lineage.
+        per_grp: dict[object, dict[int, int]] = {}
+        for r in part:
+            per_grp.setdefault(r[grp_col], {})[r[_BUCKET]] = r["__n"]
+        entries: list[tuple[str, int]] = []
+        for g, bkts in per_grp.items():
+            gacc = 0
+            for b in sorted(bkts):
+                entries.append((f"{b}\x00{g}", gacc))
+                gacc += bkts[b]
+        g_map = F.create_map(
+            *[F.lit(x) for kv in sorted(entries) for x in kv]
+        )
+        g_key = F.concat_ws(
+            "\x00", F.col(_BUCKET).cast("string"), F.col(grp_col).cast("string")
+        )
+        w_grp = Window.partitionBy(_BUCKET, grp_col).orderBy(*order)
+        out = out.withColumn(
+            grp_rank_col,
+            (
+                F.element_at(g_map, g_key) + F.row_number().over(w_grp)
+            ).cast("long"),
+        )
+    return out.drop(_BUCKET)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    key_col: str,
+    id_col: str | list[str],
+    n_tiles: int,
+    n_buckets: int = 32,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Append ``out_col`` = NTILE(n_tiles) over the global
+    (key, *ties) order without a single-task window: global rank via
+    :func:`distributed_order_stats`, then the exact NTILE bucket from
+    the rank and the total count (first ``n mod k`` tiles get
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)`` — Spark/ANSI
+    semantics), all in exact integer arithmetic. One extra driver
+    scalar (the total count). ``id_col`` may be a single column or a
+    list of tie-break columns.
+    """
+    ties = [id_col] if isinstance(id_col, str) else list(id_col)
+    ranked = distributed_order_stats(
+        df, key_col, ties, n_buckets=n_buckets, rank_col="__rn"
+    )
+    n = ranked.count()
+    q, r = divmod(n, n_tiles)
+    if q == 0:
+        tile: Column = F.col("__rn")
+    else:
+        cutoff = (q + 1) * r
+        # integer ceil without floats: ceil(a/b) = (a + b - 1) div b
+        tile = F.when(
+            F.col("__rn") <= cutoff,
+            F.expr(f"(__rn + {q}) div {q + 1}"),
+        ).otherwise(F.expr(f"{r} + (__rn - {cutoff} + {q} - 1) div {q}"))
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__rn")
+
+
+def distributed_percent_rank(
+    df: DataFrame,
+    key_col: str,
+    tie_cols: list[str],
+    n_buckets: int = 32,
+    out_col: str = "pr",
+) -> DataFrame:
+    """Append ``out_col`` = PERCENT_RANK() over the global
+    (key, *ties) order without a single-task window. Requires the tie
+    columns to make the order TOTAL (unique rows) so RANK ==
+    ROW_NUMBER and percent_rank = (rn − 1) / (n − 1) exactly matches
+    the windowed form. One extra driver scalar (the total count).
+    """
+    ranked = distributed_order_stats(
+        df, key_col, tie_cols, n_buckets=n_buckets, rank_col="__rn"
+    )
+    n = ranked.count()
+    denom = float(n - 1) if n > 1 else 1.0
+    return ranked.withColumn(
+        out_col, (F.col("__rn") - 1).cast("double") / denom
+    ).drop("__rn")
+
+
 def rrf_fuse(
     rankings: list[DataFrame], id_col: str = "doc_id", k: int = 60
 ) -> DataFrame:
