@@ -274,6 +274,94 @@ def distributed_ntile(
     return ranked.withColumn(out_col, tile.cast("int")).drop("__rn")
 
 
+def distributed_reflected_walk(
+    df: DataFrame,
+    key_col: str,
+    tie_cols: list[str],
+    val_col: str,
+    n_buckets: int = 32,
+    out_cumsum: str = "c",
+    out_runmin: str = "m",
+) -> DataFrame:
+    """Cumulative sum C of ``val_col`` over the total order
+    (key, *ties) PLUS the running minimum of C — the reflected-walk
+    primitive behind Lindley's queueing recursion
+    (W_i = C_i − min_{k≤i} C_k), drawdown curves, and reset-at-idle
+    accumulators — with bounded per-task input (no single-task
+    window): range-bucket on the key, per-bucket windowed cumsum and
+    running min, then broadcast offsets — the cumsum offset is each
+    bucket's exclusive prefix SUM, the running-min offset each
+    bucket's exclusive prefix MIN of (offset + per-bucket min), so
+    runmin = least(prior-buckets' min, this bucket's offset-shifted
+    local running min). Within a bucket the min-at-current case
+    reproduces C's float bit-for-bit (same expression), so
+    W == 0.0 tests behave exactly as in the single-window form.
+    Driver actions: the quantile probe plus two O(n_buckets) scalar
+    collects (bucket sums, bucket mins).
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(key_col, probs, 0.001)))
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket: Column = F.size(F.filter(arr, lambda b: b < F.col(key_col)))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn(_BUCKET, bucket)
+
+    order = [F.col(key_col).asc()] + [F.col(c).asc() for c in tie_cols]
+    w = Window.partitionBy(_BUCKET).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sums = {
+        r[_BUCKET]: r["s"]
+        for r in bucketed.groupBy(_BUCKET)
+        .agg(F.sum(val_col).alias("s"))
+        .collect()
+    }
+    s_off, acc = {}, 0.0
+    for b in sorted(sums):
+        s_off[b] = acc
+        acc += sums[b] or 0
+    # per-bucket min of the offset-shifted local cumsum (one window job)
+    local = bucketed.withColumn("__lc", F.sum(val_col).over(w))
+    mins = {
+        r[_BUCKET]: s_off[r[_BUCKET]] + r["mn"]
+        for r in local.groupBy(_BUCKET).agg(F.min("__lc").alias("mn")).collect()
+    }
+    pm, run = {}, None
+    for b in sorted(mins):
+        pm[b] = run  # exclusive prefix min (None for the first bucket)
+        run = mins[b] if run is None else min(run, mins[b])
+    s_map = F.create_map(*[F.lit(x) for kv in sorted(s_off.items()) for x in kv])
+    pm_entries = [(b, v) for b, v in sorted(pm.items()) if v is not None]
+    pm_map = (
+        F.create_map(*[F.lit(x) for kv in pm_entries for x in kv])
+        if pm_entries
+        else F.create_map()
+    )
+    out = (
+        local.withColumn(
+            out_cumsum, F.element_at(s_map, F.col(_BUCKET)) + F.col("__lc")
+        )
+        .withColumn(
+            "__lm",
+            F.element_at(s_map, F.col(_BUCKET)) + F.min("__lc").over(w),
+        )
+        .withColumn(
+            out_runmin,
+            F.least(
+                F.coalesce(
+                    F.element_at(pm_map, F.col(_BUCKET)),
+                    F.col("__lm"),
+                ),
+                F.col("__lm"),
+            ),
+        )
+        .drop("__lc", "__lm", _BUCKET)
+    )
+    return out
+
+
 def distributed_percent_rank(
     df: DataFrame,
     key_col: str,
