@@ -58,3 +58,41 @@ def count_exchanges(df: DataFrame) -> int:
     return plan.count("Arguments: hashpartitioning") + plan.count(
         "Arguments: rangepartitioning"
     )
+
+
+def unpartitioned_windows(df: DataFrame) -> tuple[int, int]:
+    """Count logical Window nodes with an EMPTY partitionSpec — the
+    single-task-sort scale cliff — returning (total, fact_sized):
+    ``fact_sized`` counts those with no Aggregate / GlobalLimit /
+    Expand anywhere below them, i.e. windows whose input is still
+    raw-relation-sized. A plan is 100-TB-safe when fact_sized == 0;
+    post-aggregation global windows (a 10-row decile cumsum) are fine
+    and stay out of the second count.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def walk(node):
+        yield node
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from walk(cs.apply(i))
+
+    def reduced_below(node) -> bool:
+        for d in walk(node):
+            if d is node:
+                continue
+            nm = d.getClass().getSimpleName()
+            if nm in ("Aggregate", "GlobalLimit", "Expand", "Deduplicate"):
+                return True
+        return False
+
+    total = fact_sized = 0
+    for n in walk(plan):
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().isEmpty()
+        ):
+            total += 1
+            if not reduced_below(n):
+                fact_sized += 1
+    return total, fact_sized

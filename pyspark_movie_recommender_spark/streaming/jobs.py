@@ -535,7 +535,8 @@ def cdc_upsert_stream(
     table) with the merge expressed as union + max_by per key, which
     is exactly what MERGE WHEN MATCHED UPDATE does for a
     last-writer-wins table. State is re-keyed per batch and
-    localCheckpoint-ed so batch k+1 plans against materialized state,
+    ckpt-truncated so batch k+1 plans against materialized state
+    (reliable on a cluster via SPARK_GRAFT_CHECKPOINT_DIR),
     not k chained unions (reliable checkpoint/Delta table in
     production). Batch-split-invariant by construction: max_by over
     (ts, event_id) is associative across batches, so the final state
@@ -565,7 +566,9 @@ def cdc_upsert_stream(
                     )
                 )
             )
-        state["df"] = b.localCheckpoint()
+        from pyspark_movie_recommender_spark.operators.lineage import ckpt
+
+        state["df"] = ckpt(b)
 
     ev = _events_stream(spark, sf_dir).select(
         "user_id", "ts", "event_id", "event_type", "value"

@@ -858,3 +858,20 @@ def test_bfs_hops_on_known_graph(spark):
     )
     got = {r.node: r.hops for r in bfs_hops(edges, max_hops=4).collect()}
     assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2, 6: 3}
+
+
+def test_ckpt_reliable_checkpoint_when_env_set(spark, tmp_path, monkeypatch):
+    # SPARK_GRAFT_CHECKPOINT_DIR flips every lineage truncation in the
+    # engine from executor-local to reliable (survives executor loss)
+    from pyspark_movie_recommender_spark.operators.lineage import ckpt
+
+    target = str(tmp_path / "ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", target)
+    df = ckpt(spark.range(100).withColumn("x", F.col("id") * 2))
+    assert df.count() == 100
+    import os
+
+    assert os.path.isdir(target) and os.listdir(target)
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+    df2 = ckpt(spark.range(10))
+    assert df2.count() == 10

@@ -787,3 +787,50 @@ def test_learned_index_single_scan(spark, sf_dir):
     df = Q.QUERIES["learned_index_audit"](spark, sf_dir)
     plan = physical_plan(df)
     assert plan.count("orders.parquet") <= 1
+
+
+REROUTED_GLOBAL_WINDOW_QUERIES = [
+    # round-3 verdict task 1: fact-grain global windows rerouted through
+    # operators/rank.py distributed machinery — pin that no plan keeps a
+    # fact-sized unpartitioned Window (post-aggregation globals are fine)
+    "auc_order_status_price",
+    "gini_exact_customer_spend",
+    "lorenz_curve_customer_spend",
+    "conformal_price_interval",
+    "cramer_von_mises_drift",
+    "anderson_darling_two_sample",
+    "learned_index_audit",
+    "mattson_reuse_profile",
+    "gini_mean_difference",
+    "presortedness_census",
+    "calibration_reliability_bins",
+    "group_calibration_gap",
+    "isotonic_urgent_rate_fit",
+    "krippendorff_alpha_nominal",
+    "zone_map_pruning_simulation",
+    "n50_length_summary",
+    "pps_horvitz_thompson",
+    "rle_sort_compression_advisor",
+    "decision_curve_net_benefit",
+    "partial_auc_low_fpr",
+    "hybrid_rrf_retrieval",
+    "systematic_sampling_deff",
+    "range_partition_splitter_audit",
+    "confidence_sequence_widths",
+    "evalue_supermartingale_monitor",
+    "lindley_waiting_times",
+    "kingman_vut_audit",
+    "heavy_traffic_scaling",
+]
+
+
+def test_no_fact_sized_unpartitioned_windows(spark, sf_dir):
+    from pyspark_movie_recommender_spark.plans import unpartitioned_windows
+
+    offenders = {}
+    for name in REROUTED_GLOBAL_WINDOW_QUERIES:
+        df = Q.QUERIES[name](spark, sf_dir)
+        _, fact_sized = unpartitioned_windows(df)
+        if fact_sized:
+            offenders[name] = fact_sized
+    assert not offenders, f"fact-sized global windows: {offenders}"
