@@ -362,6 +362,106 @@ def distributed_reflected_walk(
     return out
 
 
+def distributed_global_neighbors(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    mark_col: str,
+    value_cols: list[str],
+    n_buckets: int = 32,
+    prefix_prev: str = "prev_",
+    prefix_next: str = "next_",
+) -> DataFrame:
+    """For every row, the ``value_cols`` of the LAST row strictly
+    before it in the global (key, id) order whose ``mark_col`` is true
+    (→ ``prev_<c>``), and of the FIRST marked row strictly after it
+    (→ ``next_<c>``) — the bidirectional LOCF-over-a-global-order
+    shape behind 1-D nearest-neighbour matching, without the
+    single-task ``Window.orderBy`` sort: range-bucket on the numeric
+    key, per-bucket ignorenulls windows (parallel), then carry each
+    bucket's last/first marked values across bucket boundaries as a
+    driver-side when-chain over at most ``n_buckets`` scalar rows.
+    All prev_/next_ fields of one row come from the SAME marked row
+    (struct-packed through the windows), matching the single-window
+    form bit-for-bit. ``id_col`` must be unique (total order);
+    ``key_col`` numeric. Driver actions: the quantile probe plus one
+    O(n_buckets) collect of marked-boundary rows.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.approxQuantile(key_col, probs, 0.001)))
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket: Column = F.size(F.filter(arr, lambda b: b < F.col(key_col)))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn(_BUCKET, bucket)
+
+    packed = F.when(
+        F.col(mark_col), F.struct(*[F.col(c).alias(c) for c in value_cols])
+    )
+    order_key = F.struct(F.col(key_col), F.col(id_col))
+    # last / first marked row per bucket (tiny: ≤ n_buckets rows)
+    edge = (
+        bucketed.filter(F.col(mark_col))
+        .groupBy(_BUCKET)
+        .agg(
+            F.max_by(packed, order_key).alias("__last"),
+            F.min_by(packed, order_key).alias("__first"),
+        )
+        .collect()
+    )
+    last_in = {r[_BUCKET]: r["__last"] for r in edge}
+    first_in = {r[_BUCKET]: r["__first"] for r in edge}
+    # exclusive scans over every possible bucket id (0..len(bounds))
+    present = list(range(len(bounds) + 1))
+    carry_prev: dict[int, object] = {}
+    run = None
+    for b in present:
+        carry_prev[b] = run
+        if b in last_in:
+            run = last_in[b]
+    carry_next: dict[int, object] = {}
+    run = None
+    for b in reversed(present):
+        carry_next[b] = run
+        if b in first_in:
+            run = first_in[b]
+
+    def chain(carry: dict[int, object], c: str) -> Column:
+        dtype = df.schema[c].dataType
+        expr: Column | None = None
+        for b, row in carry.items():
+            if row is None:
+                continue
+            lit = F.lit(row[c]).cast(dtype)
+            cond = F.col(_BUCKET) == b
+            expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+        return expr if expr is not None else F.lit(None).cast(dtype)
+
+    wprev = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(F.col(key_col).asc(), F.col(id_col).asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    out = bucketed.withColumn(
+        "__pv", F.last(packed, ignorenulls=True).over(wprev)
+    ).withColumn("__nv", F.first(packed, ignorenulls=True).over(wnext))
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix_prev}{c}",
+            F.coalesce(F.col("__pv")[c], chain(carry_prev, c)),
+        ).withColumn(
+            f"{prefix_next}{c}",
+            F.coalesce(F.col("__nv")[c], chain(carry_next, c)),
+        )
+    return out.drop("__pv", "__nv", _BUCKET)
+
+
 def distributed_percent_rank(
     df: DataFrame,
     key_col: str,

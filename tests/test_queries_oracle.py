@@ -4,18 +4,22 @@ This mirrors the driver's t2 correctness gate (sf0.01) so mismatches are
 caught locally first. Queries without oracle SQL get a rows-materialize
 smoke check instead (the driver's weaker rows-only path).
 
-With ~800 registered queries a full dual-engine pass takes hours, so by
-default this module checks a DETERMINISTIC ~1/8 slice of the registry
-(zlib.crc32(name) % 8 == SPARK_GRAFT_ORACLE_SLICE, default slice 0 —
-stable across runs, so the same queries are always CI-covered) plus
-every query added since the last SURVEY index refresh is still covered
-by the per-wave delta checks and the full driver-sim sweep
-(`.claude/skills/verify`). Set SPARK_GRAFT_ORACLE_ALL=1 for the full
-suite, or SPARK_GRAFT_ORACLE_SLICE=k to rotate the slice.
+With ~1000 registered queries a full dual-engine pass takes ~20 min,
+so by default this module checks a ~1/8 slice of the registry
+(zlib.crc32(name) % 8 == slice). The slice ROTATES by ISO week —
+slice = isocalendar().week % 8 — so all eight slices cycle through CI
+over eight weeks and no query is permanently uncovered; pin a slice
+with SPARK_GRAFT_ORACLE_SLICE=k, or run everything with
+SPARK_GRAFT_ORACLE_ALL=1 (what the per-round full driver-sim sweep in
+`.claude/skills/verify` does — its SWEEP_r*.json artifacts are the
+full-coverage evidence). The per-wave test files are rows-only
+property checks, NOT oracle compares; this module and the full sweep
+are the only Spark-vs-DuckDB differentials.
 """
 
 from __future__ import annotations
 
+import datetime
 import os
 import zlib
 
@@ -29,7 +33,11 @@ def _selected_names() -> list[str]:
     names = sorted(Q.QUERIES)
     if os.environ.get("SPARK_GRAFT_ORACLE_ALL"):
         return names
-    k = int(os.environ.get("SPARK_GRAFT_ORACLE_SLICE", "0")) % 8
+    env = os.environ.get("SPARK_GRAFT_ORACLE_SLICE")
+    if env is not None:
+        k = int(env) % 8
+    else:
+        k = datetime.date.today().isocalendar()[1] % 8
     return [n for n in names if zlib.crc32(n.encode()) % 8 == k]
 
 
