@@ -8073,39 +8073,51 @@ def lepage_location_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible to Wilcoxon alone. Moments use the standard untied-case
     formulas (documented approximation; ties handled by midranks).
 
-    Determinism: midranks depend only on the value (rank + half the
-    peer count), never on tie order, so both engines score ties
-    identically; rank sums are exact multiples of 0.5 accumulated
-    losslessly in DOUBLE; the one inexact step (z standardization) is
-    rounded to milli.
+    Determinism: midranks depend only on the value (count below + half
+    the peer count), never on tie order, so both engines score ties
+    identically; doubled midranks (mid2 = 2·cnt_less + cnt_eq + 1) keep
+    every rank-sum intermediate an exact BIGINT; the one inexact step
+    (z standardization) is rounded to milli.
 
-    Scale shape: one global sort for ranks over the collapsed
-    (value, flag) projection with a same-key peer count — a single
-    range-partitionable exchange — then scalar aggregates only.
+    Scale shape: the histogram-midrank collapse
+    (kruskal_wallis_quantity's construction) — ranks are never assigned
+    to rows. One hash agg to the (value, flag) histogram, a cumulative
+    count over the aggregate-reduced |distinct values| relation, and the
+    Ansari fold min(mid, N+1−mid) applied per VALUE (all rows sharing a
+    value share a midrank, so the fold commutes with the collapse).
+    Nothing row-ordered ever shuffles.
     """
     li = load_table(spark, sf_dir, "lineitem")
     pooled = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_a"),
     )
-    sized = pooled.agg(
-        F.sum("is_a").cast("long").alias("n"),
-        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("m"),
-        F.count(F.lit(1)).cast("long").alias("nn"),
+    hist = pooled.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cv"),
+        F.sum("is_a").cast("long").alias("ca"),
     )
-    ranked = pooled.select(
-        "is_a",
+    sized = hist.agg(
+        F.sum("ca").cast("long").alias("n"),
+        (F.sum("cv") - F.sum("ca")).cast("long").alias("m"),
+        F.sum("cv").cast("long").alias("nn"),
+    )
+    wv = Window.orderBy("v")
+    mids = hist.select(
+        "v",
+        "cv",
+        "ca",
         (
-            F.rank().over(Window.orderBy("v"))
-            + (F.count(F.lit(1)).over(Window.partitionBy("v")) - 1) / 2.0
-        ).alias("midrank"),
+            2 * (F.sum("cv").over(wv).cast("long") - F.col("cv"))
+            + F.col("cv")
+            + 1
+        ).alias("mid2"),
     )
-    scored = ranked.crossJoin(F.broadcast(sized)).select(
-        "is_a",
-        "midrank",
-        F.least(F.col("midrank"), F.col("nn") + 1 - F.col("midrank")).alias(
-            "ab_score"
-        ),
+    scored = mids.crossJoin(F.broadcast(sized)).select(
+        "ca",
+        "mid2",
+        F.least(
+            F.col("mid2"), 2 * (F.col("nn") + 1) - F.col("mid2")
+        ).alias("ab2"),
         "n",
         "m",
         "nn",
@@ -8114,12 +8126,8 @@ def lepage_location_scale_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n"),
         F.max("m").alias("m"),
         F.max("nn").alias("nn"),
-        F.sum(F.when(F.col("is_a") == 1, F.col("midrank")).otherwise(0.0)).alias(
-            "w"
-        ),
-        F.sum(
-            F.when(F.col("is_a") == 1, F.col("ab_score")).otherwise(0.0)
-        ).alias("t"),
+        (F.sum(F.col("ca") * F.col("mid2")) / 2.0).alias("w"),
+        (F.sum(F.col("ca") * F.col("ab2")) / 2.0).alias("t"),
     )
     nD = F.col("n").cast("double")
     mD = F.col("m").cast("double")

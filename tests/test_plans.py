@@ -821,6 +821,9 @@ REROUTED_GLOBAL_WINDOW_QUERIES = [
     "lindley_waiting_times",
     "kingman_vut_audit",
     "heavy_traffic_scaling",
+    # round-4: final fact-grain offender, collapsed to the value
+    # histogram (kruskal_wallis_quantity's midrank construction)
+    "lepage_location_scale_test",
 ]
 
 
@@ -834,3 +837,28 @@ def test_no_fact_sized_unpartitioned_windows(spark, sf_dir):
         if fact_sized:
             offenders[name] = fact_sized
     assert not offenders, f"fact-sized global windows: {offenders}"
+
+
+def test_registry_slice_no_fact_sized_windows(spark, sf_dir):
+    """Registry-WIDE fact_sized == 0 pin, sliced like the oracle suite:
+    a rotating ~1/8 of all registered queries per commit-week (pin with
+    SPARK_GRAFT_AUDIT_SLICE=k; the full census is tools_plan_audit.py,
+    recorded per round as PLANAUDIT_r{N}.json). Together with the named
+    reroute pin above this keeps the single-task global-sort cliff out
+    of every plan, not just the 29 rewritten ones."""
+    import os
+    import zlib
+
+    from pyspark_movie_recommender_spark.plans import unpartitioned_windows
+    from tests.oracle import default_slice
+
+    env = os.environ.get("SPARK_GRAFT_AUDIT_SLICE")
+    k = int(env) % 8 if env is not None else default_slice()
+    names = [n for n in sorted(Q.QUERIES) if zlib.crc32(n.encode()) % 8 == k]
+    offenders = {}
+    for name in names:
+        df = Q.QUERIES[name](spark, sf_dir)
+        _, fact_sized = unpartitioned_windows(df)
+        if fact_sized:
+            offenders[name] = fact_sized
+    assert not offenders, f"fact-sized global windows (slice {k}): {offenders}"
