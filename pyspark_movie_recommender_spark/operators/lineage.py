@@ -13,15 +13,56 @@ that survives executor loss, matching the ``checkpoint_dir`` pattern
 Usage: ``df.transform(ckpt)`` anywhere a bare
 ``df.localCheckpoint(eager=True)`` would appear — one flag flips the
 whole engine.
+
+Reliable-checkpoint hygiene: the checkpoint dir is set ONCE per
+SparkContext (memoized — not re-invoked at each of the ~290 call
+sites), a per-run subdirectory is used so successive runs don't
+interleave files, and ``spark.cleaner.referenceTracking
+.cleanCheckpoints=true`` (set in ``session.get_spark``) lets the
+ContextCleaner reap checkpoint files whose RDDs go out of scope, so a
+long run does not grow the dir without bound.
+
+Plan-audit transparency: checkpointing replaces the logical subtree
+with a ``LogicalRDD`` leaf, which would blind
+``plans.unpartitioned_windows`` to whether the checkpointed input had
+already been reduced by an aggregate. ``ckpt`` therefore records, per
+materialized RDD id, whether the PRE-checkpoint plan was
+cardinality-reduced (``REDUCED_RDD_IDS``); the plan walker consults
+the registry when it meets a ``LogicalRDD``.
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 
 _ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+# SparkContext ids whose checkpoint dir has already been set this run.
+_CKPT_DIR_SET: set[str] = set()
+
+# RDD id -> was the pre-checkpoint logical plan cardinality-reduced
+# (aggregate / limit / small-leaf input)? Every ckpt output is
+# recorded, so the plan auditor (plans.unpartitioned_windows) can
+# distinguish a checkpointed fact table (False) from a checkpointed
+# aggregate (True) from a LogicalRDD it never saw — which in this
+# engine is always a createDataFrame literal, driver-bounded by
+# construction.
+CKPT_RDD_REDUCED: dict[int, bool] = {}
+
+
+def _logical_rdd_id(df: DataFrame) -> int | None:
+    """RDD id of a checkpointed DataFrame's LogicalRDD leaf (None if
+    the plan isn't the expected single-leaf shape)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            return node.rdd().id()
+    except Exception:
+        pass
+    return None
 
 
 def ckpt(df: DataFrame) -> DataFrame:
@@ -31,9 +72,31 @@ def ckpt(df: DataFrame) -> DataFrame:
     that env var is set (cluster-safe); executor-local
     ``localCheckpoint`` otherwise (fast local default).
     """
+    # Classify the pre-checkpoint plan BEFORE it is replaced by a
+    # LogicalRDD leaf, so downstream plan audits keep the information.
+    from ..plans import subtree_reduced
+
+    try:
+        was_reduced = subtree_reduced(
+            df._jdf.queryExecution().optimizedPlan()
+        )
+    except Exception:
+        was_reduced = False
+
     target = os.environ.get(_ENV)
     if target:
         sc = df.sparkSession.sparkContext
-        sc.setCheckpointDir(target)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        key = sc.applicationId
+        if key not in _CKPT_DIR_SET:
+            # one per-run subdirectory per SparkContext; memoized so
+            # the JVM call happens once, not at every truncation site
+            sc.setCheckpointDir(os.path.join(target, f"run-{uuid.uuid4().hex}"))
+            _CKPT_DIR_SET.add(key)
+        out = df.checkpoint(eager=True)
+    else:
+        out = df.localCheckpoint(eager=True)
+
+    rid = _logical_rdd_id(out)
+    if rid is not None:
+        CKPT_RDD_REDUCED[rid] = was_reduced
+    return out

@@ -214,9 +214,30 @@ def distributed_order_stats(
         # JOIN here would let constraint inference push the bucket
         # expression (which references key_col) into the tiny side and
         # fail binding; the literal map has no such lineage.
-        per_grp: dict[object, dict[int, int]] = {}
+        # Both sides of the lookup must stringify the group value
+        # IDENTICALLY or the map misses and grp_rank silently NULLs:
+        # Spark casts booleans to 'true'/'false' (Python would format
+        # 'True'/'False') and concat_ws would silently DROP a NULL
+        # group, so booleans are normalized to Spark's spelling, NULL
+        # gets an explicit sentinel, and anything but int/str/bool
+        # (e.g. floats, whose string forms diverge between engines) is
+        # rejected up front.
+        _NULL_KEY = "\x01<null>"
+
+        def _grp_str(g: object) -> str:
+            if g is None:
+                return _NULL_KEY
+            if isinstance(g, bool):
+                return "true" if g else "false"
+            if isinstance(g, (int, str)):
+                return str(g)
+            raise ValueError(
+                f"grp_col must hold int/str/bool values, got {type(g).__name__}"
+            )
+
+        per_grp: dict[str, dict[int, int]] = {}
         for r in part:
-            per_grp.setdefault(r[grp_col], {})[r[_BUCKET]] = r["__n"]
+            per_grp.setdefault(_grp_str(r[grp_col]), {})[r[_BUCKET]] = r["__n"]
         entries: list[tuple[str, int]] = []
         for g, bkts in per_grp.items():
             gacc = 0
@@ -227,7 +248,11 @@ def distributed_order_stats(
             *[F.lit(x) for kv in sorted(entries) for x in kv]
         )
         g_key = F.concat_ws(
-            "\x00", F.col(_BUCKET).cast("string"), F.col(grp_col).cast("string")
+            "\x00",
+            F.col(_BUCKET).cast("string"),
+            F.when(F.col(grp_col).isNull(), F.lit(_NULL_KEY)).otherwise(
+                F.col(grp_col).cast("string")
+            ),
         )
         w_grp = Window.partitionBy(_BUCKET, grp_col).orderBy(*order)
         out = out.withColumn(

@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # reliable-checkpoint mode (SPARK_GRAFT_CHECKPOINT_DIR): let the
+        # ContextCleaner reap checkpoint files for out-of-scope RDDs so
+        # a long run's ~290 truncation sites don't grow the dir forever
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

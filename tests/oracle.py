@@ -17,6 +17,27 @@ import duckdb
 from pyspark_movie_recommender_spark.sources.tables import TABLES
 
 
+def default_slice(mod: int = 8) -> int:
+    """Default rotating test slice: the ISO week of the HEAD commit,
+    mod ``mod``. A function of the COMMIT, not of today's date, so all
+    slices still cycle through CI week by week but re-running a
+    historical commit is reproducible and a pre-push run exercises the
+    same slice CI will."""
+    import subprocess
+
+    try:
+        ts = subprocess.run(
+            ["git", "log", "-1", "--format=%cI"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=10,
+        ).stdout.strip()
+        return datetime.fromisoformat(ts).isocalendar()[1] % mod
+    except Exception:
+        return datetime.now().isocalendar()[1] % mod
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:

@@ -875,3 +875,43 @@ def test_ckpt_reliable_checkpoint_when_env_set(spark, tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
     df2 = ckpt(spark.range(10))
     assert df2.count() == 10
+
+
+def test_order_stats_grp_rank_bool_and_null_groups(spark):
+    # the grp-offset map is keyed by a string on BOTH sides: Spark casts
+    # booleans to 'true'/'false' and a NULL group gets an explicit
+    # sentinel, so neither silently misses the lookup (NULL grp_rank)
+    from pyspark.sql.window import Window
+
+    from pyspark_movie_recommender_spark.operators.rank import (
+        distributed_order_stats,
+    )
+
+    rows = [(i, i % 3 == 0 if i % 7 else None) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "k long, grp boolean")
+    got = distributed_order_stats(
+        df, "k", ["k"], n_buckets=5, grp_col="grp", grp_rank_col="gr"
+    )
+    ref = df.withColumn(
+        "gr_ref",
+        F.row_number().over(Window.partitionBy("grp").orderBy("k")).cast("long"),
+    )
+    j = got.join(ref, ["k"], "inner")
+    assert j.filter(F.col("gr").isNull()).count() == 0
+    assert j.filter(F.col("gr") != F.col("gr_ref")).count() == 0
+
+
+def test_order_stats_grp_rank_rejects_float_groups(spark):
+    import pytest as _pytest
+
+    from pyspark_movie_recommender_spark.operators.rank import (
+        distributed_order_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 1.5)], "k long, grp double"
+    )
+    with _pytest.raises(ValueError, match="int/str/bool"):
+        distributed_order_stats(
+            df, "k", ["k"], n_buckets=2, grp_col="grp", grp_rank_col="gr"
+        ).collect()

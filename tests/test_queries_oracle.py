@@ -6,10 +6,12 @@ smoke check instead (the driver's weaker rows-only path).
 
 With ~1000 registered queries a full dual-engine pass takes ~20 min,
 so by default this module checks a ~1/8 slice of the registry
-(zlib.crc32(name) % 8 == slice). The slice ROTATES by ISO week —
-slice = isocalendar().week % 8 — so all eight slices cycle through CI
-over eight weeks and no query is permanently uncovered; pin a slice
-with SPARK_GRAFT_ORACLE_SLICE=k, or run everything with
+(zlib.crc32(name) % 8 == slice). The slice ROTATES by the ISO week of
+the HEAD COMMIT (tests.oracle.default_slice) — all eight slices cycle
+through CI over eight weeks with no query permanently uncovered, while
+re-running a historical commit stays reproducible (the slice is a
+function of the commit, not of today's date); pin a slice with
+SPARK_GRAFT_ORACLE_SLICE=k, or run everything with
 SPARK_GRAFT_ORACLE_ALL=1 (what the per-round full driver-sim sweep in
 `.claude/skills/verify` does — its SWEEP_r*.json artifacts are the
 full-coverage evidence). The per-wave test files are rows-only
@@ -19,14 +21,13 @@ are the only Spark-vs-DuckDB differentials.
 
 from __future__ import annotations
 
-import datetime
 import os
 import zlib
 
 import pytest
 
 from pyspark_movie_recommender_spark import queries as Q
-from tests.oracle import compare, duck_connection
+from tests.oracle import compare, default_slice, duck_connection
 
 
 def _selected_names() -> list[str]:
@@ -34,10 +35,7 @@ def _selected_names() -> list[str]:
     if os.environ.get("SPARK_GRAFT_ORACLE_ALL"):
         return names
     env = os.environ.get("SPARK_GRAFT_ORACLE_SLICE")
-    if env is not None:
-        k = int(env) % 8
-    else:
-        k = datetime.date.today().isocalendar()[1] % 8
+    k = int(env) % 8 if env is not None else default_slice()
     return [n for n in names if zlib.crc32(n.encode()) % 8 == k]
 
 
