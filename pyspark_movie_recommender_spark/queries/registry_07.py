@@ -2622,11 +2622,23 @@ def _warp_dp_oracle(semiring: str) -> str:
 
 
 def _warp_dp_spark(spark: SparkSession, sf_dir: str, semiring: str) -> DataFrame:
-    """Spark twin of the anti-diagonal DP: one fact agg to 25x7 DOW
-    profiles, a pair cross of the tiny profile relation, then 13 fixed
-    stages each joining the previous two diagonals. Stages run on
-    <=2.1k-row relations; a ckpt truncation every third stage keeps the
-    two-parent lineage from expanding Fibonacci-fashion."""
+    """Spark twin of the warping DP: one fact agg to 25x7 DOW profiles,
+    a broadcast pair cross of the tiny profile relation, then the WHOLE
+    7x7 DP evaluated IN-ROW with nested higher-order functions — the
+    outer ``aggregate`` walks rows i=0..6 carrying the previous DP row
+    as an array, the inner one walks j=0..6 building the new row (the
+    left-dependence lives in the inner accumulator). A virtual
+    j=-1 column seeded to [0, INF..] makes the border cases fall out of
+    the same recurrence. Grid size is schema-fixed, so in-row is the
+    right 100 TB shape: the old 13-stage anti-diagonal join unroll paid
+    ~7 eager checkpoint barriers of pure stage overhead per run for
+    relations that never exceed 2.1k rows; this plan has two exchanges
+    total and no barrier.
+
+    ``semiring`` picks the per-cell combine: 'dtw' sums alignment cost
+    (cost + min(up, left, diag)), 'frechet' takes the bottleneck
+    (max(cost, min(up, left, diag))).
+    """
     o = load_table(spark, sf_dir, "orders")
     cst = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
@@ -2660,84 +2672,55 @@ def _warp_dp_spark(spark: SparkSession, sf_dir: str, semiring: str) -> DataFrame
             .alias("v"),
         )
     )
-    pa = p.alias("pa")
-    pb = p.alias("pb")
-    cells = (
-        pa.join(pb, F.col("pa.nk") < F.col("pb.nk"))
-        .select(
-            F.col("pa.nk").alias("na"),
-            F.col("pb.nk").alias("nb"),
-            F.col("pa.dw").alias("i"),
-            F.col("pb.dw").alias("j"),
-            F.abs(F.col("pa.v") - F.col("pb.v")).alias("c"),
-        )
-        .transform(_ckpt)
+    arr = (
+        p.groupBy("nk")
+        .agg(F.array_sort(F.collect_list(F.struct("dw", "v"))).alias("s"))
+        .select("nk", F.expr("transform(s, x -> x.v)").alias("vs"))
     )
-    inf = F.lit(4611686018427387904)
-    diags: list[DataFrame] = [
-        cells.where(F.col("i") + F.col("j") == 0).select("na", "nb", "i", "j", F.col("c").alias("v"))
-    ]
-    for k in range(1, 13):
-        c = cells.where(F.col("i") + F.col("j") == k).alias("c")
-        u = diags[k - 1].alias("u")
-        lf = diags[k - 1].alias("lf")
-        joined = c.join(
-            u,
-            (F.col("u.na") == F.col("c.na"))
-            & (F.col("u.nb") == F.col("c.nb"))
-            & (F.col("u.i") == F.col("c.i") - 1)
-            & (F.col("u.j") == F.col("c.j")),
-            "left",
-        ).join(
-            lf,
-            (F.col("lf.na") == F.col("c.na"))
-            & (F.col("lf.nb") == F.col("c.nb"))
-            & (F.col("lf.i") == F.col("c.i"))
-            & (F.col("lf.j") == F.col("c.j") - 1),
-            "left",
-        )
-        preds = [
-            F.coalesce(F.col("u.v"), inf),
-            F.coalesce(F.col("lf.v"), inf),
-        ]
-        if k >= 2:
-            dg = diags[k - 2].alias("dg")
-            joined = joined.join(
-                dg,
-                (F.col("dg.na") == F.col("c.na"))
-                & (F.col("dg.nb") == F.col("c.nb"))
-                & (F.col("dg.i") == F.col("c.i") - 1)
-                & (F.col("dg.j") == F.col("c.j") - 1),
-                "left",
-            )
-            preds.append(F.coalesce(F.col("dg.v"), inf))
-        best = F.least(*preds)
-        val = (
-            (F.col("c.c") + best)
-            if semiring == "dtw"
-            else F.greatest(F.col("c.c"), best)
-        )
-        d = joined.select(
-            F.col("c.na").alias("na"),
-            F.col("c.nb").alias("nb"),
-            F.col("c.i").alias("i"),
-            F.col("c.j").alias("j"),
-            val.alias("v"),
-        )
-        if k % 2 == 0:
-            d = d.transform(_ckpt)
-        diags.append(d)
+    pa = arr.alias("pa")
+    pb = arr.alias("pb")
+    pairs = pa.join(F.broadcast(pb), F.col("pa.nk") < F.col("pb.nk")).select(
+        F.col("pa.nk").alias("na"),
+        F.col("pb.nk").alias("nb"),
+        F.col("pa.vs").alias("av"),
+        F.col("pb.vs").alias("bv"),
+    )
+    inf = "4611686018427387904"
+    cost = (
+        "ABS(element_at(av, CAST(i + 1 AS INT))"
+        " - element_at(bv, CAST(j + 1 AS INT)))"
+    )
+    best = (
+        "LEAST(element_at(prev, CAST(j + 2 AS INT)),"   # up:   dp[i-1][j]
+        " element_at(acc, CAST(j + 1 AS INT)),"          # left: dp[i][j-1]
+        " element_at(prev, CAST(j + 1 AS INT)))"         # diag: dp[i-1][j-1]
+    )
+    cell = (
+        f"({cost} + {best})"
+        if semiring == "dtw"
+        else f"GREATEST({cost}, {best})"
+    )
+    # rows carry the virtual j=-1 column at index 1; the seed row is
+    # the virtual i=-1 row [0, INF x 7] so the borders need no special
+    # cases: dp[0][0] = cost + min(INF, INF, 0) = cost
+    init = f"array(CAST(0 AS BIGINT), {', '.join([inf + 'L'] * 7)})"
+    warp = (
+        "element_at(aggregate(sequence(0, 6), "
+        f"{init}, "
+        "(prev, i) -> aggregate(sequence(0, 6), "
+        f"array({inf}L), "
+        f"(acc, j) -> concat(acc, array({cell})))), 8)"
+    )
     l1 = (
-        cells.where(F.col("i") == F.col("j"))
-        .groupBy("na", "nb")
-        .agg(F.sum("c").cast("long").alias("aligned_l1_ppm"))
+        "aggregate(sequence(0, 6), CAST(0 AS BIGINT), (s, j) -> "
+        "s + ABS(element_at(av, CAST(j + 1 AS INT))"
+        " - element_at(bv, CAST(j + 1 AS INT))))"
     )
-    out = diags[12].where((F.col("i") == 6) & (F.col("j") == 6))
-    return out.join(l1, ["na", "nb"]).select(
+    return pairs.select(
         F.col("na").cast("long").alias("nation_a"),
         F.col("nb").cast("long").alias("nation_b"),
-        F.col("v").cast("long").alias("warp_ppm"),
-        "aligned_l1_ppm",
+        F.expr(warp).cast("long").alias("warp_ppm"),
+        F.expr(l1).cast("long").alias("aligned_l1_ppm"),
     )
 
 
@@ -2753,12 +2736,14 @@ def dtw_nation_dow_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts offset.
 
     Determinism: profiles are integer ppm shares; the DP is exact
-    integer min-plus over a FIXED 13-stage anti-diagonal unroll (grid
-    size is schema-fixed at 7x7, so no data-dependent iteration).
+    integer min-plus over a schema-fixed 7x7 grid (no data-dependent
+    iteration).
 
-    Scale shape: one fact agg to 25x7 profiles; every DP stage is a
-    tiny three-way hash join over <=2.1k (pair, cell) rows vectorized
-    across all 300 pairs at once — stage count never grows with data.
+    Scale shape: one fact agg to 25x7 profiles, then the whole DP runs
+    IN-ROW per pair via nested higher-order functions — two exchanges
+    total, no per-stage joins or checkpoint barriers, and the pair
+    relation is a 25-row broadcast cross. Codegen'd JVM arithmetic,
+    no Python.
     """
     return _warp_dp_spark(spark, sf_dir, "dtw")
 
@@ -2766,8 +2751,8 @@ def dtw_nation_dow_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("frechet_nation_dow_profiles", oracle=_warp_dp_oracle("frechet"))
 def frechet_nation_dow_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete Frechet distance between nation day-of-week profiles —
-    the same 13-stage anti-diagonal DP as `dtw_nation_dow_profiles`
-    under the bottleneck semiring: F(i,j) = max(|a_i - b_j|,
+    the same in-row 7x7 DP as `dtw_nation_dow_profiles` under the
+    bottleneck semiring: F(i,j) = max(|a_i - b_j|,
     min(up, left, diag)). Where DTW sums alignment cost, Frechet is
     the dog-leash bound — the single worst step of the best coupled
     walk along both curves; the ordered-curve sibling of the
@@ -2777,8 +2762,8 @@ def frechet_nation_dow_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers only.
 
     Scale shape: identical to the DTW query — the two differ only in
-    the per-stage combine expression, which is the point: the
-    anti-diagonal harness is semiring-generic.
+    the per-cell combine expression, which is the point: the in-row
+    DP harness is semiring-generic.
     """
     return _warp_dp_spark(spark, sf_dir, "frechet")
 
