@@ -7732,7 +7732,7 @@ def _trade_closure_spark(spark: SparkSession, sf_dir: str):
         .agg(F.min("d").cast("long").alias("d"))
         .transform(_ckpt)
     )
-    for _ in range(5):
+    for i in range(5):
         x, y = d.alias("x"), d.alias("y")
         sq = x.join(y, F.col("y.u") == F.col("x.v")).select(
             F.col("x.u").alias("u"),
@@ -7743,8 +7743,13 @@ def _trade_closure_spark(spark: SparkSession, sf_dir: str):
             d.unionAll(sq)
             .groupBy("u", "v")
             .agg(F.min("d").cast("long").alias("d"))
-            .transform(_ckpt)
         )
+        # ckpt every 2nd squaring (plus the last): each un-truncated
+        # round embeds the previous plan twice (x and y), so two lazy
+        # rounds cost 4 references to a <=625-row materialization —
+        # cheaper than the eager barrier every round was paying
+        if i % 2 == 1 or i == 4:
+            d = d.transform(_ckpt)
     return edges, d
 
 
@@ -7803,7 +7808,7 @@ def betweenness_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("sig"),
     ).transform(_ckpt)
     base = sig
-    for _ in range(5):
+    for _i in range(5):
         sk = sig.alias("sk")
         e = edges.alias("e")
         da = d.alias("da")
@@ -7825,7 +7830,11 @@ def betweenness_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("sk.s").alias("s"), F.col("e.v").alias("v"))
             .agg(F.sum("sig").cast("long").alias("sig"))
         )
-        sig = base.unionAll(nxt).transform(_ckpt)
+        sig = base.unionAll(nxt)
+        # every 2nd round is enough: one lazy round references the
+        # previous sig twice on <=625-row relations
+        if _i % 2 == 1 or _i == 4:
+            sig = sig.transform(_ckpt)
     st, sv, vt = d.alias("st"), d.alias("sv"), d.alias("vt")
     sst, ssv, svt = sig.alias("sst"), sig.alias("ssv"), sig.alias("svt")
     bc = (
