@@ -71,6 +71,30 @@ _REDUCERS = frozenset(
 # — day calendars, class ladders, k-sequences).
 _SMALL_LEAVES = frozenset({"LocalRelation", "OneRowRelation", "Range"})
 
+# Schema-fixed dimension tables: 25 nations / 5 regions at ANY scale
+# factor (they would not grow at 100 TB either). A scan leaf whose
+# output is drawn from these schemas is cardinality-bounded.
+_SMALL_DIM_COLS = frozenset(
+    {
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        "n_comment",
+        "r_regionkey",
+        "r_name",
+        "r_comment",
+    }
+)
+
+
+def _small_dim_leaf(node) -> bool:
+    try:
+        out = node.output()
+        names = [out.apply(i).name() for i in range(out.size())]
+    except Exception:
+        return False
+    return bool(names) and all(n in _SMALL_DIM_COLS for n in names)
+
 
 def _walk(node):
     yield node
@@ -84,7 +108,8 @@ def subtree_reduced(node) -> bool:
     bounded: either a reducing operator (Aggregate / GlobalLimit /
     Expand / Deduplicate) sits on the path, or the path ends at a
     small-by-construction leaf (literal relation, ``spark.range`` grid,
-    a ``ckpt``-materialized RDD whose pre-checkpoint plan was itself
+    a nation/region dimension scan — 25/5 rows at ANY scale factor —
+    or a ``ckpt``-materialized RDD whose pre-checkpoint plan was itself
     reduced), or the path passes a literal IN-list Filter (the engine's
     pinned-id lookups, e.g. an 8-row codebook selected by key).
 
@@ -121,7 +146,7 @@ def subtree_reduced(node) -> bool:
             return True
     cs = node.children()
     if cs.size() == 0:
-        return False
+        return _small_dim_leaf(node)
     return all(subtree_reduced(cs.apply(i)) for i in range(cs.size()))
 
 

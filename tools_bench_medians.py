@@ -1,0 +1,74 @@
+"""Run bench.py N times and record per-query MEDIANS.
+
+This box's run-to-run variance is ±30% (SURVEY §6), so single-run
+totals cannot distinguish plan regressions from rig noise — the
+round-2/3 verdicts both asked for an n-run median artifact. Each run
+is a fresh process (cold session, same as the driver's bench), run
+back-to-back on a quiet box.
+
+Writes BENCH_MEDIANS_r{N}.json:
+    {"runs": N, "totals": [...], "median_total": ...,
+     "queries": {name: {"median": s, "runs": [...]}}, "sf": ..., "commit": ...}
+
+Usage: python tools_bench_medians.py [round] [n_runs]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "04"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    runs: list[dict] = []
+    for i in range(n):
+        out = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True
+        )
+        line = [
+            ln for ln in out.stdout.splitlines() if ln.startswith('{"metric"')
+        ][-1]
+        runs.append(json.loads(line))
+        print(f"run {i + 1}/{n}: total={runs[-1]['value']}s", flush=True)
+
+    commit = subprocess.run(
+        ["git", "log", "-1", "--format=%h"], capture_output=True, text=True
+    ).stdout.strip()
+    names = runs[0]["queries"].keys()
+    queries = {
+        q: {
+            "median": round(
+                statistics.median(r["queries"][q] for r in runs), 3
+            ),
+            "runs": [r["queries"][q] for r in runs],
+        }
+        for q in names
+    }
+    out = {
+        "runs": n,
+        "totals": [r["value"] for r in runs],
+        "median_total": round(
+            sum(v["median"] for v in queries.values()), 3
+        ),
+        "queries": queries,
+        "sf": runs[0]["sf"],
+        "commit": commit,
+    }
+    path = f"BENCH_MEDIANS_r{rnd}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    print(
+        json.dumps(
+            {k: v for k, v in out.items() if k != "queries"}
+        ),
+        "->",
+        path,
+    )
+
+
+if __name__ == "__main__":
+    main()
