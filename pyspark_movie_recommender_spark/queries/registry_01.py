@@ -1499,14 +1499,26 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Band width is the knob: recall per band is p^width with
-    # p = 1 - acos(cos)/pi. The synthetic embeddings have no planted
-    # high-cos dups (max pairwise cos ~0.46), so this query targets the
-    # moderate-cos regime: 6-bit bands x 8 bands gives ~30-50% recall at
-    # cos 0.35-0.46 with 64 buckets/band. For production near-dup
-    # (cos>=0.9, huge n) widen bands to ~log2(n)+8 bits and add bands to
-    # recover recall — candidates are exact-verified either way, so band
-    # width trades compute, never correctness.
-    return lsh_neardup_pairs(emb, bits=48, bands=8, cos_threshold=0.25)
+    # p = 1 - acos(cos)/pi. The sf<=0.1 synthetic embeddings have no
+    # planted high-cos dups (max pairwise cos ~0.46), so this targets
+    # the moderate-cos regime: 6-bit bands x 8 bands gives ~30-50%
+    # recall at cos 0.35-0.46 with 64 buckets/band.
+    #
+    # SCALE RULE: band width grows with log2(n) to pin per-band bucket
+    # occupancy at ~32 — with FIXED width, occupancy grows with n and
+    # within-bucket candidate pairs grow QUADRATICALLY (measured 18.8x
+    # time for 10x rows at sf1 before this rule; ~linear after). In the
+    # high-cos near-dup regime LSH is built for (cos>=0.9, p>=0.85 per
+    # bit) the wider bands cost little recall; in the moderate-cos
+    # regime width explicitly trades recall for compute — candidates
+    # are exact-verified either way, so never correctness.
+    import math
+
+    n = emb.count()
+    width = max(6, math.ceil(math.log2(max(n, 64) / 32)))
+    return lsh_neardup_pairs(
+        emb, bits=8 * width, bands=8, cos_threshold=0.25
+    )
 
 
 @query("ann_ivf_topk")
