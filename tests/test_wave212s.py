@@ -463,7 +463,11 @@ def test_hilbert_unit_steps_beat_zorder(spark):
 
 
 def test_hilbert_lut_bijective_unit_steps():
-    from pyspark_movie_recommender_spark.queries import _hilbert_lut_16
+    # private helper lives in its registry part since the r03 monolith
+    # split — import from the defining module, not the package
+    from pyspark_movie_recommender_spark.queries.registry_06 import (
+        _hilbert_lut_16,
+    )
 
     lut = _hilbert_lut_16()
     assert sorted(h for _, _, _, h in lut) == list(range(256))
