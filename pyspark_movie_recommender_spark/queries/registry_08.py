@@ -4568,12 +4568,17 @@ def mattson_reuse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/rank.py:distributed_order_stats`` — range-bucket on
     the ship date (days), per-bucket windows, broadcast prefix
     offsets — so the full-fact global sequence numbering never
-    funnels through one task (a bare ``Window.orderBy`` would). The
-    distance join is bounded by the reuse gap, which the 25-brand
-    alphabet keeps ~25 accesses — candidates grow linearly with the
-    stream, not quadratically; the curve itself is one 4-cell
-    conditional aggregate. Monotonicity in C (pinned in tests) is
-    the stack-inclusion law.
+    funnels through one task (a bare ``Window.orderBy`` would).
+    Distances come from an Arrow SEGMENTED SCAN exploiting the
+    schema-bounded brand alphabet (25 at any SF): d(p) = #{brands j
+    whose last occurrence before p is later than brand k's}, so each
+    16k-position segment needs only its entering last-occurrence
+    vector — a (segment x brand) running-max prefix — plus one
+    vectorized cummax/compare pass per segment; one narrow (k, pos)
+    exchange total and NO candidate join (the prior shape joined
+    sum-of-reuse-gaps ~ 25n candidate rows). The curve itself is one
+    4-cell conditional aggregate. Monotonicity in C (pinned in
+    tests) is the stack-inclusion law.
     """
     from pyspark_movie_recommender_spark.operators.rank import (
         distributed_order_stats,
@@ -4597,46 +4602,84 @@ def mattson_reuse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_orderkey", "l_linenumber"],
         rank_col="pos",
     ).select("k", "pos").transform(_ckpt)
-    with_prev = stream.select(
-        "k",
-        "pos",
-        F.lag("pos").over(Window.partitionBy("k").orderBy("pos")).alias("prev"),
+    # Arrow segmented scan over 16k-position segments: reuse distance
+    # at access p of brand k = #{brands j : last_j(p) > last_k(p)},
+    # where last_j(p) is j's latest position strictly before p. Each
+    # segment needs only its ENTERING last-occurrence vector (25
+    # values), which is a (segment x brand) running-max prefix — no
+    # candidate join at all (the previous shape joined sum-of-gaps
+    # ~ 25n candidate rows and countDistinct'd per position).
+    bucketed = stream.withColumn(
+        "b", ((F.col("pos") - 1) / 16384).cast("long")
     )
-    # block-bucketed range join: each reuse interval explodes to its
-    # 16-position blocks so the join has an equi key (no nested loop);
-    # with a 25-brand alphabet the typical reuse gap is ~25 positions,
-    # candidate volume = sum(gaps) + 2*block*n — block 16 balances the
-    # overhang term against the explode fan-out (64 was 2.3x heavier)
-    wp = (
-        with_prev.where(F.col("prev").isNotNull())
+    # tiny (segments x brands) relation; ckpt gives it fresh lineage so
+    # the grid/enter self-references and the cogroup below are
+    # unambiguous (and it computes once)
+    seg_max = (
+        bucketed.groupBy("b", "k")
+        .agg(F.max("pos").alias("mx"))
+        .transform(_ckpt)
+    )
+    grid = (
+        seg_max.select(F.col("b").alias("gb"))
+        .distinct()
+        .crossJoin(F.broadcast(seg_max.select(F.col("k").alias("gk")).distinct()))
+    )
+    w_enter = (
+        Window.partitionBy("gk")
+        .orderBy("gb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enter = (
+        grid.join(
+            seg_max,
+            (F.col("gb") == F.col("b")) & (F.col("gk") == F.col("k")),
+            "left",
+        )
+        .select("gb", "gk", F.max("mx").over(w_enter).alias("last"))
+        .where(F.col("last").isNotNull())
         .select(
-            "pos",
-            "prev",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("prev") / 16), F.floor(F.col("pos") / 16)
-                )
-            ).alias("blk"),
+            F.col("gb").alias("b"), F.col("gk").alias("k"), "last"
         )
-        .alias("wp")
     )
-    s = stream.select(
-        "k", "pos", F.floor(F.col("pos") / 16).alias("blk")
-    ).alias("s")
-    dists = (
-        wp.join(
-            s,
-            (F.col("s.blk") == F.col("wp.blk"))
-            & (F.col("s.pos") > F.col("wp.prev"))
-            & (F.col("s.pos") < F.col("wp.pos")),
+    def _scan(pdf, enter_pdf):
+        # cogrouped: the 25-row entering state arrives ONCE per
+        # segment (a per-row map column would push 25 entries through
+        # Arrow on every stream row)
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos")
+        st = dict(zip(enter_pdf["k"], enter_pdf["last"]))
+        brands = sorted(set(pdf["k"]).union(st))
+        idx = {br: i for i, br in enumerate(brands)}
+        n_rows, m = len(pdf), len(brands)
+        kcodes = pdf["k"].map(idx).to_numpy()
+        pos = pdf["pos"].to_numpy(dtype="float64")
+        a = np.full((n_rows + 1, m), -np.inf)
+        for br, v in st.items():
+            a[0, idx[br]] = v
+        a[np.arange(1, n_rows + 1), kcodes] = pos
+        # last occurrence of each brand STRICTLY before each row
+        last = np.maximum.accumulate(a, axis=0)[:-1]
+        q = last[np.arange(n_rows), kcodes]
+        d = (last > q[:, None]).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "pos": pdf["pos"].to_numpy(),
+                "d": np.where(np.isinf(q), -1, d).astype("int64"),
+            }
         )
-        .groupBy(F.col("wp.pos").alias("pos"))
-        .agg(F.countDistinct("s.k").cast("long").alias("d"))
+
+    scanned = (
+        bucketed.groupBy("b")
+        .cogroup(enter.groupBy("b"))
+        .applyInPandas(_scan, "pos long, d long")
     )
-    alld = with_prev.join(dists, "pos", "left").select(
+    alld = scanned.select(
         "pos",
-        F.when(F.col("prev").isNull(), F.lit(None).cast("long"))
-        .otherwise(F.coalesce("d", F.lit(0)))
+        F.when(F.col("d") < 0, F.lit(None).cast("long"))
+        .otherwise(F.col("d"))
         .alias("d"),
     )
     n = alld.agg(F.count(F.lit(1)).cast("long").alias("n"))
