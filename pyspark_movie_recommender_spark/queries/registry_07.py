@@ -7687,13 +7687,85 @@ def _sigma_rounds_sql(rounds: int = 5) -> str:
     return "".join(parts)
 
 
+_TINF = "4611686018427387904"
+
+
+def _trade_matrices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (W, D) matrices for the nation trade-cost graph, both
+    as 625-element BIGINT arrays indexed u*25+v (nationkey is the
+    schema-fixed 0..24 TPC-H dimension at ANY scale factor).
+
+    W = edge weights (INF off the graph); D = the same 5-squaring
+    min-plus closure the relational form computed, evaluated IN-ROW
+    with an ``aggregate`` accumulator (the dtw precedent): the lambda
+    variable binds the PREVIOUS round's materialized array, so five
+    rounds cost 5 x 625 x 25 interpreted ops with no expression
+    blow-up and no per-round shuffle/checkpoint barriers. The one-row
+    result is ckpt'd so downstream loops read stored arrays instead
+    of inlining the builder expression.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    mat = edges.agg(
+        F.collect_list(
+            F.struct(
+                F.col("u").cast("int").alias("u"),
+                F.col("v").cast("int").alias("v"),
+                F.col("w").alias("w"),
+            )
+        ).alias("es")
+    )
+    w_expr = (
+        "transform(sequence(0, 624), i -> coalesce(element_at("
+        "map_from_entries(transform(es, e -> struct(e.u * 25 + e.v, e.w)))"
+        f", i), {_TINF}L))"
+    )
+    # D0: diagonal zeros (i = 26u exactly when u = v)
+    d0 = f"transform(W, (x, i) -> IF(pmod(i, 26) = 0, CAST(0 AS BIGINT), x))"
+    du = "element_at(D, CAST((i div 25) * 25 + x + 1 AS INT))"
+    dv = "element_at(D, CAST(x * 25 + pmod(i, 25) + 1 AS INT))"
+    step = (
+        f"IF({du} >= {_TINF}L OR {dv} >= {_TINF}L, {_TINF}L, {du} + {dv})"
+    )
+    d_expr = (
+        f"aggregate(sequence(1, 5), {d0}, (D, r) -> "
+        "transform(sequence(0, 624), i -> least("
+        "element_at(D, CAST(i + 1 AS INT)), "
+        f"aggregate(sequence(0, 24), {_TINF}L, (m, x) -> least(m, {step})"
+        "))))"
+    )
+    return (
+        mat.select(F.expr(w_expr).alias("W"))
+        .select("W", F.expr(d_expr).alias("D"))
+        .transform(_ckpt)
+    )
+
+
 def _trade_closure_spark(spark: SparkSession, sf_dir: str):
-    """(edges, closure) DataFrames for the nation trade-cost graph."""
+    """(edges, closure) DataFrames for the nation trade-cost graph —
+    the closure relation (u, v, d) is the exploded in-row matrix from
+    :func:`_trade_matrices` (diagonal kept, unreachable pairs absent),
+    value-identical to the former five relational min-plus squarings
+    but without their per-round shuffles and checkpoint barriers."""
+    edges = _trade_edges(spark, sf_dir)
+    row = _trade_matrices(spark, sf_dir)
+    d = (
+        row.select(F.posexplode("D").alias("i", "d"))
+        .where(F.col("d") < int(_TINF))
+        .select(
+            (F.col("i").cast("long") / 25).cast("long").alias("u"),
+            F.pmod(F.col("i"), F.lit(25)).cast("long").alias("v"),
+            "d",
+        )
+    )
+    return edges, d
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, w) micro-nat trade-cost edges for the nation graph."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     cst = load_table(spark, sf_dir, "customer")
-    nat = load_table(spark, sf_dir, "nation")
     flows = (
         li.join(
             F.broadcast(s.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")),
@@ -7720,37 +7792,7 @@ def _trade_closure_spark(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("w"),
     ).transform(_ckpt)
-    diag = nat.select(
-        F.col("n_nationkey").alias("u"),
-        F.col("n_nationkey").alias("v"),
-        F.lit(0).cast("long").alias("d"),
-    )
-    d = (
-        edges.select("u", "v", F.col("w").alias("d"))
-        .unionAll(diag)
-        .groupBy("u", "v")
-        .agg(F.min("d").cast("long").alias("d"))
-        .transform(_ckpt)
-    )
-    for i in range(5):
-        x, y = d.alias("x"), d.alias("y")
-        sq = x.join(y, F.col("y.u") == F.col("x.v")).select(
-            F.col("x.u").alias("u"),
-            F.col("y.v").alias("v"),
-            (F.col("x.d") + F.col("y.d")).alias("d"),
-        )
-        d = (
-            d.unionAll(sq)
-            .groupBy("u", "v")
-            .agg(F.min("d").cast("long").alias("d"))
-        )
-        # ckpt every 2nd squaring (plus the last): each un-truncated
-        # round embeds the previous plan twice (x and y), so two lazy
-        # rounds cost 4 references to a <=625-row materialization —
-        # cheaper than the eager barrier every round was paying
-        if i % 2 == 1 or i == 4:
-            d = d.transform(_ckpt)
-    return edges, d
+    return edges
 
 
 @query(
@@ -7795,91 +7837,72 @@ def betweenness_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is the final ratio sum (micro-nat weights make ties — and
     hence sigma > 1 — possible but exact), milli-rounded.
 
-    Scale shape: one fact agg to <=600 edges, then log-round closure
-    plus fixed DP rounds on <=625-row relations; the betweenness sum
-    is a three-way join of those tiny closures. Fact data is touched
-    exactly once.
+    Scale shape: one fact agg to <=600 edges, then EVERYTHING runs
+    in-row on the schema-bounded 25-node graph (nationkey 0..24 at
+    any SF): the min-plus closure, the five path-count rounds, and
+    the s,t,v betweenness sum are ``aggregate``/``transform`` HOFs
+    over 625-element arrays on a single checkpointed row — the same
+    precedent as the dtw in-row DP. No per-round shuffles, no
+    barriers, no six-way join; fact data is touched exactly once.
     """
-    edges, d = _trade_closure_spark(spark, sf_dir)
-    nat = load_table(spark, sf_dir, "nation")
-    sig = nat.select(
-        F.col("n_nationkey").alias("s"),
-        F.col("n_nationkey").alias("v"),
-        F.lit(1).cast("long").alias("sig"),
-    ).transform(_ckpt)
-    base = sig
-    for _i in range(5):
-        sk = sig.alias("sk")
-        e = edges.alias("e")
-        da = d.alias("da")
-        db = d.alias("db")
-        nxt = (
-            sk.join(e, F.col("e.u") == F.col("sk.v"))
-            .join(
-                da,
-                (F.col("da.u") == F.col("sk.s")) & (F.col("da.v") == F.col("sk.v")),
-            )
-            .join(
-                db,
-                (F.col("db.u") == F.col("sk.s")) & (F.col("db.v") == F.col("e.v")),
-            )
-            .where(
-                (F.col("da.d") + F.col("e.w") == F.col("db.d"))
-                & (F.col("e.v") != F.col("sk.s"))
-            )
-            .groupBy(F.col("sk.s").alias("s"), F.col("e.v").alias("v"))
-            .agg(F.sum("sig").cast("long").alias("sig"))
-        )
-        sig = base.unionAll(nxt)
-        # every 2nd round is enough: one lazy round references the
-        # previous sig twice on <=625-row relations
-        if _i % 2 == 1 or _i == 4:
-            sig = sig.transform(_ckpt)
-    st, sv, vt = d.alias("st"), d.alias("sv"), d.alias("vt")
-    sst, ssv, svt = sig.alias("sst"), sig.alias("ssv"), sig.alias("svt")
-    bc = (
-        st.join(sv, F.col("sv.u") == F.col("st.u"))
-        .join(
-            vt,
-            (F.col("vt.u") == F.col("sv.v")) & (F.col("vt.v") == F.col("st.v")),
-        )
-        .join(
-            sst,
-            (F.col("sst.s") == F.col("st.u")) & (F.col("sst.v") == F.col("st.v")),
-        )
-        .join(
-            ssv,
-            (F.col("ssv.s") == F.col("sv.u")) & (F.col("ssv.v") == F.col("sv.v")),
-        )
-        .join(
-            svt,
-            (F.col("svt.s") == F.col("vt.u")) & (F.col("svt.v") == F.col("vt.v")),
-        )
-        .where(
-            (F.col("st.u") != F.col("st.v"))
-            & (F.col("sv.v") != F.col("st.u"))
-            & (F.col("sv.v") != F.col("st.v"))
-            & (F.col("sv.d") + F.col("vt.d") == F.col("st.d"))
-        )
-        .groupBy(F.col("sv.v").alias("node"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs_through"),
-            F.sum(
-                F.col("ssv.sig") * F.col("svt.sig") * 1.0 / F.col("sst.sig")
-            ).alias("b"),
-        )
+    row = _trade_matrices(spark, sf_dir)
+    inf = _TINF
+    # sigma: 5 rounds of shortest-path counting over tight edges,
+    # S[s*25+v]; i div 25 = s, pmod(i, 25) = v, inner u is the
+    # predecessor. Matches the relational rounds: diagonal pinned to
+    # 1 each round, v != s, contributions only along edges that lie
+    # on a shortest path from s.
+    w_uv = "element_at(W, CAST(u * 25 + pmod(i, 25) + 1 AS INT))"
+    d_su = "element_at(D, CAST((i div 25) * 25 + u + 1 AS INT))"
+    d_sv = "element_at(D, CAST(i + 1 AS INT))"
+    s_su = "element_at(S, CAST((i div 25) * 25 + u + 1 AS INT))"
+    s0 = (
+        "transform(sequence(0, 624), i -> "
+        "IF(pmod(i, 26) = 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+    )
+    sig_expr = (
+        f"aggregate(sequence(1, 5), {s0}, (S, r) -> "
+        "transform(sequence(0, 624), i -> IF(pmod(i, 26) = 0, "
+        "CAST(1 AS BIGINT), "
+        "aggregate(sequence(0, 24), CAST(0 AS BIGINT), (acc, u) -> "
+        f"acc + IF({w_uv} < {inf}L AND {d_su} < {inf}L "
+        f"AND {d_su} + {w_uv} = {d_sv} "
+        "AND pmod(i, 25) != (i div 25), "
+        f"{s_su}, CAST(0 AS BIGINT))))))"
+    )
+    row2 = row.select("W", "D", F.expr(sig_expr).alias("S")).transform(_ckpt)
+    # betweenness: for each v, sweep all (s, t) pairs (p = s*25+t) and
+    # accumulate count + sigma ratio where d(s,v) + d(v,t) = d(s,t)
+    # and all three path counts exist — identical predicate set to the
+    # former six-way relational join.
+    d_st = "element_at(D, CAST(p + 1 AS INT))"
+    d_sv2 = "element_at(D, CAST((p div 25) * 25 + v + 1 AS INT))"
+    d_vt = "element_at(D, CAST(v * 25 + pmod(p, 25) + 1 AS INT))"
+    g_st = "element_at(S, CAST(p + 1 AS INT))"
+    g_sv = "element_at(S, CAST((p div 25) * 25 + v + 1 AS INT))"
+    g_vt = "element_at(S, CAST(v * 25 + pmod(p, 25) + 1 AS INT))"
+    bc_expr = (
+        "transform(sequence(0, 24), v -> "
+        "aggregate(sequence(0, 624), "
+        "named_struct('c', CAST(0 AS BIGINT), 'b', CAST(0 AS DOUBLE)), "
+        "(acc, p) -> IF("
+        "(p div 25) != pmod(p, 25) AND v != (p div 25) "
+        "AND v != pmod(p, 25) "
+        f"AND {d_st} < {inf}L AND {d_sv2} < {inf}L AND {d_vt} < {inf}L "
+        f"AND {d_sv2} + {d_vt} = {d_st} "
+        f"AND {g_st} > 0L AND {g_sv} > 0L AND {g_vt} > 0L, "
+        "named_struct('c', acc.c + CAST(1 AS BIGINT), "
+        f"'b', acc.b + CAST({g_sv} * {g_vt} AS DOUBLE) / "
+        f"CAST({g_st} AS DOUBLE)), acc)))"
     )
     return (
-        nat.select(F.col("n_nationkey").alias("node"))
-        .join(bc, "node", "left")
+        row2.select(F.posexplode(F.expr(bc_expr)).alias("v", "r"))
         .select(
-            F.col("node").cast("long").alias("nation_key"),
-            F.coalesce("n_pairs_through", F.lit(0))
-            .cast("long")
-            .alias("n_pairs_through"),
-            F.round(F.coalesce("b", F.lit(0.0)) * 1000)
-            .cast("long")
-            .alias("betweenness_milli"),
+            F.col("v").cast("long").alias("nation_key"),
+            F.col("r.c").alias("n_pairs_through"),
+            F.round(F.col("r.b") * 1000).cast("long").alias(
+                "betweenness_milli"
+            ),
         )
     )
 
