@@ -4632,7 +4632,7 @@ def mattson_reuse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enter = (
         grid.join(
-            seg_max,
+            F.broadcast(seg_max),
             (F.col("gb") == F.col("b")) & (F.col("gk") == F.col("k")),
             "left",
         )

@@ -862,3 +862,37 @@ def test_registry_slice_no_fact_sized_windows(spark, sf_dir):
         if fact_sized:
             offenders[name] = fact_sized
     assert not offenders, f"fact-sized global windows (slice {k}): {offenders}"
+
+
+def test_mattson_segmented_scan_shape(spark, sf_dir):
+    # round-4 rewrite: reuse distances come from a cogrouped Arrow
+    # segmented scan, NOT a sum-of-gaps candidate join — pin the
+    # cogroup operator and the absence of any nested-loop fallback
+    df = Q.QUERIES["mattson_reuse_profile"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_betweenness_runs_in_row(spark, sf_dir):
+    # round-4 rewrite: closure + path counting + betweenness sweep are
+    # HOFs over 625-element arrays on one checkpointed row — the plan
+    # downstream of the ckpt'd matrices has NO exchange at all
+    from pyspark_movie_recommender_spark.plans import count_exchanges
+
+    df = Q.QUERIES["betweenness_nation_trade"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    plan = physical_plan(df)
+    assert "Join" not in plan
+
+
+def test_warp_dp_no_join_stages(spark, sf_dir):
+    # round-4 rewrite: the 7x7 DP runs in-row; the only join left is
+    # the 25-row broadcast pair cross (no SMJ, no anti-diagonal chain)
+    for name in ("dtw_nation_dow_profiles", "frechet_nation_dow_profiles"):
+        df = Q.QUERIES[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "Window" not in plan, name
