@@ -194,6 +194,171 @@ def blocked_levenshtein_pairs(
     )
 
 
+def segmented_levenshtein_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    bucket_size: int = 50,
+    prefix_len: int = 40,
+    max_dist: int = 8,
+) -> DataFrame:
+    """PassJoin-style edit-distance near-dup pairs: the same result set
+    as :func:`blocked_levenshtein_pairs` (same lang / bucket±1 /
+    prefix-levenshtein ≤ max_dist semantics) with an additional
+    LOSSLESS pigeonhole prefilter, so within-block candidates no longer
+    grow quadratically with the corpus.
+
+    The pigeonhole (Li, Deng, Feng: PassJoin, PVLDB 2011): split one
+    side's prefix into ``max_dist + 1`` segments; ≤ max_dist edits can
+    destroy at most max_dist of them, so at least one segment survives
+    EXACTLY in any partner within distance, at a position shifted by at
+    most max_dist. Candidates therefore come from an equi-join on
+    (lang, bucket, segment index, segment content) between one side's
+    exact segments and the other side's substrings at the ±max_dist
+    position window — never from enumerating whole blocks. Docs whose
+    prefix is shorter than ``prefix_len`` (the fixed segment layout
+    doesn't apply) fall back to the block join, on their pairs only.
+
+    Scale shape: both explodes are constant fan-out per doc (27 segment
+    keys, ~135 windowed substrings); candidates are pairs sharing an
+    aligned segment, then exact-verified with the banded 3-arg
+    levenshtein exactly as before.
+
+    MEASURED FINDING (round 4, recorded so the trade is priced): on the
+    driver's synthetic corpus this is ~1.6x SLOWER than
+    :func:`blocked_levenshtein_pairs` at both sf0.1 (4.3s vs 2.6s) and
+    sf1 (27s vs 18s) — document openings share common 4-5-char
+    segments at aligned positions, so the pigeonhole filter is
+    unselective there and the ~160-key/doc explode + pair-distinct
+    costs more than it prunes. The registry therefore keeps the block
+    join; THIS path is the escape hatch for when per-(lang, bucket)
+    block populations grow past ~10^3-10^4 docs and the block join's
+    within-block quadratic term must lose to any constant-fan-out
+    filter. Hash-equal to the block join by construction (lossless
+    pigeonhole), pinned by tests.
+    """
+    nseg = max_dist + 1
+    seg_len = prefix_len // nseg
+    rem = prefix_len % nseg
+    lens = [seg_len + 1 if i < rem else seg_len for i in range(nseg)]
+    starts = [1 + sum(lens[:i]) for i in range(nseg)]
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.floor(F.col(len_col) / bucket_size).alias("bucket"),
+        F.substring(text_col, 1, prefix_len).alias("prefix"),
+    )
+    full = base.where(F.length("prefix") == prefix_len)
+    short = base.where(F.length("prefix") < prefix_len)
+
+    # segment side: exact segments, exploded to bucket±1 so pairs
+    # straddling a bucket boundary still meet
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring("prefix", starts[i], lens[i]).alias("c"),
+            )
+            for i in range(nseg)
+        ]
+    )
+    seg_side = (
+        full.select(
+            F.col("doc_id").alias("id_s"),
+            "lang",
+            F.explode(
+                F.array(
+                    F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+                )
+            ).alias("bkt"),
+            segs.alias("sgs"),
+        )
+        .select("id_s", "lang", "bkt", F.explode("sgs").alias("sg"))
+        .select(
+            "id_s",
+            "lang",
+            "bkt",
+            F.col("sg.i").alias("i"),
+            F.col("sg.c").alias("c"),
+        )
+    )
+
+    # substring side: every candidate position a surviving segment can
+    # land on after ≤ max_dist insertions/deletions before it
+    subs = []
+    for i in range(nseg):
+        lo = max(1, starts[i] - max_dist)
+        hi = min(prefix_len - lens[i] + 1, starts[i] + max_dist)
+        for p in range(lo, hi + 1):
+            subs.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.substring("prefix", p, lens[i]).alias("c"),
+                )
+            )
+    sub_side = full.select(
+        F.col("doc_id").alias("id_w"),
+        "lang",
+        F.col("bucket").alias("bkt"),
+        F.explode(F.array(*subs)).alias("sg"),
+    ).select(
+        "id_w", "lang", "bkt", F.col("sg.i").alias("i"), F.col("sg.c").alias("c")
+    ).dropDuplicates(["id_w", "lang", "bkt", "i", "c"])
+
+    fast = (
+        seg_side.join(sub_side, ["lang", "bkt", "i", "c"])
+        .where(F.col("id_s") != F.col("id_w"))
+        .select(
+            F.least("id_s", "id_w").alias("left_id"),
+            F.greatest("id_s", "id_w").alias("right_id"),
+        )
+    )
+
+    # fallback: pairs with at least one short prefix use the plain
+    # block join (short side exploded to bucket±1, partner side full)
+    sa = short.select(
+        F.col("doc_id").alias("id_s"),
+        "lang",
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bkt"),
+    )
+    sb = base.select(
+        F.col("doc_id").alias("id_w"), "lang", F.col("bucket").alias("bkt")
+    )
+    slow = (
+        sa.join(sb, ["lang", "bkt"])
+        .where(F.col("id_s") != F.col("id_w"))
+        .select(
+            F.least("id_s", "id_w").alias("left_id"),
+            F.greatest("id_s", "id_w").alias("right_id"),
+        )
+    )
+
+    cand = fast.unionAll(slow).distinct()
+    pa = base.select(
+        F.col("doc_id").alias("left_id"), F.col("prefix").alias("prefix_a")
+    )
+    pb = base.select(
+        F.col("doc_id").alias("right_id"), F.col("prefix").alias("prefix_b")
+    )
+    return (
+        cand.join(pa, "left_id")
+        .join(pb, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.levenshtein("prefix_a", "prefix_b", max_dist)
+            .cast("long")
+            .alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 42) -> Column:
     """MinHash signature in pure higher-order SQL — REFERENCE FORM.
 

@@ -915,3 +915,18 @@ def test_order_stats_grp_rank_rejects_float_groups(spark):
         distributed_order_stats(
             df, "k", ["k"], n_buckets=2, grp_col="grp", grp_rank_col="gr"
         ).collect()
+
+
+def test_segmented_levenshtein_equals_block_join(spark, sf_oracle_dir):
+    # the PassJoin pigeonhole prefilter is LOSSLESS: both paths must
+    # return the identical pair set with identical distances
+    from pyspark_movie_recommender_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+        segmented_levenshtein_pairs,
+    )
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    docs = load_table(spark, sf_oracle_dir, "documents")
+    a = {tuple(r) for r in blocked_levenshtein_pairs(docs).collect()}
+    b = {tuple(r) for r in segmented_levenshtein_pairs(docs).collect()}
+    assert a and a == b
