@@ -47,10 +47,31 @@ _CKPT_DIR_SET: set[str] = set()
 # (aggregate / limit / small-leaf input)? Every ckpt output is
 # recorded, so the plan auditor (plans.unpartitioned_windows) can
 # distinguish a checkpointed fact table (False) from a checkpointed
-# aggregate (True) from a LogicalRDD it never saw — which in this
-# engine is always a createDataFrame literal, driver-bounded by
-# construction.
+# aggregate (True). RDD ids restart at 0 per SparkContext, so the
+# registry is scoped to ONE application: ``ckpt_registry()`` clears it
+# whenever a new applicationId is observed (round-4 advice — a stale
+# entry from a previous context must not classify a new context's
+# plans). Ids the registry never saw fail CLOSED in the auditor.
 CKPT_RDD_REDUCED: dict[int, bool] = {}
+
+# applicationId the registry's entries belong to.
+_CKPT_APP_ID: list[str] = []
+
+
+def ckpt_registry(sc=None) -> dict[int, bool]:
+    """The RDD-id→reduced registry, scoped to the current SparkContext:
+    entries recorded under a different applicationId are dropped before
+    the dict is returned. ``sc`` defaults to the active context."""
+    if sc is None:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+    if sc is not None:
+        app = sc.applicationId
+        if not _CKPT_APP_ID or _CKPT_APP_ID[0] != app:
+            CKPT_RDD_REDUCED.clear()
+            _CKPT_APP_ID[:] = [app]
+    return CKPT_RDD_REDUCED
 
 
 def _logical_rdd_id(df: DataFrame) -> int | None:
@@ -98,5 +119,5 @@ def ckpt(df: DataFrame) -> DataFrame:
 
     rid = _logical_rdd_id(out)
     if rid is not None:
-        CKPT_RDD_REDUCED[rid] = was_reduced
+        ckpt_registry(df.sparkSession.sparkContext)[rid] = was_reduced
     return out

@@ -71,6 +71,68 @@ _REDUCERS = frozenset(
 # — day calendars, class ladders, k-sequences).
 _SMALL_LEAVES = frozenset({"LocalRelation", "OneRowRelation", "Range"})
 
+# Pinned-id IN-list filters: the registry uses literal IN only for
+# key lookups (an 8-row codebook selected by id), never as a fact-table
+# category filter feeding a global window. The classifier matches the
+# actual In/InSet expression NODE (not a toString substring, which
+# fail-opened on IN-subqueries and on " IN (" appearing inside larger
+# conditions — round-4 advice): the tested value must be a bare (or
+# cast) AttributeReference whose NAME is key-like, and the literal list
+# must be short. A category isin on a status/flag column therefore
+# does NOT exempt its subtree.
+_IN_LIST_MAX = 32
+_KEYISH_SUFFIXES = ("key", "_id", "id")
+
+
+def _strip_cast(expr):
+    while expr.getClass().getSimpleName() == "Cast":
+        expr = expr.child()
+    return expr
+
+
+def _conjuncts(expr):
+    if expr.getClass().getSimpleName() == "And":
+        yield from _conjuncts(expr.left())
+        yield from _conjuncts(expr.right())
+    else:
+        yield expr
+
+
+def _keyish_attr(expr) -> bool:
+    e = _strip_cast(expr)
+    if e.getClass().getSimpleName() != "AttributeReference":
+        return False
+    return e.name().lower().endswith(_KEYISH_SUFFIXES)
+
+
+def _pinned_in_filter(cond) -> bool:
+    """True iff some CONJUNCT of ``cond`` is an In/InSet whose value is
+    a key-like attribute and whose list is all-literal and short — the
+    engine's pinned-id lookup shape. Disjunctions don't count (an In
+    under Or bounds nothing); IN-subqueries never reach here (Catalyst
+    rewrites them to joins before the optimized plan)."""
+    try:
+        for c in _conjuncts(cond):
+            nm = c.getClass().getSimpleName()
+            if nm == "In":
+                lst = c.list()
+                if (
+                    lst.size() <= _IN_LIST_MAX
+                    and all(
+                        lst.apply(i).getClass().getSimpleName() == "Literal"
+                        for i in range(lst.size())
+                    )
+                    and _keyish_attr(c.value())
+                ):
+                    return True
+            elif nm == "InSet":
+                if c.hset().size() <= _IN_LIST_MAX and _keyish_attr(c.child()):
+                    return True
+    except Exception:
+        return False
+    return False
+
+
 # Schema-fixed dimension tables: 25 nations / 5 regions at ANY scale
 # factor (they would not grow at 100 TB either). A scan leaf whose
 # output is drawn from these schemas is cardinality-bounded.
@@ -94,6 +156,34 @@ def _small_dim_leaf(node) -> bool:
     except Exception:
         return False
     return bool(names) and all(n in _SMALL_DIM_COLS for n in names)
+
+
+def _rdd_roots_are_driver_literals(jrdd, max_nodes: int = 64) -> bool:
+    """True iff every lineage root of ``jrdd`` is a
+    ParallelCollectionRDD — the shape ``createDataFrame`` over a local
+    Python list produces (driver-held data, bounded by construction).
+    Checkpoint RDDs (Local/ReliableCheckpointRDD) have no dependencies
+    and are NOT ParallelCollectionRDDs, so a checkpointed fact table
+    the ckpt registry missed classifies False (fail-closed), as does
+    any lineage too deep/odd to finish walking."""
+    try:
+        stack = [jrdd]
+        seen = 0
+        while stack:
+            seen += 1
+            if seen > max_nodes:
+                return False
+            r = stack.pop()
+            deps = r.dependencies()
+            if deps.size() == 0:
+                if r.getClass().getSimpleName() != "ParallelCollectionRDD":
+                    return False
+                continue
+            for i in range(deps.size()):
+                stack.append(deps.apply(i).rdd())
+        return True
+    except Exception:
+        return False
 
 
 def _walk(node):
@@ -126,24 +216,31 @@ def subtree_reduced(node) -> bool:
         return True
     if nm == "LogicalRDD":
         # Two producers of LogicalRDD exist in this engine: ckpt()
-        # (which records every output with its pre-checkpoint
-        # reduced flag) and createDataFrame over a literal local list
-        # (driver-bounded by construction, hence small). An RDD id the
-        # ckpt registry never saw is therefore a literal.
-        from ..operators.lineage import CKPT_RDD_REDUCED
+        # (which records every output with its pre-checkpoint reduced
+        # flag, keyed per SparkContext) and createDataFrame over a
+        # literal local list (driver-bounded by construction, hence
+        # small). Unknown ids FAIL CLOSED (round-4 advice): a literal
+        # is recognized structurally — its RDD lineage roots entirely
+        # in ParallelCollectionRDDs — never by absence from the
+        # registry, so plan-shape or py4j drift in ckpt() can only
+        # make the audit stricter, not blind.
+        from ..operators.lineage import ckpt_registry
 
         try:
-            rid = node.rdd().id()
+            rdd = node.rdd()
+            rid = rdd.id()
         except Exception:
             return False
-        return CKPT_RDD_REDUCED.get(rid, True)
+        reg = ckpt_registry()
+        if rid in reg:
+            return reg[rid]
+        return _rdd_roots_are_driver_literals(rdd)
     if nm == "Filter":
         try:
-            cond = node.condition().toString()
+            if _pinned_in_filter(node.condition()):
+                return True
         except Exception:
-            cond = ""
-        if " IN (" in cond or " INSET " in cond:
-            return True
+            pass
     cs = node.children()
     if cs.size() == 0:
         return _small_dim_leaf(node)

@@ -1499,22 +1499,30 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Band width is the knob: recall per band is p^width with
-    # p = 1 - acos(cos)/pi. The sf<=0.1 synthetic embeddings have no
-    # planted high-cos dups (max pairwise cos ~0.46), so this targets
-    # the moderate-cos regime: 6-bit bands x 8 bands gives ~30-50%
-    # recall at cos 0.35-0.46 with 64 buckets/band.
+    # p = 1 - acos(cos)/pi. n comes from the parquet FOOTERS (a
+    # driver-side metadata read), never ``emb.count()`` — a full Spark
+    # action at query-CONSTRUCTION time made every plan dump/audit of
+    # this query trigger a scan job (round-4 advice).
     #
     # SCALE RULE: band width grows with log2(n) to pin per-band bucket
     # occupancy at ~32 — with FIXED width, occupancy grows with n and
     # within-bucket candidate pairs grow QUADRATICALLY (measured 18.8x
-    # time for 10x rows at sf1 before this rule; ~linear after). In the
-    # high-cos near-dup regime LSH is built for (cos>=0.9, p>=0.85 per
-    # bit) the wider bands cost little recall; in the moderate-cos
-    # regime width explicitly trades recall for compute — candidates
-    # are exact-verified either way, so never correctness.
+    # time for 10x rows at sf1 before this rule; ~linear after). The
+    # formula yields width 6 at sf0.01 (n≈1k — the driver's
+    # correctness scale), width 9 at sf0.1 (n≈10k) and width 12 at sf1:
+    # in the high-cos near-dup regime LSH is built for (cos>=0.9,
+    # p>=0.85 per bit) the wider bands cost little recall (0.85^9 ≈
+    # 23% per band → ~88% over 8 bands); in the moderate-cos regime
+    # the sf<=0.1 synthetic embeddings actually occupy (max pairwise
+    # cos ~0.46, p≈0.65) width 9 deliberately trades recall for
+    # bounded compute — candidates are exact-verified either way, so
+    # the trade is never correctness, and the recall floor is pinned
+    # by tests/test_scale_smoke.py on PLANTED high-cos dups.
     import math
 
-    n = emb.count()
+    from pyspark_movie_recommender_spark.sources.tables import table_row_hint
+
+    n = table_row_hint(sf_dir, "embeddings")
     width = max(6, math.ceil(math.log2(max(n, 64) / 32)))
     return lsh_neardup_pairs(
         emb, bits=8 * width, bands=8, cos_threshold=0.25

@@ -37,6 +37,28 @@ TABLES: tuple[str, ...] = (
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
 
 
+def table_row_hint(sf_dir: str, name: str) -> int:
+    """Row count of one table from parquet FOOTER metadata — an O(file
+    footers) driver-side read, NOT a Spark action, so queries that size
+    a knob from n (e.g. the LSH band width) stay job-free at plan-build
+    time (round-4 advice: ``emb.count()`` at construction made every
+    plan dump trigger a full scan). At cluster scale the same number
+    comes from table statistics / catalog metadata."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table from a scale-factor directory.
 

@@ -181,12 +181,28 @@ def running_user_totals_stream(
     |events| — the invariant that keeps arbitrary-state operators
     viable on unbounded streams.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
 
-    def update(key, pdfs, state: GroupState):
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _stateful_update_fn(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_table(out, query_name, "update")
+    return spark.table(query_name)
+
+
+def _stateful_update_fn():
+    """The per-user (count, total) update used by both the one-shot and
+    the resumable applyInPandasWithState jobs — one definition so the
+    resume test exercises EXACTLY the production update logic."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
@@ -196,15 +212,145 @@ def running_user_totals_stream(
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
         )
 
+    return update
+
+
+def _run_updates_to_parquet(
+    out: DataFrame, sink_dir: str, checkpoint_dir: str
+) -> None:
+    """Drive an update-mode stateful stream into an append-only parquet
+    log via foreachBatch (the memory sink refuses checkpoint recovery —
+    it is not fault-tolerant). Each micro-batch's update rows land
+    stamped with the batch id; batch ids CONTINUE across restarts on
+    the same checkpoint, so ``max_by(…, batch_id)`` reads the latest
+    state per key after any number of resumes."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def running_user_totals_resumable(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Resume-from-checkpoint form of ``running_user_totals_stream``:
+    reads events parquet files ARRIVING in ``source_dir``, keeps the
+    per-user state in ``checkpoint_dir``, one ``availableNow`` pass per
+    call, updates appended to ``sink_dir`` via foreachBatch. Calling it
+    again after more files arrive must RESTORE the (n, total) state —
+    the later batches' emitted counts continue from the first run's,
+    which is the checkpoint-recovery contract a long-lived 100 TB
+    stream restarts on (executor loss, code deploys). Returns the
+    latest update per user across all runs so far."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+        .select("user_id", "value")
+    )
     out = ev.groupBy("user_id").applyInPandasWithState(
-        update,
+        _stateful_update_fn(),
         outputStructType="user_id bigint, n_events bigint, total_value double",
         stateStructType="n bigint, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    _run_to_table(out, query_name, "update")
-    return spark.table(query_name)
+    _run_updates_to_parquet(out, sink_dir, checkpoint_dir)
+    log = spark.read.parquet(sink_dir)
+    return log.groupBy("user_id").agg(
+        F.expr("max_by(n_events, batch_id)").alias("n_events"),
+        F.expr("max_by(total_value, batch_id)").alias("total_value"),
+    )
+
+
+def user_peaks_tws_resumable(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Resume-from-checkpoint form of ``user_peaks_transform_with_state``
+    (Spark 4 transformWithStateInPandas + RocksDB state store): same
+    arriving-files source and checkpoint contract as
+    :func:`running_user_totals_resumable`. Carries the same protobuf
+    gate — where the container lacks ``google.protobuf`` the caller
+    (and CI) records the gate as fired and the applyInPandasWithState
+    twin covers the resume semantics.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pip install protobuf); use running_user_totals_resumable "
+            "(applyInPandasWithState) where it is unavailable"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    state_schema = StructType(
+        [StructField("n", LongType(), True), StructField("peak", DoubleType(), True)]
+    )
+
+    class UserPeaks(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("peaks", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, peak = 0, float("-inf")
+            if self._state.exists():
+                n, peak = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                peak = max(peak, float(pdf["value"].max()))
+            self._state.update((n, peak))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "peak_value": [round(peak, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+        .select("user_id", "value")
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserPeaks(),
+        outputStructType="user_id bigint, n_events bigint, peak_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    _run_updates_to_parquet(out, sink_dir, checkpoint_dir)
+    log = spark.read.parquet(sink_dir)
+    return log.groupBy("user_id").agg(
+        F.expr("max_by(n_events, batch_id)").alias("n_events"),
+        F.expr("max_by(peak_value, batch_id)").alias("peak_value"),
+    )
 
 
 def user_peaks_transform_with_state(

@@ -128,13 +128,24 @@ def test_reference_movielens_full_protocol_parity(spark):
         assert 0.90 < rmse < 1.00, (rank, rmse)  # recommender.py:81-83
     assert 0.90 < res.test_rmse < 1.00  # recommender.py:100
 
-    # entry point 2: fold in user 0 with 10 hand ratings (recommender.py:109-121)
+    # entry point 2: fold in user 0 with the reference's EXACT ten hand
+    # ratings (recommender.py:109-121)
     movies = read_movies_csv(spark, f"{REF_DATA}/movies.csv").select(
         F.col("movie_id").alias("item_id"), "title"
     )
-    ten = [r.item_id for r in movies.limit(10).collect()]
     new_user = spark.createDataFrame(
-        [(0, m, float(3 + i % 3)) for i, m in enumerate(ten)],
+        [
+            (0, 100, 4.0),
+            (0, 237, 1.0),
+            (0, 44, 4.0),
+            (0, 25, 5.0),
+            (0, 456, 3.0),
+            (0, 849, 3.0),
+            (0, 778, 2.0),
+            (0, 909, 3.0),
+            (0, 478, 5.0),
+            (0, 248, 4.0),
+        ],
         "user_id int, item_id int, rating double",
     )
     model = REC.fold_in_user(ratings, new_user, rank=res.best_rank)
@@ -142,17 +153,33 @@ def test_reference_movielens_full_protocol_parity(spark):
         model, movies, new_user, user_id=0, k=10, rescale=True
     ).collect()
     assert len(top) == 10
-    # rescale bound (recommender.py:205-206): scores within [1, 5]
+    # cold-start drop semantics: predictAll returns EXACTLY 9,057
+    # recommendations on this data (recommender.py:155-156) — the count
+    # is deterministic, not model-dependent: 9,125 movies − the 10
+    # rated − 58 movies never rated by anyone (no item factors). Our
+    # coldStartStrategy='drop' must land on the same number.
+    cands = REC.anti_join(
+        movies.select("item_id"), new_user.select("item_id"), "item_id"
+    ).select(F.lit(0).alias("user_id"), "item_id")
+    scored = REC.score(model, cands)
+    assert scored.count() == 9057  # recommender.py:156
+    # min-max rescale bounds are EXACT on the full scored set: the min
+    # prediction maps to 1.0 and the max to 5.0 (recommender.py:206,243)
+    from pyspark_movie_recommender_spark.operators.relational import (
+        minmax_rescale,
+    )
+
+    bounds = (
+        minmax_rescale(scored, "prediction", out_col="scaled_rating")
+        .agg(
+            F.min("scaled_rating").alias("lo"),
+            F.max("scaled_rating").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert bounds.lo == 1.0 and bounds.hi == 5.0
+    # and the displayed top-10 stays inside the bounds
     assert all(1.0 <= r.scaled_rating <= 5.0 for r in top)
-    # cold-start drop semantics (recommender.py:155-156): scored
-    # candidates < all candidates, but nearly all (9,057/9,115 there)
-    n_cands = movies.count() - 10
-    n_scored = REC.score(
-        model,
-        REC.anti_join(movies.select("item_id"), new_user.select("item_id"), "item_id")
-        .select(F.lit(0).alias("user_id"), "item_id"),
-    ).count()
-    assert n_cands * 0.95 <= n_scored <= n_cands
 
 
 def test_als_item_neighbors_shape_and_sanity(spark, sf_dir):

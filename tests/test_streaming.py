@@ -69,6 +69,82 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     assert s == b
 
 
+def _arrival_dirs(spark, sf_dir, tmp_path):
+    """Split events into two arrival batches under tmp_path and return
+    (source_dir, schema, full_batch_df)."""
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "arrivals"
+    src_dir.mkdir()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    half1 = ev.filter(F.col("event_id") % 2 == 0).select("user_id", "value")
+    half2 = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "value")
+    half1.coalesce(1).write.parquet(str(src_dir / "batch1"))
+    return src_dir, half1.schema, half2, ev.select("user_id", "value")
+
+
+def test_stateful_resume_from_checkpoint(spark, sf_dir, tmp_path):
+    """applyInPandasWithState state RESTORE: two availableNow runs over
+    a growing source dir sharing one checkpoint — run 2 must continue
+    the per-user (count, total) state from run 1, so its final counts
+    equal the batch aggregate over ALL events, not just the new file.
+    This is the restart contract of a long-lived stateful stream."""
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        running_user_totals_resumable,
+    )
+
+    src_dir, schema, half2, all_ev = _arrival_dirs(spark, sf_dir, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    running_user_totals_resumable(spark, str(src_dir), schema, sink, ckpt)
+    half2.coalesce(1).write.parquet(str(src_dir / "batch2"))
+    out2 = running_user_totals_resumable(spark, str(src_dir), schema, sink, ckpt)
+
+    batch = all_ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    # latest update per user across both runs must equal the batch
+    # aggregate over ALL events — run 2 only saw batch2's file, so
+    # equality proves its state was RESTORED from run 1's checkpoint
+    got = {r.user_id: (r.n_events, r.total_value) for r in out2.collect()}
+    want = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_tws_resume_from_checkpoint(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas resume twin of the test above —
+    protobuf-gated like every TWS path (the audit artifact records
+    whether this container fired the gate)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState speaks protobuf"
+    )
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.streaming.jobs import (
+        user_peaks_tws_resumable,
+    )
+
+    src_dir, schema, half2, all_ev = _arrival_dirs(spark, sf_dir, tmp_path)
+    ckpt = str(tmp_path / "ckpt_tws")
+    sink = str(tmp_path / "sink_tws")
+
+    user_peaks_tws_resumable(spark, str(src_dir), schema, sink, ckpt)
+    half2.coalesce(1).write.parquet(str(src_dir / "batch2"))
+    out2 = user_peaks_tws_resumable(spark, str(src_dir), schema, sink, ckpt)
+
+    batch = all_ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("value"), 2).alias("peak_value"),
+    )
+    got = {r.user_id: (r.n_events, r.peak_value) for r in out2.collect()}
+    want = {r.user_id: (r.n_events, r.peak_value) for r in batch.collect()}
+    assert got == want
+
+
 def test_enrich_join_stream_equals_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -51,7 +51,14 @@ def main() -> None:
     out = {
         "runs": n,
         "totals": [r["value"] for r in runs],
+        # median of RUN TOTALS (round-over-round comparable to any
+        # single-run total). The per-query-median sum is kept under an
+        # honest name — it was previously (mis)recorded as
+        # median_total (round-4 advice).
         "median_total": round(
+            statistics.median(r["value"] for r in runs), 3
+        ),
+        "sum_of_query_medians": round(
             sum(v["median"] for v in queries.values()), 3
         ),
         "queries": queries,

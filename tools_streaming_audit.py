@@ -1,0 +1,93 @@
+"""Streaming equivalence audit: one artifact row per streaming job.
+
+Runs the stream/batch equivalence suite (tests/test_streaming.py) via
+pytest + junitxml and converts the result into STREAMING_r{N}.json —
+the per-round record the round-4 verdict asked for: which streaming
+job, which equivalence/resume check covers it, and whether the check
+passed, failed, or was GATED (the transformWithState protocol speaks
+protobuf; containers without ``google.protobuf`` skip those tests and
+the artifact records that the gate fired rather than silently thinning
+coverage).
+
+Usage: python tools_streaming_audit.py [round_number]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import tempfile
+import xml.etree.ElementTree as ET
+
+# test name -> the streaming job(s) in streaming/jobs.py it checks
+JOB_OF_TEST = {
+    "test_tumbling_stream_equals_batch": "tumbling_window_stream",
+    "test_session_window_stream_matches_batch_sessionize": "session_window_stream",
+    "test_streaming_dedup_keeps_all_unique_events": "dedup_within_watermark_stream",
+    "test_stateful_running_totals_match_batch": "running_user_totals_stream",
+    "test_stateful_resume_from_checkpoint": "running_user_totals_resumable",
+    "test_tws_resume_from_checkpoint": "user_peaks_tws_resumable",
+    "test_enrich_join_stream_equals_batch": "enrich_join_stream",
+    "test_checkpointed_availablenow_resume_is_exactly_once": "(file-source exactly-once)",
+    "test_foreachbatch_streaming_upsert": "(foreachBatch upsert)",
+    "test_transform_with_state_peaks_match_batch": "user_peaks_transform_with_state",
+    "test_transform_with_state_running_stats": "running_user_stats_tws",
+    "test_stream_stream_interval_join_equals_batch": "stream_stream_interval_join",
+    "test_ingest_audit_stream_equals_batch": "ingest_audit_stream",
+    "test_trending_stream_counts_equal_batch_and_rank_downstream": "trending_counts_stream",
+    "test_left_outer_stream_join_emits_nulls_after_watermark": "stream_stream_left_interval_join",
+    "test_drift_band_counts_stream_equals_batch": "drift_band_counts_stream",
+    "test_hourly_user_counts_stream_equals_batch": "hourly_user_counts_stream",
+    "test_cdc_upsert_stream_equals_batch_latest": "cdc_upsert_stream",
+}
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "05"
+    with tempfile.NamedTemporaryFile(suffix=".xml") as tmp:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "pytest",
+                "tests/test_streaming.py",
+                "-q",
+                f"--junitxml={tmp.name}",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        root = ET.parse(tmp.name).getroot()
+
+    jobs: dict[str, dict] = {}
+    counts = {"pass": 0, "fail": 0, "gated": 0}
+    for case in root.iter("testcase"):
+        name = case.attrib["name"]
+        job = JOB_OF_TEST.get(name, "(unmapped)")
+        skipped = case.find("skipped")
+        failed = case.find("failure") is not None or case.find("error") is not None
+        if failed:
+            status, reason = "fail", None
+        elif skipped is not None:
+            status = "gated"
+            reason = skipped.attrib.get("message", "")[:200]
+        else:
+            status, reason = "pass", None
+        counts[status] += 1
+        jobs[name] = {"job": job, "status": status, **({"reason": reason} if reason else {})}
+
+    out = {
+        "suite": "tests/test_streaming.py",
+        "pytest_exit": proc.returncode,
+        "counts": counts,
+        "checks": jobs,
+    }
+    path = f"STREAMING_r{rnd}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    print(json.dumps({"counts": counts, "exit": proc.returncode}), "->", path)
+
+
+if __name__ == "__main__":
+    main()
