@@ -143,7 +143,7 @@ def blocked_levenshtein_pairs(
     bucket_size: int = 50,
     prefix_len: int = 40,
     max_dist: int = 8,
-    freq_prefilter: bool = True,
+    freq_prefilter: bool = False,
 ) -> DataFrame:
     """Edit-distance near-dup pairs with (lang, length-bucket) blocking.
 
@@ -161,24 +161,24 @@ def blocked_levenshtein_pairs(
     early-abandon DP — O(len·max_dist) per pair instead of O(len²),
     returning -1 when the distance exceeds the bound.
 
-    ``freq_prefilter`` (round-5, the watch-item fix): within-block pair
-    count still grows quadratically with block population, and on this
-    corpus only ~1e-4 of candidates are true pairs, so the DP dominates.
-    A LOSSLESS character-frequency lower bound gates it: each unit edit
-    changes the prefix's 27-dim (a-z + space) count vector by at most 2
-    in L1, so ``lev(a, b) >= L1(fv_a, fv_b) / 2`` and any pair with
-    ``L1 > 2*max_dist`` is safely rejected before the DP runs — a ~30-op
-    ``zip_with``/``aggregate`` with early short-circuit vs the ~700-cell
-    banded DP. Measured at sf0.1: prunes 95.5% of candidates (DuckDB
-    census, round-5 notes); per-doc vector construction is linear and
-    rides the existing block shuffle (+108 B/row). The bound holds for
-    any alphabet — uncounted characters change L1 by at most 1 per edit
-    — so losslessness is corpus-independent; only the PRUNE RATE is
-    corpus-specific. Two count-BLOCKING alternatives measured and
-    rejected this round: a banded char-class count as a third block-key
-    component needs cell width >= max_dist for losslessness, and the
-    within-block count spread (sigma 1.3-2.9) sits entirely inside one
-    +/-1 band, pruning ~0% (see BENCH_NOTES_r05.md).
+    ``freq_prefilter``: a LOSSLESS character-frequency lower bound can
+    gate the DP — each unit edit changes the prefix's 27-dim (a-z +
+    space) count vector by at most 2 in L1, so ``lev(a, b) >=
+    L1(fv_a, fv_b) / 2`` and any pair with ``L1 > 2*max_dist`` is
+    safely rejected first; the bound holds for ANY alphabet (uncounted
+    characters change L1 by at most 1 per edit). MEASURED round 5 and
+    left DEFAULT-OFF: although it prunes 95.5% of DP calls at sf0.1,
+    wall-clock is neutral-to-worse on this workload (sf1 natural 17.2s
+    off vs 17.9s on; forced 5k-doc blocks 63.1s vs 68.4s) because the
+    3-arg banded DP with early abandon costs about the same as the
+    interpreted 27-element ``zip_with``/``aggregate`` — the knob earns
+    its keep only where verify is pricier (longer prefixes, larger
+    max_dist). Count-BLOCKING variants (a banded char-class count as a
+    third block-key component) were also measured and rejected: the
+    lossless cell width must be >= max_dist, and the within-block count
+    spread (sigma 1.3-2.9) sits entirely inside one +/-1 band, pruning
+    ~0% (BENCH_NOTES_r05.md). The fix that actually bounds the
+    quadratic is :func:`adaptive_levenshtein_pairs`' per-key routing.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -278,12 +278,13 @@ def segmented_levenshtein_pairs(
     sf1 (27s vs 18s) — document openings share common 4-5-char
     segments at aligned positions, so the pigeonhole filter is
     unselective there and the ~160-key/doc explode + pair-distinct
-    costs more than it prunes. The registry therefore keeps the block
-    join; THIS path is the escape hatch for when per-(lang, bucket)
-    block populations grow past ~10^3-10^4 docs and the block join's
-    within-block quadratic term must lose to any constant-fan-out
-    filter. Hash-equal to the block join by construction (lossless
-    pigeonhole), pinned by tests.
+    costs more than it prunes. Round 5 located the crossover with a
+    forced-block-profile scan (block join vs this path: 63s vs 88s at
+    5k-doc blocks, 115s vs 107s at 10k, >45min vs 316s at 25k) and
+    :func:`adaptive_levenshtein_pairs` now routes oversized keys here
+    AUTOMATICALLY — the escape hatch became a per-key router instead
+    of a manual switch. Hash-equal to the block join by construction
+    (lossless pigeonhole), pinned by tests.
     """
     nseg = max_dist + 1
     seg_len = prefix_len // nseg
@@ -402,6 +403,299 @@ def segmented_levenshtein_pairs(
             .alias("edit_distance"),
         )
         .filter(F.col("edit_distance") >= 0)
+    )
+
+
+def adaptive_levenshtein_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    bucket_size: int = 50,
+    prefix_len: int = 40,
+    max_dist: int = 8,
+    block_cap: int = 20_000,
+    freq_prefilter: bool = False,
+) -> DataFrame:
+    """Edit-distance near-dups with PER-KEY routing between the block
+    join and the PassJoin segmented path — the round-5 fix that BOUNDS
+    the block join's within-block quadratic term instead of hoping
+    blocks stay small.
+
+    Same result set as :func:`blocked_levenshtein_pairs` (same lang /
+    bucket±1 / prefix-levenshtein ≤ max_dist semantics, oracle
+    hash-equal). The block join surfaces each unordered pair exactly
+    once, at the join key (lang, bucket-of-the-GREATER-id doc) — so
+    that key is the exact routing unit. A tiny (lang, bucket) census
+    (one hash-agg over the corpus, rows bounded by |langs| ×
+    length-range/bucket_size) classifies each key by its a-side
+    population (the bucket±1 sum): keys at or under ``block_cap`` run
+    the enumeration-cheap block join — per-key pair count ≤
+    block_cap² — and oversized keys run the PassJoin segment join,
+    whose candidate volume is driven by shared aligned segments, not
+    block population. Both branches end in the same lossless
+    char-frequency gate + banded-DP verify.
+
+    Measured basis for the default cap (round-5 crossover scan on
+    forced block profiles, BENCH_NOTES_r05.md): block join vs
+    segmented = 63s vs 88s at 10 blocks of 5k docs (a_pop~15k), 115s
+    vs 107s at 5 blocks of 10k (a_pop~30k), >45 MINUTES (killed) vs
+    316s at 2 blocks of 25k (a_pop~75k — key skew additionally
+    collapses the block join's parallelism to the giant keys). The
+    crossover sits at a_pop 20-30k; the default cap is its lower edge.
+    At the natural sf1 profile (max block 2.4k, a_pop <= 7k) every key
+    routes to the block join, preserving the measured-faster plan. At
+    100 TB this routing is what keeps the operator alive on corpora
+    whose (lang, length-bucket) profile concentrates.
+
+    Short-prefix docs (< prefix_len, where the fixed segment layout
+    doesn't apply) pair via a short×block join on both routes; the
+    short side is a corpus-dependent minority, so that term stays
+    linear in |short| × block population.
+    """
+    from pyspark_movie_recommender_spark.operators.cache import track
+    from pyspark_movie_recommender_spark.operators.lineage import ckpt
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.floor(F.col(len_col) / bucket_size).alias("bucket"),
+        F.substring(text_col, 1, prefix_len).alias("prefix"),
+    )
+    if freq_prefilter:
+        base = base.withColumn(
+            "fv",
+            F.expr(
+                "transform(concat(sequence(97, 122), array(32)), "
+                "c -> length(prefix) - length(replace(prefix, char(c), '')))"
+            ),
+        )
+    base = base.withColumn("is_short", F.length("prefix") < prefix_len)
+
+    # --- routing census: a-side population per join key -------------
+    # one construction-time aggregate over the corpus, bounded output
+    # (|langs| x length-range/bucket_size) — the same priced cold-path
+    # pattern as rank.py's range-bucket boundaries. When NO key is
+    # oversized (every profile seen at bench scales) the plan is
+    # byte-identical to blocked_levenshtein_pairs: no persist, no
+    # three-branch union, no broadcast semi-joins — the 1.8 s of
+    # routing machinery measured at sf0.1 is paid only when it buys
+    # a bounded quadratic.
+    census0 = base.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    has_big = (
+        census0.select(
+            "lang",
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            ).alias("jbucket"),
+            "n",
+        )
+        .groupBy("lang", "jbucket")
+        .agg(F.sum("n").alias("a_pop"))
+        .filter(F.col("a_pop") > block_cap)
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not has_big:
+        return blocked_levenshtein_pairs(
+            docs,
+            text_col,
+            id_col,
+            lang_col,
+            len_col,
+            bucket_size,
+            prefix_len,
+            max_dist,
+            freq_prefilter,
+        )
+
+    base = track(base)
+    # tiny relation; ckpt materializes it once so small_keys/big_keys
+    # and their six broadcast semi-join consumers don't each rescan
+    census = ckpt(census0)
+    apop = (
+        census.select(
+            "lang",
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            ).alias("jbucket"),
+            "n",
+        )
+        .groupBy("lang", "jbucket")
+        .agg(F.sum("n").alias("a_pop"))
+    )
+    routes = census.select("lang", F.col("bucket").alias("jbucket")).join(
+        apop, ["lang", "jbucket"]
+    )
+    small_keys = routes.filter(F.col("a_pop") <= block_cap).select("lang", "jbucket")
+    big_keys = routes.filter(F.col("a_pop") > block_cap).select("lang", "jbucket")
+
+    fvc = ["fv"] if freq_prefilter else []
+    a_side = base.select(
+        F.col("doc_id").alias("left_id"),
+        "lang",
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("jbucket"),
+        F.col("prefix").alias("prefix_a"),
+        F.col("is_short").alias("short_a"),
+        *[F.col(c).alias(f"{c}_a") for c in fvc],
+    )
+    b_side = base.select(
+        F.col("doc_id").alias("right_id"),
+        "lang",
+        F.col("bucket").alias("jbucket"),
+        F.col("prefix").alias("prefix_b"),
+        F.col("is_short").alias("short_b"),
+        *[F.col(c).alias(f"{c}_b") for c in fvc],
+    )
+
+    def _verify(pairs: DataFrame) -> DataFrame:
+        if freq_prefilter:
+            l1 = F.aggregate(
+                F.zip_with("fv_a", "fv_b", lambda x, y: F.abs(x - y)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            dist = F.when(
+                l1 <= 2 * max_dist,
+                F.levenshtein("prefix_a", "prefix_b", max_dist),
+            ).otherwise(F.lit(-1))
+        else:
+            dist = F.levenshtein("prefix_a", "prefix_b", max_dist)
+        return (
+            pairs.select(
+                "left_id", "right_id", dist.cast("long").alias("edit_distance")
+            )
+            .filter(F.col("edit_distance") >= 0)
+        )
+
+    # --- branch 1: small keys, plain block join ----------------------
+    small_pairs = (
+        a_side.join(F.broadcast(small_keys), ["lang", "jbucket"], "semi")
+        .join(
+            b_side.join(F.broadcast(small_keys), ["lang", "jbucket"], "semi"),
+            ["lang", "jbucket"],
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+    )
+
+    # --- branch 2: big keys, pairs involving a short prefix ---------
+    # the a<b filter pins each pair to key bucket(greater id); the
+    # short side of each sub-join keeps the enumeration linear in
+    # |short docs| x block population
+    a_big = a_side.join(F.broadcast(big_keys), ["lang", "jbucket"], "semi")
+    b_big = b_side.join(F.broadcast(big_keys), ["lang", "jbucket"], "semi")
+    big_short_pairs = (
+        a_big.filter("short_a")
+        .join(b_big, ["lang", "jbucket"])
+        .unionByName(
+            a_big.filter(~F.col("short_a")).join(
+                b_big.filter("short_b"), ["lang", "jbucket"]
+            )
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+    )
+
+    # --- branch 3: big keys, full-full pairs via PassJoin segments ---
+    nseg = max_dist + 1
+    seg_len = prefix_len // nseg
+    rem = prefix_len % nseg
+    lens = [seg_len + 1 if i < rem else seg_len for i in range(nseg)]
+    starts = [1 + sum(lens[:i]) for i in range(nseg)]
+    full = base.filter(~F.col("is_short"))
+
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.substring("prefix", starts[i], lens[i]).alias("c"),
+            )
+            for i in range(nseg)
+        ]
+    )
+    seg_side = (
+        full.select(
+            F.col("doc_id").alias("id_s"),
+            "lang",
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            ).alias("bkt"),
+            segs.alias("sgs"),
+        )
+        .join(
+            F.broadcast(big_keys.select("lang", F.col("jbucket").alias("bkt"))),
+            ["lang", "bkt"],
+            "semi",
+        )
+        .select("id_s", "lang", "bkt", F.explode("sgs").alias("sg"))
+        .select("id_s", "lang", "bkt", F.col("sg.i").alias("i"), F.col("sg.c").alias("c"))
+    )
+    subs = []
+    for i in range(nseg):
+        lo = max(1, starts[i] - max_dist)
+        hi = min(prefix_len - lens[i] + 1, starts[i] + max_dist)
+        for p in range(lo, hi + 1):
+            subs.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.substring("prefix", p, lens[i]).alias("c"),
+                )
+            )
+    sub_side = (
+        full.join(
+            F.broadcast(big_keys.select("lang", F.col("jbucket").alias("bucket"))),
+            ["lang", "bucket"],
+            "semi",
+        )
+        .select(
+            F.col("doc_id").alias("id_w"),
+            "lang",
+            F.col("bucket").alias("bkt"),
+            F.explode(F.array(*subs)).alias("sg"),
+        )
+        .select(
+            "id_w", "lang", "bkt", F.col("sg.i").alias("i"), F.col("sg.c").alias("c")
+        )
+        .dropDuplicates(["id_w", "lang", "bkt", "i", "c"])
+    )
+    cand = (
+        seg_side.join(sub_side, ["lang", "bkt", "i", "c"])
+        .where(F.col("id_s") != F.col("id_w"))
+        .select(
+            F.least("id_s", "id_w").alias("left_id"),
+            F.greatest("id_s", "id_w").alias("right_id"),
+        )
+        .distinct()
+    )
+    # pin the routing predicate: keep only pairs whose key — the
+    # GREATER id's (lang, bucket) — is big (a pair discovered via the
+    # lesser doc's big bucket belongs to branch 1 when the greater
+    # doc's bucket is small, and to branch 2 when a side is short)
+    pa = base.select(
+        F.col("doc_id").alias("left_id"),
+        F.col("prefix").alias("prefix_a"),
+        *[F.col(c).alias(f"{c}_a") for c in fvc],
+    )
+    pb = base.select(
+        F.col("doc_id").alias("right_id"),
+        "lang",
+        F.col("bucket").alias("jbucket"),
+        F.col("prefix").alias("prefix_b"),
+        *[F.col(c).alias(f"{c}_b") for c in fvc],
+    )
+    big_full_pairs = (
+        cand.join(pb, "right_id")
+        .join(F.broadcast(big_keys), ["lang", "jbucket"], "semi")
+        .join(pa, "left_id")
+    )
+
+    return (
+        _verify(small_pairs)
+        .unionByName(_verify(big_short_pairs))
+        .unionByName(_verify(big_full_pairs))
     )
 
 

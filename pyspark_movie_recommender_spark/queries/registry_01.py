@@ -2481,15 +2481,23 @@ def levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion recovers pairs straddling a bucket boundary (len 49 vs 51)
     that plain blocking silently drops. Complements the set-based
     near-dup family (MinHash/SimHash/Jaccard) with an order-sensitive
-    measure. See operators/dedup.py blocked_levenshtein_pairs for the
-    distributed shape.
+    measure.
+
+    Round 5: routed through ``adaptive_levenshtein_pairs`` — a tiny
+    (lang, bucket) census sends each join key to the block join while
+    its bucket±1 population stays under the measured crossover
+    (a_pop <= 20k) and to the lossless PassJoin segment join beyond it,
+    so the block join's within-block quadratic term is BOUNDED by the
+    cap instead of growing with the corpus (the former watch item). At
+    driver scales every key routes to the block join; the oracle is
+    unchanged because routing is an exact partition of the pair set.
     """
     from pyspark_movie_recommender_spark.operators.dedup import (
-        blocked_levenshtein_pairs,
+        adaptive_levenshtein_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return blocked_levenshtein_pairs(docs)
+    return adaptive_levenshtein_pairs(docs)
 
 
 @query(

@@ -930,3 +930,45 @@ def test_segmented_levenshtein_equals_block_join(spark, sf_oracle_dir):
     a = {tuple(r) for r in blocked_levenshtein_pairs(docs).collect()}
     b = {tuple(r) for r in segmented_levenshtein_pairs(docs).collect()}
     assert a and a == b
+
+
+def test_adaptive_levenshtein_routing_is_exact_partition(spark, sf_oracle_dir):
+    # per-key routing must be LOSSLESS at every cap: cap=0 sends every
+    # key to the PassJoin branches, tiny caps mix both paths (keys near
+    # the block-size median split), huge caps reproduce the pure block
+    # join — all must return the identical pair set with distances
+    from pyspark_movie_recommender_spark.operators.dedup import (
+        adaptive_levenshtein_pairs,
+        blocked_levenshtein_pairs,
+    )
+    from pyspark_movie_recommender_spark.sources import load_table
+
+    docs = load_table(spark, sf_oracle_dir, "documents")
+    want = {tuple(r) for r in blocked_levenshtein_pairs(docs).collect()}
+    assert want
+    for cap in (0, 60, 10_000_000):
+        got = {
+            tuple(r)
+            for r in adaptive_levenshtein_pairs(docs, block_cap=cap).collect()
+        }
+        assert got == want, f"cap={cap}"
+    # short-prefix docs route through the big-key short branch when
+    # their key is oversized — pin that edge with a literal corpus
+    rows = [
+        (1, "en", "hello world", 11),
+        (2, "en", "hello worle", 11),
+        (3, "en", "x" * 45, 45),
+        (4, "en", "x" * 44 + "y", 45),
+        (5, "en", "hello wxrld", 11),
+        (6, "fr", "bonjour", 7),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    )
+    want2 = {tuple(r) for r in blocked_levenshtein_pairs(sdf).collect()}
+    for cap in (0, 2, 100):
+        got2 = {
+            tuple(r)
+            for r in adaptive_levenshtein_pairs(sdf, block_cap=cap).collect()
+        }
+        assert got2 == want2, f"short-mix cap={cap}"
