@@ -917,6 +917,64 @@ def test_order_stats_grp_rank_rejects_float_groups(spark):
         ).collect()
 
 
+def test_order_stats_grp_rank_rejects_control_char_groups(spark):
+    # "\x00" joins the composite bucket/group key and "\x01<null>" is
+    # the NULL sentinel — a group VALUE containing either would silently
+    # mis-key the offset map, so it must error like the float case
+    import pytest as _pytest
+
+    from pyspark_movie_recommender_spark.operators.rank import (
+        distributed_order_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "bad\x00key")], "k long, grp string"
+    )
+    with _pytest.raises(ValueError, match="x00"):
+        distributed_order_stats(
+            df, "k", ["k"], n_buckets=2, grp_col="grp", grp_rank_col="gr"
+        ).collect()
+
+
+def test_table_row_hint_matches_actual_counts(spark, sf_oracle_dir):
+    # the parquet-footer row hint must agree with a real count — it
+    # sizes knobs (LSH band width) without triggering a Spark job
+    from pyspark_movie_recommender_spark.sources.tables import (
+        load_table as _lt,
+        table_row_hint,
+    )
+
+    for t in ("embeddings", "nation"):
+        assert table_row_hint(sf_oracle_dir, t) == _lt(spark, sf_oracle_dir, t).count()
+
+
+def test_ckpt_registry_fail_closed_and_scoped(spark, sf_oracle_dir):
+    # unknown RDD-backed relations audit as NOT reduced (fail-closed);
+    # ckpt'd aggregates audit as reduced; createDataFrame literals are
+    # recognized structurally (ParallelCollectionRDD roots), not by
+    # registry absence. The fact must be a parquet scan — spark.range
+    # is a small-by-construction leaf and classifies reduced by design.
+    from pyspark_movie_recommender_spark.operators.lineage import (
+        ckpt,
+        ckpt_registry,
+    )
+    from pyspark_movie_recommender_spark.plans import subtree_reduced
+    from pyspark_movie_recommender_spark.sources import load_table as _lt
+
+    fact = _lt(spark, sf_oracle_dir, "documents").withColumn(
+        "v", F.col("doc_id") % 7
+    )
+    ck_fact = ckpt(fact)
+    assert subtree_reduced(ck_fact._jdf.queryExecution().optimizedPlan()) is False
+    ck_agg = ckpt(fact.groupBy("v").count())
+    assert subtree_reduced(ck_agg._jdf.queryExecution().optimizedPlan()) is True
+    lit = spark.createDataFrame([(1,), (2,)], "k long")
+    assert subtree_reduced(lit._jdf.queryExecution().optimizedPlan()) is True
+    # registry is scoped to this application's id
+    reg = ckpt_registry(spark.sparkContext)
+    assert reg and all(isinstance(k, int) for k in reg)
+
+
 def test_segmented_levenshtein_equals_block_join(spark, sf_oracle_dir):
     # the PassJoin pigeonhole prefilter is LOSSLESS: both paths must
     # return the identical pair set with identical distances

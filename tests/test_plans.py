@@ -864,6 +864,35 @@ def test_registry_slice_no_fact_sized_windows(spark, sf_dir):
     assert not offenders, f"fact-sized global windows (slice {k}): {offenders}"
 
 
+def test_adaptive_levenshtein_routes_by_block_population(spark, sf_dir):
+    """The round-5 router's two regimes, pinned as PLAN shapes:
+
+    - natural profile (every a_pop under the cap): the plan must be the
+      plain block join — no segment-explode machinery, no distinct over
+      candidates, no union of branches;
+    - oversized profile: the plan must contain the PassJoin segment
+      join (Expand/explode over segment structs + the candidate
+      distinct) UNIONed with the small-key block branch.
+    """
+    from pyspark_movie_recommender_spark.operators.dedup import (
+        adaptive_levenshtein_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # natural: cap far above any key -> byte-identical block join
+    plan = physical_plan(adaptive_levenshtein_pairs(docs, block_cap=10_000_000))
+    assert "Union" not in plan
+    assert "HashAggregate" not in plan  # the candidate distinct
+    assert "levenshtein" in plan
+    # forced: cap 0 -> every key big -> union with the segment branch
+    plan_big = physical_plan(adaptive_levenshtein_pairs(docs, block_cap=0))
+    assert "Union" in plan_big
+    assert "HashAggregate" in plan_big  # candidate distinct present
+    # both regimes broadcast the tiny routing key tables, never shuffle
+    # the corpus against them
+    assert "BroadcastExchange" in plan_big
+
+
 def test_mattson_segmented_scan_shape(spark, sf_dir):
     # round-4 rewrite: reuse distances come from a cogrouped Arrow
     # segmented scan, NOT a sum-of-gaps candidate join — pin the
