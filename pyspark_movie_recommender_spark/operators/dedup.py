@@ -415,7 +415,7 @@ def adaptive_levenshtein_pairs(
     bucket_size: int = 50,
     prefix_len: int = 40,
     max_dist: int = 8,
-    block_cap: int = 20_000,
+    block_cap: int = 40_000,
     freq_prefilter: bool = False,
 ) -> DataFrame:
     """Edit-distance near-dups with PER-KEY routing between the block
@@ -443,11 +443,19 @@ def adaptive_levenshtein_pairs(
     vs 107s at 5 blocks of 10k (a_pop~30k), >45 MINUTES (killed) vs
     316s at 2 blocks of 25k (a_pop~75k — key skew additionally
     collapses the block join's parallelism to the giant keys). The
-    crossover sits at a_pop 20-30k; the default cap is its lower edge.
-    At the natural sf1 profile (max block 2.4k, a_pop <= 7k) every key
-    routes to the block join, preserving the measured-faster plan. At
-    100 TB this routing is what keeps the operator alive on corpora
-    whose (lang, length-bucket) profile concentrates.
+    ROUTER itself costs ~40% at the boundary (end-to-end at a_pop~30k:
+    149s routed vs 115s pure block — persist, census, the three-branch
+    union), so the cap sits ABOVE the raw-path toss-up zone, at the
+    point where segmented wins decisively even with router overhead.
+    End-to-end receipts at the default cap: a_pop~15k routes block at
+    67.9s (pure block 63-68s); a_pop~75k routes segmented at a
+    MEASURED 279s (vs pure segmented 316s — the router's big-key doc
+    restriction prunes the explode inputs — and vs >2700s block:
+    a >=9.7x win), identical row counts throughout. At the natural sf1 profile
+    (max block 2.4k, a_pop <= 7k) every key routes to the block join,
+    preserving the measured-faster plan. At 100 TB this routing is
+    what keeps the operator alive on corpora whose
+    (lang, length-bucket) profile concentrates.
 
     Short-prefix docs (< prefix_len, where the fixed segment layout
     doesn't apply) pair via a short×block join on both routes; the

@@ -2486,7 +2486,7 @@ def levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 5: routed through ``adaptive_levenshtein_pairs`` — a tiny
     (lang, bucket) census sends each join key to the block join while
     its bucket±1 population stays under the measured crossover
-    (a_pop <= 20k) and to the lossless PassJoin segment join beyond it,
+    (a_pop <= 40k) and to the lossless PassJoin segment join beyond it,
     so the block join's within-block quadratic term is BOUNDED by the
     cap instead of growing with the corpus (the former watch item). At
     driver scales every key routes to the block join; the oracle is
