@@ -38,6 +38,15 @@ def get_spark(
         cpus = (os.cpu_count() or 8) if _CPUS == "*" else int(_CPUS)
         shuffle_partitions = max(int(cpus), 8)
 
+    # transformWithState speaks protobuf in every Python process Spark
+    # spawns; wire the bundled runtime into PYTHONPATH BEFORE the JVM
+    # launches (no-op, zero env change, where no runtime exists).
+    from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
+        enable_for_workers,
+    )
+
+    enable_for_workers()
+
     builder = (
         SparkSession.builder.master(f"local[{_CPUS}]")
         .appName(app_name)

@@ -240,6 +240,50 @@ def _run_updates_to_parquet(
     q.awaitTermination()
 
 
+def _read_update_log(spark: SparkSession, sink_dir: str, schema_ddl: str) -> DataFrame:
+    """Read the foreachBatch parquet log, tolerating a sink that never
+    materialized: an availableNow pass over an empty source dir runs
+    zero micro-batches, foreachBatch never fires, and the path does not
+    exist — that is an empty log, not an error."""
+    if not os.path.isdir(sink_dir):
+        return spark.createDataFrame([], schema_ddl)
+    return spark.read.parquet(sink_dir)
+
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class _rocksdb_state_store:
+    """Scope the RocksDB state-store provider to one streaming run.
+
+    transformWithState requires RocksDB, but setting the provider
+    session-wide would silently switch it for every LATER stateful
+    stream in the session — a checkpoint-compatibility hazard for
+    checkpoints created under the default (HDFS-backed) provider. The
+    conf is read at query START, so set-around-start/restore-after is
+    sufficient scoping.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._prior: str | None = None
+
+    def __enter__(self):
+        self._prior = self._spark.conf.get(_PROVIDER_KEY, None)
+        self._spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prior is None:
+            self._spark.conf.unset(_PROVIDER_KEY)
+        else:
+            self._spark.conf.set(_PROVIDER_KEY, self._prior)
+        return False
+
+
 def running_user_totals_resumable(
     spark: SparkSession,
     source_dir: str,
@@ -272,7 +316,11 @@ def running_user_totals_resumable(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     _run_updates_to_parquet(out, sink_dir, checkpoint_dir)
-    log = spark.read.parquet(sink_dir)
+    log = _read_update_log(
+        spark,
+        sink_dir,
+        "user_id bigint, n_events bigint, total_value double, batch_id bigint",
+    )
     return log.groupBy("user_id").agg(
         F.expr("max_by(n_events, batch_id)").alias("n_events"),
         F.expr("max_by(total_value, batch_id)").alias("total_value"),
@@ -294,14 +342,17 @@ def user_peaks_tws_resumable(
     (and CI) records the gate as fired and the applyInPandasWithState
     twin covers the resume semantics.
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
+        enable_for_workers,
+    )
+
+    _pb_reason = enable_for_workers()
+    if _pb_reason is not None:
         raise ImportError(
-            "transformWithStateInPandas requires the protobuf package "
-            "(pip install protobuf); use running_user_totals_resumable "
-            "(applyInPandasWithState) where it is unavailable"
-        ) from e
+            "transformWithStateInPandas requires the protobuf package; "
+            "use running_user_totals_resumable (applyInPandasWithState) "
+            "where it is unavailable — " + _pb_reason
+        )
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -329,10 +380,6 @@ def user_peaks_tws_resumable(
         def close(self) -> None:
             pass
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     ev = (
         spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
@@ -345,8 +392,13 @@ def user_peaks_tws_resumable(
         outputMode="Update",
         timeMode="None",
     )
-    _run_updates_to_parquet(out, sink_dir, checkpoint_dir)
-    log = spark.read.parquet(sink_dir)
+    with _rocksdb_state_store(spark):
+        _run_updates_to_parquet(out, sink_dir, checkpoint_dir)
+    log = _read_update_log(
+        spark,
+        sink_dir,
+        "user_id bigint, n_events bigint, peak_value double, batch_id bigint",
+    )
     return log.groupBy("user_id").agg(
         F.expr("max_by(n_events, batch_id)").alias("n_events"),
         F.expr("max_by(peak_value, batch_id)").alias("peak_value"),
@@ -369,18 +421,22 @@ def user_peaks_transform_with_state(
     past executor memory (the 100 TB-stream requirement).
 
     Gated: the TWS protocol speaks protobuf between the JVM and the
-    Python driver worker; raises ImportError with guidance when
-    ``google.protobuf`` is absent (this container ships without it —
-    tests skip, the applyInPandasWithState twin covers the semantics).
+    Python driver worker; raises ImportError with guidance when no
+    ``google.protobuf`` runtime can be wired up (protobuf_compat first
+    tries the container's bundled pure-Python runtime — with it, this
+    path runs for real and the stream≡batch test pins it).
     """
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
+        enable_for_workers,
+    )
+
+    _pb_reason = enable_for_workers()
+    if _pb_reason is not None:
         raise ImportError(
-            "transformWithStateInPandas requires the protobuf package "
-            "(pip install protobuf); use running_user_totals_stream "
-            "(applyInPandasWithState) where it is unavailable"
-        ) from e
+            "transformWithStateInPandas requires the protobuf package; "
+            "use running_user_totals_stream (applyInPandasWithState) "
+            "where it is unavailable — " + _pb_reason
+        )
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import (
@@ -420,10 +476,6 @@ def user_peaks_transform_with_state(
         def close(self) -> None:
             pass
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
     out = ev.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserPeaks(),
@@ -431,7 +483,8 @@ def user_peaks_transform_with_state(
         outputMode="Update",
         timeMode="None",
     )
-    _run_to_table(out, query_name, "update")
+    with _rocksdb_state_store(spark):
+        _run_to_table(out, query_name, "update")
     return spark.table(query_name)
 
 
@@ -749,12 +802,20 @@ def running_user_stats_tws(
     the batch aggregate — the stream≡batch equivalence test pins it.
 
     Environment gate: the transformWithState protocol speaks protobuf
-    between JVM and the Python driver worker; containers without
-    `google.protobuf` raise ImportError here (the test skips). The
-    applyInPandasWithState twin (user_peaks_transform_with_state)
-    carries the stateful-processing correctness burden everywhere.
+    between JVM and the Python driver worker; raises ImportError only
+    when protobuf_compat can wire up no runtime at all (this container
+    carries a bundled pure-Python one, so the path runs for real).
     """
-    from google.protobuf import descriptor as _descriptor  # noqa: F401 - gate
+    from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
+        enable_for_workers,
+    )
+
+    _pb_reason = enable_for_workers()
+    if _pb_reason is not None:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package — "
+            + _pb_reason
+        )
 
     import pandas as pd
 
@@ -797,4 +858,5 @@ def running_user_stats_tws(
         outputMode="Update",
         timeMode="None",
     )
-    _run_to_table(out, query_name, "update")
+    with _rocksdb_state_store(spark):
+        _run_to_table(out, query_name, "update")

@@ -1,0 +1,177 @@
+"""Make ``google.protobuf`` available for transformWithState.
+
+Spark 4's ``transformWithStateInPandas`` (SPARK-46815) speaks protobuf
+between the JVM and three kinds of Python processes: the driver, the
+schema-validation "driver worker" the JVM forks at query start, and the
+executor-side UDF workers. All three import
+``pyspark.sql.streaming.proto.StateMessage_pb2``, which needs the
+``google.protobuf`` runtime — a package this container does not ship.
+
+The container DOES ship a complete pure-Python protobuf runtime (6.32.0,
+Apache-2.0) inside the Google Cloud SDK's bundled App Engine platform.
+This module makes it importable, with two corrections discovered the
+hard way:
+
+1. **Namespace-package false positive.** Spark's worker PYTHONPATH puts
+   ``spark-core_*.jar`` on ``sys.path``; the jar carries
+   ``google/protobuf/*.proto`` RESOURCE files, so a bare
+   ``import google.protobuf`` "succeeds" as an empty namespace package
+   ("unknown location") and then ``from google.protobuf import
+   descriptor`` explodes inside the TWS driver worker. The probe must
+   therefore import a concrete submodule, and a failed probe must purge
+   the cached namespace modules before retrying — a regular package
+   (one with ``__init__.py``) beats a namespace portion regardless of
+   ``sys.path`` order, so appending the candidate dir at the END is
+   safe and cannot shadow site-packages.
+
+2. **Gencode/runtime version policy.** PySpark 4.1's generated
+   ``StateMessage_pb2`` declares gencode 6.33.0; the bundled runtime is
+   6.32.0, and ``runtime_version.ValidateProtobufRuntimeVersion`` hard-
+   fails on runtime < gencode even within a major version. The wire
+   format and the ``internal.builder`` API the gencode uses are stable
+   within a major, so we wrap the validator to downgrade exactly that
+   case (same PUBLIC domain, same major) to a pass; any other mismatch
+   still raises. The end-to-end proof is the TWS suite itself: the
+   stream≡batch equality tests in ``tests/test_streaming.py`` run the
+   full protobuf protocol against the JVM state server.
+
+Worker processes can't be monkeypatched from the driver, so the same
+logic ships as a ``sitecustomize.py`` shim (``_pb_shim/``) that Python
+auto-imports at interpreter start when its directory is on PYTHONPATH;
+:func:`enable_for_workers` wires that up before the JVM launches.
+
+Everything here is stdlib-only and loadable by file path (the shim
+imports it without the package being importable in the worker).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import warnings
+
+# Known pure-Python google.protobuf runtimes on this container, probed in
+# order. SPARK_GRAFT_PROTOBUF_DIR overrides for other machines (it must
+# contain google/protobuf/__init__.py).
+_CANDIDATE_DIRS = [
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+]
+
+_SHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_pb_shim")
+
+
+def _probe() -> bool:
+    """True iff a REAL protobuf runtime is importable.
+
+    A concrete-submodule import defeats the namespace-package false
+    positive (correction 1 in the module docstring).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _purge_namespace_modules() -> None:
+    """Drop cached ``google*`` modules so a retry re-resolves packages.
+
+    After a failed probe, ``sys.modules`` may hold ``google`` /
+    ``google.protobuf`` as namespace packages assembled from jar
+    resources; their ``__path__`` would never pick up a regular package
+    appended to ``sys.path`` later, so the cache must go.
+    """
+    for name in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+        del sys.modules[name]
+
+
+def _patch_runtime_version() -> None:
+    """Tolerate runtime < gencode within the same PUBLIC major.
+
+    6.32 runtime vs 6.33 gencode (correction 2). No-op when the
+    installed protobuf has no runtime_version module (pre-5.x) or is
+    already patched; any cross-major or non-PUBLIC mismatch still
+    raises exactly as upstream would.
+    """
+    try:
+        from google.protobuf import runtime_version as rv
+    except ImportError:
+        return
+    if getattr(rv.ValidateProtobufRuntimeVersion, "_spark_graft_lenient", False):
+        return
+    orig = rv.ValidateProtobufRuntimeVersion
+
+    def lenient(domain, major, minor, patch, suffix, location):
+        try:
+            orig(domain, major, minor, patch, suffix, location)
+        except rv.VersionError:
+            if domain != rv.Domain.PUBLIC or major != rv.MAJOR:
+                raise
+            warnings.warn(
+                "protobuf gencode %d.%d.%d is newer than the runtime "
+                "%d.%d.%d; proceeding (same major, wire-compatible)"
+                % (major, minor, patch, rv.MAJOR, rv.MINOR, rv.PATCH),
+                stacklevel=2,
+            )
+
+    lenient._spark_graft_lenient = True
+    rv.ValidateProtobufRuntimeVersion = lenient
+
+
+def ensure_protobuf() -> str | None:
+    """Make ``google.protobuf`` importable in THIS process.
+
+    Returns None on success, else a one-line reason string (the gate
+    message the streaming audit records). Idempotent and cheap when a
+    real protobuf is already importable.
+    """
+    if _probe():
+        _patch_runtime_version()
+        return None
+    candidates = []
+    env_dir = os.environ.get("SPARK_GRAFT_PROTOBUF_DIR")
+    if env_dir:
+        candidates.append(env_dir)
+    candidates.extend(_CANDIDATE_DIRS)
+    tried = []
+    for cand in candidates:
+        init = os.path.join(cand, "google", "protobuf", "__init__.py")
+        if not os.path.isfile(init):
+            tried.append(cand)
+            continue
+        if cand not in sys.path:
+            sys.path.append(cand)
+        _purge_namespace_modules()
+        if _probe():
+            _patch_runtime_version()
+            return None
+        tried.append(cand)
+    return (
+        "google.protobuf unavailable: no installed runtime and no usable "
+        "bundled runtime (tried %s)" % (tried or ["<none>"])
+    )
+
+
+def enable_for_workers() -> str | None:
+    """Ensure protobuf here AND in every Python process Spark spawns.
+
+    Prepends the ``_pb_shim`` directory (whose ``sitecustomize.py``
+    replays :func:`ensure_protobuf` at interpreter start) to
+    ``os.environ['PYTHONPATH']``. Must run BEFORE the JVM launches:
+    the TWS driver worker and the executor daemons inherit PYTHONPATH
+    from the JVM, which inherits it from this process at
+    ``getOrCreate`` time. Returns :func:`ensure_protobuf`'s reason
+    (None on success); the PYTHONPATH edit is skipped when no runtime
+    could be found, so containers without one see zero behavior change.
+    """
+    reason = ensure_protobuf()
+    if reason is not None:
+        return reason
+    existing = os.environ.get("PYTHONPATH", "")
+    parts = existing.split(os.pathsep) if existing else []
+    if _SHIM_DIR not in parts:
+        os.environ["PYTHONPATH"] = (
+            _SHIM_DIR + (os.pathsep + existing if existing else "")
+        )
+    return None

@@ -1,0 +1,134 @@
+"""protobuf_compat: the layer that un-gates transformWithState.
+
+The TWS protocol needs ``google.protobuf`` in the driver, the JVM's
+schema-validation driver worker, and the executor UDF workers. These
+tests pin the three mechanisms that make that work on a container
+without an installed protobuf:
+
+1. driver-side ``ensure_protobuf`` (bundled-runtime discovery + the
+   namespace-package false-positive defense),
+2. the lenient gencode/runtime validator (same-PUBLIC-major only),
+3. the ``_pb_shim/sitecustomize.py`` that replays the fix in worker
+   processes via PYTHONPATH.
+
+The end-to-end proof lives in tests/test_streaming.py (the TWS
+stream≡batch equalities); these are the unit contracts.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from pyspark_movie_recommender_spark.streaming import protobuf_compat as pc
+
+SHIM_DIR = os.path.join(os.path.dirname(pc.__file__), "_pb_shim")
+COMPAT_PATH = pc.__file__
+
+
+def test_ensure_protobuf_succeeds_on_this_container():
+    assert pc.ensure_protobuf() is None
+    from google.protobuf import descriptor  # noqa: F401
+    import google.protobuf as gp
+
+    # a REAL runtime, not a namespace shell
+    assert getattr(gp, "__version__", None)
+
+
+def test_lenient_validator_scopes_to_same_public_major():
+    assert pc.ensure_protobuf() is None
+    from google.protobuf import runtime_version as rv
+
+    assert getattr(rv.ValidateProtobufRuntimeVersion, "_spark_graft_lenient", False)
+    # newer gencode, same major: tolerated (this is the 6.33-vs-6.32 case)
+    with pytest.warns(UserWarning, match="newer than the runtime"):
+        rv.ValidateProtobufRuntimeVersion(
+            rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, "", "unit-test"
+        )
+    # cross-major gencode: still a hard error, exactly as upstream
+    with pytest.raises(rv.VersionError):
+        rv.ValidateProtobufRuntimeVersion(
+            rv.Domain.PUBLIC, rv.MAJOR + 1, 0, 0, "", "unit-test"
+        )
+
+
+def test_enable_for_workers_prepends_shim_once(monkeypatch):
+    monkeypatch.setenv("PYTHONPATH", "/some/existing/entry")
+    assert pc.enable_for_workers() is None
+    parts = os.environ["PYTHONPATH"].split(os.pathsep)
+    assert parts[0] == pc._SHIM_DIR
+    assert "/some/existing/entry" in parts
+    # idempotent: a second call must not duplicate the entry
+    assert pc.enable_for_workers() is None
+    assert os.environ["PYTHONPATH"].split(os.pathsep).count(pc._SHIM_DIR) == 1
+
+
+def test_namespace_false_positive_defense(tmp_path):
+    """Reproduce the spark-core-jar failure: a sys.path entry carrying
+    ``google/protobuf/`` WITHOUT ``__init__.py`` makes the bare import
+    'succeed' as an empty namespace package. ensure_protobuf must see
+    through that and still wire up a real runtime in a fresh process."""
+    decoy = tmp_path / "decoy" / "google" / "protobuf"
+    decoy.mkdir(parents=True)
+    (decoy / "descriptor.proto").write_text("// resource file, not code\n")
+    script = textwrap.dedent(
+        """
+        import importlib.util, sys
+        import google.protobuf  # namespace shell from the decoy: imports fine
+        assert not hasattr(google.protobuf, "__version__")
+        spec = importlib.util.spec_from_file_location("pc", sys.argv[1])
+        pc = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pc)
+        assert pc.ensure_protobuf() is None, "compat must recover from the decoy"
+        from google.protobuf import descriptor  # noqa: F401
+        import google.protobuf as gp
+        print("RECOVERED", gp.__version__)
+        """
+    )
+    env = {**os.environ, "PYTHONPATH": str(tmp_path / "decoy")}
+    proc = subprocess.run(
+        [sys.executable, "-c", script, COMPAT_PATH],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    if "no usable bundled runtime" in proc.stdout + proc.stderr:
+        pytest.skip("no protobuf runtime available on this machine at all")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "RECOVERED" in proc.stdout
+
+
+def test_sitecustomize_shim_fixes_fresh_interpreters():
+    """With the shim dir on PYTHONPATH — exactly what enable_for_workers
+    arranges for Spark's worker processes — a fresh interpreter can
+    import the protobuf submodules TWS needs with no explicit setup."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from google.protobuf import descriptor, symbol_database\n"
+            "from google.protobuf.internal import builder\n"
+            "print('SHIM_OK')",
+        ],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "PYTHONPATH": SHIM_DIR},
+    )
+    if proc.returncode != 0 and pc.ensure_protobuf() is not None:
+        pytest.skip("no protobuf runtime available on this machine at all")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SHIM_OK" in proc.stdout
+
+
+def test_gate_reason_is_accurate_when_no_runtime(tmp_path, monkeypatch):
+    """When discovery genuinely finds nothing, the gate reason must say
+    so (this string is what STREAMING_r{N}.json records as the skip)."""
+    monkeypatch.setattr(pc, "_CANDIDATE_DIRS", [str(tmp_path / "nowhere")])
+    monkeypatch.delenv("SPARK_GRAFT_PROTOBUF_DIR", raising=False)
+    monkeypatch.setattr(pc, "_probe", lambda: False)
+    reason = pc.ensure_protobuf()
+    assert reason is not None and "google.protobuf unavailable" in reason

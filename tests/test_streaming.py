@@ -20,6 +20,20 @@ def rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _require_protobuf():
+    """Gate for transformWithState tests: protobuf_compat wires up the
+    container's bundled pure-Python runtime (and the worker-side shim),
+    so on this container the TWS paths RUN; the skip fires only where
+    no runtime exists at all, and carries the compat layer's reason."""
+    from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
+        enable_for_workers,
+    )
+
+    reason = enable_for_workers()
+    if reason is not None:
+        pytest.skip(reason)
+
+
 def test_tumbling_stream_equals_batch(spark, sf_dir):
     stream = tumbling_window_stream(
         spark, sf_dir, query_name="t_tumble_eq", output_mode="complete"
@@ -119,9 +133,7 @@ def test_tws_resume_from_checkpoint(spark, sf_dir, tmp_path):
     """transformWithStateInPandas resume twin of the test above —
     protobuf-gated like every TWS path (the audit artifact records
     whether this container fired the gate)."""
-    pytest.importorskip(
-        "google.protobuf", reason="transformWithState speaks protobuf"
-    )
+    _require_protobuf()
     from pyspark.sql import functions as F
 
     from pyspark_movie_recommender_spark.streaming.jobs import (
@@ -272,9 +284,7 @@ def _events_stream_for_test(spark, sf_dir):
 
 
 def test_transform_with_state_peaks_match_batch(spark, sf_dir):
-    pytest.importorskip(
-        "google.protobuf", reason="transformWithState speaks protobuf"
-    )
+    _require_protobuf()
     from pyspark.sql import functions as F
 
     from pyspark_movie_recommender_spark.streaming.jobs import (
@@ -537,14 +547,9 @@ def test_cdc_upsert_stream_equals_batch_latest(spark, sf_dir):
 
 def test_transform_with_state_running_stats(spark, sf_dir):
     """Spark 4 transformWithStateInPandas: last emitted row per user
-    equals the batch aggregate. Skips where the protobuf dependency of
-    the transformWithState protocol is absent (this container)."""
-    import pytest
-
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable - transformWithState gated")
+    equals the batch aggregate. Skips only where no protobuf runtime
+    can be wired up (protobuf_compat bundles one on this container)."""
+    _require_protobuf()
 
     import pyspark.sql.functions as F
 
