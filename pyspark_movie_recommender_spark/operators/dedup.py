@@ -417,6 +417,7 @@ def adaptive_levenshtein_pairs(
     max_dist: int = 8,
     block_cap: int = 40_000,
     freq_prefilter: bool = False,
+    row_hint: int | None = None,
 ) -> DataFrame:
     """Edit-distance near-dups with PER-KEY routing between the block
     join and the PassJoin segmented path — the round-5 fix that BOUNDS
@@ -461,9 +462,38 @@ def adaptive_levenshtein_pairs(
     doesn't apply) pair via a short×block join on both routes; the
     short side is a corpus-dependent minority, so that term stays
     linear in |short| × block population.
+
+    ``row_hint`` (round-6, same pattern as the LSH band width fix):
+    a driver-known upper bound on the corpus row count — parquet
+    footer metadata via ``table_row_hint``, or catalog statistics on
+    a real cluster. A join key's a-side population can never exceed
+    the total corpus, so ``row_hint <= block_cap`` proves no key is
+    oversized WITHOUT running the census: plan construction triggers
+    zero Spark jobs (plan dumps, audits, and every at-or-below-cap
+    corpus stay job-free). Above the hint — or with no hint — the
+    eager census aggregate runs exactly as before (a priced cold-path
+    action, ~0.3 s at sf0.1). When routing does engage, ``base`` is
+    persisted via ``track`` for the branches' shared scans; the
+    persist lives until the caller's session-level
+    ``cache.release_all()`` (bench/tests) or executor-memory eviction
+    — it is bounded by the projected (id, lang, bucket, prefix)
+    width, not the full document width.
     """
     from pyspark_movie_recommender_spark.operators.cache import track
     from pyspark_movie_recommender_spark.operators.lineage import ckpt
+
+    if row_hint is not None and row_hint <= block_cap:
+        return blocked_levenshtein_pairs(
+            docs,
+            text_col,
+            id_col,
+            lang_col,
+            len_col,
+            bucket_size,
+            prefix_len,
+            max_dist,
+            freq_prefilter,
+        )
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -81,7 +81,9 @@ _SMALL_LEAVES = frozenset({"LocalRelation", "OneRowRelation", "Range"})
 # must be short. A category isin on a status/flag column therefore
 # does NOT exempt its subtree.
 _IN_LIST_MAX = 32
-_KEYISH_SUFFIXES = ("key", "_id", "id")
+# Whole-token key suffixes only: a bare "id" suffix would fail-open on
+# non-key columns like "valid"/"paid"/"bid" (round-5 advice).
+_KEYISH_SUFFIXES = ("key", "_id")
 
 
 def _strip_cast(expr):
@@ -102,7 +104,8 @@ def _keyish_attr(expr) -> bool:
     e = _strip_cast(expr)
     if e.getClass().getSimpleName() != "AttributeReference":
         return False
-    return e.name().lower().endswith(_KEYISH_SUFFIXES)
+    name = e.name().lower()
+    return name == "id" or name.endswith(_KEYISH_SUFFIXES)
 
 
 def _pinned_in_filter(cond) -> bool:

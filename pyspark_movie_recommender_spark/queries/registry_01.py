@@ -2491,13 +2491,22 @@ def levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap instead of growing with the corpus (the former watch item). At
     driver scales every key routes to the block join; the oracle is
     unchanged because routing is an exact partition of the pair set.
+
+    Round 6: the routing decision is sized from parquet FOOTER row
+    counts (``table_row_hint``) — corpus <= cap proves no key can be
+    oversized, so plan construction runs zero Spark jobs at bench
+    scales (the census action only fires on corpora big enough for
+    routing to matter).
     """
     from pyspark_movie_recommender_spark.operators.dedup import (
         adaptive_levenshtein_pairs,
     )
+    from pyspark_movie_recommender_spark.sources.tables import table_row_hint
 
     docs = load_table(spark, sf_dir, "documents")
-    return adaptive_levenshtein_pairs(docs)
+    return adaptive_levenshtein_pairs(
+        docs, row_hint=table_row_hint(sf_dir, "documents")
+    )
 
 
 @query(

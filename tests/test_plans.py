@@ -5,6 +5,7 @@ query got slower at scale even if answers stay right.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_movie_recommender_spark import queries as Q
@@ -842,10 +843,11 @@ def test_no_fact_sized_unpartitioned_windows(spark, sf_dir):
 def test_registry_slice_no_fact_sized_windows(spark, sf_dir):
     """Registry-WIDE fact_sized == 0 pin, sliced like the oracle suite:
     a rotating ~1/8 of all registered queries per commit-week (pin with
-    SPARK_GRAFT_AUDIT_SLICE=k; the full census is tools_plan_audit.py,
-    recorded per round as PLANAUDIT_r{N}.json). Together with the named
-    reroute pin above this keeps the single-task global-sort cliff out
-    of every plan, not just the 29 rewritten ones."""
+    SPARK_GRAFT_AUDIT_SLICE=k, or SPARK_GRAFT_AUDIT_SLICE=all for the
+    FULL registry — the round runner's gated path, same walk that
+    writes PLANAUDIT_r{N}.json). Together with the named reroute pin
+    above this keeps the single-task global-sort cliff out of every
+    plan, not just the 29 rewritten ones."""
     import os
     import zlib
 
@@ -853,8 +855,12 @@ def test_registry_slice_no_fact_sized_windows(spark, sf_dir):
     from tests.oracle import default_slice
 
     env = os.environ.get("SPARK_GRAFT_AUDIT_SLICE")
-    k = int(env) % 8 if env is not None else default_slice()
-    names = [n for n in sorted(Q.QUERIES) if zlib.crc32(n.encode()) % 8 == k]
+    if env == "all":
+        names = sorted(Q.QUERIES)
+        k = "all"
+    else:
+        k = int(env) % 8 if env is not None else default_slice()
+        names = [n for n in sorted(Q.QUERIES) if zlib.crc32(n.encode()) % 8 == k]
     offenders = {}
     for name in names:
         df = Q.QUERIES[name](spark, sf_dir)
@@ -862,6 +868,42 @@ def test_registry_slice_no_fact_sized_windows(spark, sf_dir):
         if fact_sized:
             offenders[name] = fact_sized
     assert not offenders, f"fact-sized global windows (slice {k}): {offenders}"
+
+
+def test_plan_audit_gate_fails_red(spark, sf_dir, tmp_path, monkeypatch):
+    """The census is a GATE: tools_plan_audit.main() must exit 1 when a
+    fact-sized unpartitioned window appears anywhere in the registry,
+    and exit cleanly when none does. Proven by running the real gate
+    entrypoint against a registry poisoned with the exact anti-pattern
+    the 100 TB contract bans (row_number over the whole fact table in
+    a single task) — no standing offender needs to be committed."""
+    from pyspark.sql import Window
+
+    import tools_plan_audit as tpa
+
+    def poison(s, d):
+        return load_table(s, d, "orders").withColumn(
+            "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+        )
+
+    clean = Q.QUERIES["top_lineitems_global"]
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("SPARK_GRAFT_AUDIT_SLICE", raising=False)
+    monkeypatch.setattr(tpa, "Q", type("Qm", (), {"QUERIES": {"zz_poison": poison}}))
+    monkeypatch.setattr("sys.argv", ["tools_plan_audit.py", "tt"])
+    with pytest.raises(SystemExit) as exc:
+        tpa.main()
+    assert exc.value.code == 1
+    import json
+
+    report = json.loads((tmp_path / "PLANAUDIT_rtt.json").read_text())
+    assert report["fact_sized_total"] >= 1
+    assert "zz_poison" in report["offenders"]
+    # and the same entrypoint stays green on a clean registry
+    monkeypatch.setattr(tpa, "Q", type("Qm", (), {"QUERIES": {"ok": clean}}))
+    tpa.main()  # no SystemExit
+    report = json.loads((tmp_path / "PLANAUDIT_rtt.json").read_text())
+    assert report["fact_sized_total"] == 0 and not report["build_errors"]
 
 
 def test_adaptive_levenshtein_routes_by_block_population(spark, sf_dir):

@@ -1,0 +1,137 @@
+"""Bench-drift tripwire: diff per-query medians across rounds.
+
+Round-5 verdict ask #4: medians now exist under honest names
+(BENCH_MEDIANS_r{N}.json, n=3 fresh-process runs); this tool diffs
+round N against round N-1 and flags any query whose median moved more
+than 1.5x IN EITHER DIRECTION, classifying each mover by whether its
+physical plan changed:
+
+- ``plan_changed``  — the mover has a cause in this round's diff; the
+  round notes should attribute it (intended rewrite or regression).
+- ``plan_same``     — UNEXPLAINED: same plan, >1.5x wall-clock move.
+  Either rig noise beyond the documented +-30% band (rerun medians)
+  or an environmental shift worth recording.
+- ``no_prior_hash`` — first round with recorded hashes; baseline only.
+
+Plan identity is a sha256 over the NORMALIZED formatted physical plan
+(expression ids ``#123``, ``plan_id=``, RDD/subquery ids and scan
+paths stripped — they vary per session, not per code change). Each
+query is built twice and must normalize identically, else its hash is
+recorded as null (unstable) and never used to claim "plan unchanged" —
+the classifier fails toward ``plan_changed``, not away from it.
+
+Writes PLANHASHES_r{N}.json (all bench queries, for the NEXT round's
+compare) and BENCHCOMPARE_r{N}.json (the movers). Exits 1 when an
+unexplained (plan_same) mover exists so the round runner trips.
+
+Usage: python tools_bench_compare.py <round> [prev_round]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_movie_recommender_spark import get_spark
+from pyspark_movie_recommender_spark import queries as Q
+from pyspark_movie_recommender_spark.plans import physical_plan
+
+THRESHOLD = 1.5
+
+_NOISE = [
+    (re.compile(r"#\d+"), "#x"),
+    (re.compile(r"plan_id=\d+"), "plan_id=x"),
+    (re.compile(r"\[id=#?x?\d*\]"), "[id=x]"),
+    (re.compile(r"Scan ExistingRDD\[[^\]]*\]"), "Scan ExistingRDD[x]"),
+    (re.compile(r"ExistingRDD \[[^\]]*\]"), "ExistingRDD [x]"),
+    (re.compile(r"file:[^\s,\]]*"), "file:x"),
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(x)"),
+    (re.compile(r"subquery#?x?\d*", re.IGNORECASE), "subquery#x"),
+    (re.compile(r"cteid=\d+"), "cteid=x"),
+]
+
+
+def normalized_plan_hash(df) -> str:
+    s = physical_plan(df)
+    for pat, rep in _NOISE:
+        s = pat.sub(rep, s)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def stable_hash(spark, sf_dir: str, name: str) -> str | None:
+    """Hash the plan, built twice: a query whose two constructions
+    normalize differently (session-dependent ids the normalizer does
+    not cover, e.g. checkpointed RDD lineage) gets null — unusable for
+    an 'unchanged plan' claim."""
+    try:
+        h1 = normalized_plan_hash(Q.QUERIES[name](spark, sf_dir))
+        h2 = normalized_plan_hash(Q.QUERIES[name](spark, sf_dir))
+    except Exception:  # noqa: BLE001 - record, don't crash the compare
+        return None
+    return h1 if h1 == h2 else None
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "06"
+    prev = sys.argv[2] if len(sys.argv) > 2 else f"{int(rnd) - 1:02d}"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    cur = json.load(open(f"BENCH_MEDIANS_r{rnd}.json"))["queries"]
+    prv = json.load(open(f"BENCH_MEDIANS_r{prev}.json"))["queries"]
+
+    spark = get_spark("bench-compare")
+    bench_names = sorted(set(cur) | set(prv))
+    hashes = {n: stable_hash(spark, sf_dir, n) for n in bench_names if n in Q.QUERIES}
+    with open(f"PLANHASHES_r{rnd}.json", "w") as f:
+        json.dump(hashes, f, indent=2, sort_keys=True)
+
+    prior_hashes: dict[str, str | None] = {}
+    if os.path.exists(f"PLANHASHES_r{prev}.json"):
+        prior_hashes = json.load(open(f"PLANHASHES_r{prev}.json"))
+
+    movers = {}
+    for name in sorted(set(cur) & set(prv)):
+        a, b = prv[name]["median"], cur[name]["median"]
+        if a <= 0 or b <= 0:
+            continue
+        ratio = b / a
+        if max(ratio, 1 / ratio) <= THRESHOLD:
+            continue
+        h_now, h_then = hashes.get(name), prior_hashes.get(name)
+        if not prior_hashes or name not in prior_hashes:
+            cls = "no_prior_hash"
+        elif h_now is not None and h_now == h_then:
+            cls = "plan_same"
+        else:
+            cls = "plan_changed"
+        movers[name] = {
+            "prev_median": a,
+            "cur_median": b,
+            "ratio": round(ratio, 3),
+            "class": cls,
+        }
+
+    out = {
+        "round": rnd,
+        "prev_round": prev,
+        "threshold": THRESHOLD,
+        "movers": movers,
+        "unexplained": sorted(
+            n for n, m in movers.items() if m["class"] == "plan_same"
+        ),
+    }
+    with open(f"BENCHCOMPARE_r{rnd}.json", "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    print(json.dumps(out))
+    if out["unexplained"]:
+        print("UNEXPLAINED MOVERS (same plan, >1.5x):", out["unexplained"])
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,15 @@ def main() -> None:
         json.dump(out, f, indent=2, sort_keys=True)
     print(json.dumps({k: v for k, v in out.items() if k != "build_errors"}))
     print("errors:", len(errors), "->", path)
+    # GATE, not just artifact (round-5 verdict ask #2): the census must
+    # fail red — a fact-sized window anywhere in the registry, or a
+    # query whose plan no longer builds, is a broken 100 TB contract.
+    if total_fact or errors:
+        print(
+            f"PLAN AUDIT FAILED: fact_sized_total={total_fact}, "
+            f"build_errors={len(errors)}"
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
