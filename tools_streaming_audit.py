@@ -87,6 +87,10 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=2, sort_keys=True)
     print(json.dumps({"counts": counts, "exit": proc.returncode}), "->", path)
+    # gate on failures (round-6): a red equivalence check must turn the
+    # round runner red; gated-by-environment rows stay informational
+    if counts["fail"] or proc.returncode not in (0,):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

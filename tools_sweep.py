@@ -69,6 +69,11 @@ def main() -> None:
         json.dump(out, f, indent=2, sort_keys=True)
     print(json.dumps({k: v for k, v in out.items() if k != "failures"}))
     print("failures:", len(failures), "->", path)
+    # gate like tools_plan_audit (round-6): a failed query anywhere in
+    # the registry must turn the round runner red, not just an artifact
+    if failures:
+        print(f"SWEEP FAILED: {sorted(failures)[:10]}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
