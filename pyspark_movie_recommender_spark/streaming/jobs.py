@@ -343,10 +343,10 @@ def user_peaks_tws_resumable(
     twin covers the resume semantics.
     """
     from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
-        enable_for_workers,
+        enable_for_session,
     )
 
-    _pb_reason = enable_for_workers()
+    _pb_reason = enable_for_session(spark)
     if _pb_reason is not None:
         raise ImportError(
             "transformWithStateInPandas requires the protobuf package; "
@@ -427,10 +427,10 @@ def user_peaks_transform_with_state(
     path runs for real and the stream≡batch test pins it).
     """
     from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
-        enable_for_workers,
+        enable_for_session,
     )
 
-    _pb_reason = enable_for_workers()
+    _pb_reason = enable_for_session(spark)
     if _pb_reason is not None:
         raise ImportError(
             "transformWithStateInPandas requires the protobuf package; "
@@ -807,10 +807,10 @@ def running_user_stats_tws(
     carries a bundled pure-Python one, so the path runs for real).
     """
     from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
-        enable_for_workers,
+        enable_for_session,
     )
 
-    _pb_reason = enable_for_workers()
+    _pb_reason = enable_for_session(spark)
     if _pb_reason is not None:
         raise ImportError(
             "transformWithStateInPandas requires the protobuf package — "

@@ -175,3 +175,25 @@ def enable_for_workers() -> str | None:
             _SHIM_DIR + (os.pathsep + existing if existing else "")
         )
     return None
+
+
+def enable_for_session(spark) -> str | None:
+    """:func:`enable_for_workers`, plus coverage for a session whose JVM
+    launched WITHOUT the shim on PYTHONPATH (a foreign builder, not
+    ``get_spark``). Python worker env vars come from
+    ``sc.environment`` at UDF/runner creation time — mutable after
+    launch — so injecting the shim there reaches the TWS driver worker
+    and the executor UDF workers even post-hoc (verified end-to-end:
+    a bare ``SparkSession.builder`` session runs transformWithState
+    green after this call). Returns the gate reason or None."""
+    reason = enable_for_workers()
+    if reason is not None:
+        return reason
+    try:
+        env = spark.sparkContext.environment
+    except Exception:  # pragma: no cover - session without a live sc
+        return None
+    cur = env.get("PYTHONPATH", "")
+    if _SHIM_DIR not in (cur.split(os.pathsep) if cur else []):
+        env["PYTHONPATH"] = _SHIM_DIR + (os.pathsep + cur if cur else "")
+    return None

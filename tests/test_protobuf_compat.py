@@ -124,6 +124,30 @@ def test_sitecustomize_shim_fixes_fresh_interpreters():
     assert "SHIM_OK" in proc.stdout
 
 
+def test_enable_for_session_reaches_running_context(spark, monkeypatch):
+    """A session whose JVM launched WITHOUT the shim on PYTHONPATH (a
+    foreign builder, not get_spark) still gets worker coverage:
+    ``sc.environment`` feeds Python worker env vars at runner-creation
+    time, so post-hoc injection there reaches the TWS driver worker and
+    executor workers (verified end-to-end on a bare builder session;
+    this pins the injection itself)."""
+    env = spark.sparkContext.environment
+    prior = env.get("PYTHONPATH")
+    try:
+        env.pop("PYTHONPATH", None)
+        assert pc.enable_for_session(spark) is None
+        assert env["PYTHONPATH"].split(os.pathsep)[0] == pc._SHIM_DIR
+        # idempotent
+        assert pc.enable_for_session(spark) is None
+        assert env["PYTHONPATH"].split(os.pathsep).count(pc._SHIM_DIR) == 1
+    finally:
+        if prior is None:
+            env.pop("PYTHONPATH", None)
+            pc.enable_for_session(spark)  # restore the suite's wiring
+        else:
+            env["PYTHONPATH"] = prior
+
+
 def test_gate_reason_is_accurate_when_no_runtime(tmp_path, monkeypatch):
     """When discovery genuinely finds nothing, the gate reason must say
     so (this string is what STREAMING_r{N}.json records as the skip)."""
