@@ -338,9 +338,9 @@ def user_peaks_tws_resumable(
     (Spark 4 transformWithStateInPandas + RocksDB state store): same
     arriving-files source and checkpoint contract as
     :func:`running_user_totals_resumable`. Carries the same protobuf
-    gate — where the container lacks ``google.protobuf`` the caller
-    (and CI) records the gate as fired and the applyInPandasWithState
-    twin covers the resume semantics.
+    gate — protobuf_compat wires up the bundled runtime (so this runs
+    for real here); only where NO runtime exists does the gate fire,
+    with the applyInPandasWithState twin covering resume semantics.
     """
     from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
         enable_for_session,

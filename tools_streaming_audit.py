@@ -5,9 +5,10 @@ pytest + junitxml and converts the result into STREAMING_r{N}.json —
 the per-round record the round-4 verdict asked for: which streaming
 job, which equivalence/resume check covers it, and whether the check
 passed, failed, or was GATED (the transformWithState protocol speaks
-protobuf; containers without ``google.protobuf`` skip those tests and
-the artifact records that the gate fired rather than silently thinning
-coverage).
+protobuf; streaming/protobuf_compat.py wires up this container's
+bundled runtime so the TWS checks RUN here — gated rows appear only
+on machines with no runtime at all, recorded rather than silently
+thinning coverage).
 
 Usage: python tools_streaming_audit.py [round_number]
 """
