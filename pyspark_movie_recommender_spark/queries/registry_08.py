@@ -7805,14 +7805,18 @@ def leontief_multipliers_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (SELECT AVG(cs) FROM csums) AS mc,
                (SELECT AVG(rs) FROM rsums) AS mr
     )
-    SELECT CAST(csums.j AS BIGINT) AS region_key,
-           CAST(ROUND(csums.cs / means.mc * 1000) AS BIGINT)
-               AS backward_linkage_milli,
-           CAST(ROUND(rsums.rs / means.mr * 1000) AS BIGINT)
-               AS forward_linkage_milli,
-           CAST(CASE WHEN csums.cs / means.mc > 1 AND rsums.rs / means.mr > 1
+    SELECT region_key, backward_linkage_milli, forward_linkage_milli,
+           CAST(CASE WHEN backward_linkage_milli > 1000
+                      AND forward_linkage_milli > 1000
                 THEN 1 ELSE 0 END AS BIGINT) AS is_key_sector
-    FROM csums JOIN rsums ON rsums.i = csums.j CROSS JOIN means
+    FROM (
+        SELECT CAST(csums.j AS BIGINT) AS region_key,
+               CAST(ROUND(csums.cs / means.mc * 1000) AS BIGINT)
+                   AS backward_linkage_milli,
+               CAST(ROUND(rsums.rs / means.mr * 1000) AS BIGINT)
+                   AS forward_linkage_milli
+        FROM csums JOIN rsums ON rsums.i = csums.j CROSS JOIN means
+    )
     """,
 )
 def hirschman_linkage_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7827,7 +7831,14 @@ def hirschman_linkage_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     if its flows dead-end, which no gross-flow ranking can see.
 
     Determinism: identical series machinery; two sums and one mean
-    normalization, milli-rounded.
+    normalization, milli-rounded. The key-sector flag compares the
+    ROUNDED milli integers, not the raw ratios (round-6 fix): at
+    sf0.01 one region's backward linkage sits exactly at the economy
+    mean, where `cs/mc > 1` is an ulp coin-flip that moves with
+    Spark's partition summation order — the closing suite caught it
+    flipping between runs. Integer milli > 1000 is order-independent
+    in both engines (a milli value's own .5 rounding edge is the
+    suite-wide convention every milli column already accepts).
 
     Scale shape: column/row sums of the 25-cell inverse — free.
     """
@@ -7848,13 +7859,16 @@ def hirschman_linkage_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rs") / F.col("mr") * 1000)
             .cast("long")
             .alias("forward_linkage_milli"),
+        )
+        .withColumn(
+            "is_key_sector",
             F.when(
-                (F.col("cs") / F.col("mc") > 1) & (F.col("rs") / F.col("mr") > 1),
+                (F.col("backward_linkage_milli") > 1000)
+                & (F.col("forward_linkage_milli") > 1000),
                 1,
             )
             .otherwise(0)
-            .cast("long")
-            .alias("is_key_sector"),
+            .cast("long"),
         )
     )
 
