@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_movie_recommender_spark.driver_scalar import scalar_row
+
 
 def _checkpointer(df_example: DataFrame, checkpoint_dir: str | None):
     """Returns a fn that truncates a DataFrame's lineage each round."""
@@ -166,10 +168,13 @@ def connected_components_star(
     )
 
     def fingerprint(df: DataFrame):
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("child", "parent")).alias("chk"),
-        ).collect()[0]
+        row = scalar_row(
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("child", "parent")).alias("chk"),
+            ),
+            "graph.fingerprint",
+        )
         return (row.n, row.chk)
 
     fp = fingerprint(e)

@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark_movie_recommender_spark.driver_scalar import bounded_collect
+
 _BUCKET = "__rank_bucket"
 _LOCAL = "__rank_local"
 
@@ -59,7 +61,11 @@ def distributed_global_rank(
 
     counts = {
         r[_BUCKET]: r["n"]
-        for r in bucketed.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in bounded_collect(
+            bucketed.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("n")),
+            len(bounds) + 1,
+            "rank.bucket_counts",
+        )
     }
     offsets, acc = {}, 0
     for b in sorted(counts):
@@ -160,7 +166,13 @@ def distributed_order_stats(
         F.sum(src).alias(f"__s_{out}") for out, src in cumsum_cols.items()
     ]
     gb = [_BUCKET] + ([grp_col] if grp_col else [])
-    part = bucketed.groupBy(*gb).agg(*aggs).collect()
+    # bound: buckets x grp cardinality; grp_col is contracted to be a
+    # low-cardinality dimension (segments/brands), capped here at 4096
+    part = bounded_collect(
+        bucketed.groupBy(*gb).agg(*aggs),
+        (len(bounds) + 1) * (4096 if grp_col else 1),
+        "rank.bucket_partials",
+    )
 
     # bucket-level exclusive prefixes: row count + each running-sum col
     by_bucket: dict[int, dict[str, float]] = {}
@@ -350,9 +362,11 @@ def distributed_reflected_walk(
     )
     sums = {
         r[_BUCKET]: r["s"]
-        for r in bucketed.groupBy(_BUCKET)
-        .agg(F.sum(val_col).alias("s"))
-        .collect()
+        for r in bounded_collect(
+            bucketed.groupBy(_BUCKET).agg(F.sum(val_col).alias("s")),
+            len(bounds) + 1,
+            "rank.bucket_sums_min",
+        )
     }
     s_off, acc = {}, 0.0
     for b in sorted(sums):
@@ -362,7 +376,11 @@ def distributed_reflected_walk(
     local = bucketed.withColumn("__lc", F.sum(val_col).over(w))
     mins = {
         r[_BUCKET]: s_off[r[_BUCKET]] + r["mn"]
-        for r in local.groupBy(_BUCKET).agg(F.min("__lc").alias("mn")).collect()
+        for r in bounded_collect(
+            local.groupBy(_BUCKET).agg(F.min("__lc").alias("mn")),
+            len(bounds) + 1,
+            "rank.bucket_local_mins",
+        )
     }
     pm, run = {}, None
     for b in sorted(mins):
@@ -437,14 +455,15 @@ def distributed_global_neighbors(
     )
     order_key = F.struct(F.col(key_col), F.col(id_col))
     # last / first marked row per bucket (tiny: ≤ n_buckets rows)
-    edge = (
+    edge = bounded_collect(
         bucketed.filter(F.col(mark_col))
         .groupBy(_BUCKET)
         .agg(
             F.max_by(packed, order_key).alias("__last"),
             F.min_by(packed, order_key).alias("__first"),
-        )
-        .collect()
+        ),
+        len(bounds) + 1,
+        "rank.bucket_edges",
     )
     last_in = {r[_BUCKET]: r["__last"] for r in edge}
     first_in = {r[_BUCKET]: r["__first"] for r in edge}
@@ -586,9 +605,11 @@ def distributed_prefix_sum(
 
     sums = {
         r[_BUCKET]: r["s"]
-        for r in bucketed.groupBy(_BUCKET)
-        .agg(F.sum(val_col).alias("s"))
-        .collect()
+        for r in bounded_collect(
+            bucketed.groupBy(_BUCKET).agg(F.sum(val_col).alias("s")),
+            len(bounds) + 1,
+            "rank.bucket_sums",
+        )
     }
     offsets, acc = {}, 0
     for b in sorted(sums):

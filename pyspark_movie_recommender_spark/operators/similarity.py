@@ -31,6 +31,8 @@ from pyspark.sql.window import Window as W
 
 from pyspark_movie_recommender_spark.functions import cosine_sim  # noqa: F401 — SQL spec twin of cosine_arrow
 
+from pyspark_movie_recommender_spark.driver_scalar import bounded_collect
+
 
 def _as_double(col):
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
@@ -227,13 +229,15 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     # deterministic centroid sample: ~n_cells vectors, driver-side once
-    cent_rows = (
+    # driver-scalar contract: k-bounded by construction (limit(n_cells))
+    cent_rows = bounded_collect(
         corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
         .withColumn("h", F.xxhash64(F.col("cid"), F.lit(seed)))
         .orderBy("h")
         .limit(n_cells)
-        .orderBy("cid")  # cell id = rank of centroid's vec_id (stable)
-        .collect()
+        .orderBy("cid"),  # cell id = rank of centroid's vec_id (stable)
+        n_cells,
+        "similarity.ivf_centroids",
     )
     cmat = np.stack([np.asarray(r.cv, dtype=np.float64) for r in cent_rows])
     cnorm = np.linalg.norm(cmat, axis=1)
@@ -314,11 +318,13 @@ def kmeans_assign(
     """
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = (
+    # driver-scalar contract: k-bounded by the caller's centroid id list
+    cent_rows = bounded_collect(
         corpus.filter(F.col(id_col).isin(*centroid_ids))
         .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
-        .orderBy("cid")
-        .collect()
+        .orderBy("cid"),
+        len(centroid_ids),
+        "similarity.kmeans_centroids",
     )
     # cell index = rank of the centroid's id in sorted order (0-based)
     cmat = np.stack([np.asarray(r.cv, dtype=np.float64) for r in cent_rows])

@@ -82,8 +82,25 @@ _SMALL_LEAVES = frozenset({"LocalRelation", "OneRowRelation", "Range"})
 # does NOT exempt its subtree.
 _IN_LIST_MAX = 32
 # Whole-token key suffixes only: a bare "id" suffix would fail-open on
-# non-key columns like "valid"/"paid"/"bid" (round-5 advice).
-_KEYISH_SUFFIXES = ("key", "_id")
+# non-key columns like "valid"/"paid"/"bid" (round-5 advice). "key" is
+# trickier (round-6 advice): TPC-H-style key columns end in a bare
+# "key" with no underscore (o_custkey, l_orderkey), so an "_key"-only
+# rule would fail-CLOSE on the actual join keys; instead match on the
+# last underscore-token and deny the English words ending in "key"
+# (monkey, whiskey, ...) that are not keys.
+_KEYISH_NONKEY_WORDS = frozenset(
+    {
+        "monkey",
+        "donkey",
+        "whiskey",
+        "turkey",
+        "jockey",
+        "hockey",
+        "lackey",
+        "flunkey",
+        "malarkey",
+    }
+)
 
 
 def _strip_cast(expr):
@@ -104,8 +121,10 @@ def _keyish_attr(expr) -> bool:
     e = _strip_cast(expr)
     if e.getClass().getSimpleName() != "AttributeReference":
         return False
-    name = e.name().lower()
-    return name == "id" or name.endswith(_KEYISH_SUFFIXES)
+    last = e.name().lower().rsplit("_", 1)[-1]
+    if last == "id":
+        return True
+    return last.endswith("key") and last not in _KEYISH_NONKEY_WORDS
 
 
 def _pinned_in_filter(cond) -> bool:

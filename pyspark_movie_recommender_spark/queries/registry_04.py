@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from pyspark_movie_recommender_spark.operators import relational as R
 from pyspark_movie_recommender_spark.operators.lineage import ckpt as _ckpt
+from pyspark_movie_recommender_spark.driver_scalar import bounded_collect, scalar_row
 from pyspark_movie_recommender_spark.queries import query
 from pyspark_movie_recommender_spark.sources import load_table
 
@@ -2260,12 +2261,13 @@ def greedy_set_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = dw.filter(~F.col("doc_id").isin(picked)) if picked else dw
         if covered is not None:
             cand = cand.join(covered, "w", "left_anti")
-        top = (
+        top = bounded_collect(
             cand.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("gain"))
             .orderBy(F.col("gain").desc(), "doc_id")
-            .limit(1)
-            .collect()
+            .limit(1),
+            1,
+            "registry_04.set_cover_pick",
         )
         if not top:  # everything already covered — greed is done
             break
@@ -7439,21 +7441,28 @@ def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    first = v.orderBy("vec_id").limit(1).collect()[0]
+    first = scalar_row(
+        v.orderBy("vec_id").limit(1), "registry_04.kcenter_first"
+    )
     centers = [(1, first.vec_id)]
     mind = v.select(
         "vec_id", "q", dist2_to(first.q).alias("d")
     ).transform(_ckpt)
-    radii = [mind.agg(F.max("d")).collect()[0][0]]
+    radii = [scalar_row(mind.agg(F.max("d")), "registry_04.kcenter_radius")[0]]
     for rank in range(2, 6):
-        nxt = mind.orderBy(F.desc("d"), "vec_id").limit(1).collect()[0]
+        nxt = scalar_row(
+            mind.orderBy(F.desc("d"), "vec_id").limit(1),
+            "registry_04.kcenter_next",
+        )
         centers.append((rank, nxt.vec_id))
         mind = mind.select(
             "vec_id",
             "q",
             F.least(F.col("d"), dist2_to(nxt.q)).alias("d"),
         ).transform(_ckpt)
-        radii.append(mind.agg(F.max("d")).collect()[0][0])
+        radii.append(
+            scalar_row(mind.agg(F.max("d")), "registry_04.kcenter_radius2")[0]
+        )
     rows = [
         (rank, vid, r) for (rank, vid), r in zip(centers, radii)
     ]

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from pyspark_movie_recommender_spark.operators import relational as R
 from pyspark_movie_recommender_spark.operators.lineage import ckpt as _ckpt
+from pyspark_movie_recommender_spark.driver_scalar import bounded_collect, scalar_row
 from pyspark_movie_recommender_spark.queries import query
 from pyspark_movie_recommender_spark.sources import load_table
 
@@ -2802,7 +2803,7 @@ def bayes_factor_urgent_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(_ckpt)
     )
-    mx = need.agg(F.max("v").alias("m")).collect()[0]["m"]
+    mx = scalar_row(need.agg(F.max("v").alias("m")), "registry_08.lgamma_grid_max")["m"]
     grid = spark.range(1, int(mx) + 1).select(F.col("id").alias("i"))
     lf = (
         need.join(grid, F.col("i") <= F.col("v"), "left")
@@ -2936,7 +2937,7 @@ def dirichlet_mix_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(_ckpt)
     )
-    mx = need.agg(F.max("v").alias("m")).collect()[0]["m"]
+    mx = scalar_row(need.agg(F.max("v").alias("m")), "registry_08.lgamma_grid_max")["m"]
     grid = spark.range(1, int(mx) + 1).select(F.col("id").alias("i"))
     lf = (
         need.join(grid, F.col("i") <= F.col("v"), "left")

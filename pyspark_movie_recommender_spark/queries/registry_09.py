@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from pyspark_movie_recommender_spark.operators import relational as R
 from pyspark_movie_recommender_spark.operators.lineage import ckpt as _ckpt
+from pyspark_movie_recommender_spark.driver_scalar import bounded_collect, scalar_row
 from pyspark_movie_recommender_spark.queries import query
 from pyspark_movie_recommender_spark.sources import load_table
 
@@ -4947,7 +4948,7 @@ def spectral_residual_saliency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(_ckpt)
     )
     nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    nval = nn.collect()[0]["n"]
+    nval = scalar_row(nn, "registry_09.dft_n")["n"]
     ks = spark.range(0, nval).select(F.col("id").alias("k"))
     theta = 2 * 3.141592653589793 * F.col("k") * (F.col("t") - 1) / nval
     dft = (

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from pyspark_movie_recommender_spark.operators import relational as R
 from pyspark_movie_recommender_spark.operators.lineage import ckpt as _ckpt
+from pyspark_movie_recommender_spark.driver_scalar import bounded_collect, scalar_row
 from pyspark_movie_recommender_spark.queries import query
 from pyspark_movie_recommender_spark.sources import load_table
 
@@ -4339,15 +4340,16 @@ def belady_opt_cache_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: dict[int, dict[str, int]] = {c: {} for c in caps}
     hits = {c: 0 for c in caps}
     for s in range(n_seg):
-        seg_rows = (
+        seg_rows = bounded_collect(
             nxt.filter(F.col("seg") == s)
             .groupBy("seg")
             .applyInPandas(
                 make_replay(state),
                 schema="capacity long, seg_hits long, seg_n long,"
                 " exit_state string",
-            )
-            .collect()
+            ),
+            len(caps),  # one row per capacity per segment
+            "registry_10.segment_replay",
         )
         for r in seg_rows:
             hits[r["capacity"]] += r["seg_hits"]
@@ -6299,11 +6301,12 @@ def dgim_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     buckets: list[tuple[int, int]] = []
     for seg in range(n_seg):
-        rows = (
+        rows = bounded_collect(
             stream.filter(F.col("seg") == seg)
             .groupBy("seg")
-            .applyInPandas(make_step(buckets), schema="state string")
-            .collect()
+            .applyInPandas(make_step(buckets), schema="state string"),
+            1,
+            "registry_10.dgim_segment",
         )
         if rows:
             buckets = [
@@ -6320,9 +6323,12 @@ def dgim_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         est = 0
     exact = (
-        stream.filter(F.col("pos") > n_total - W)
-        .agg(F.sum("bit").cast("long").alias("x"))
-        .collect()[0]["x"]
+        scalar_row(
+            stream.filter(F.col("pos") > n_total - W).agg(
+                F.sum("bit").cast("long").alias("x")
+            ),
+            "registry_10.dgim_exact",
+        )["x"]
         or 0
     )
     return spark.createDataFrame(

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from pyspark_movie_recommender_spark.operators import relational as R
 from pyspark_movie_recommender_spark.operators.lineage import ckpt as _ckpt
+from pyspark_movie_recommender_spark.driver_scalar import bounded_collect, scalar_row
 from pyspark_movie_recommender_spark.queries import query
 from pyspark_movie_recommender_spark.sources import load_table
 
@@ -3789,16 +3790,16 @@ def abtt_top_pc_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
             "v",
         )
-        comp = (
+        comp = scalar_row(
             proj.select(
                 F.posexplode("v").alias("pos", "x"), F.col("p")
             )
             .groupBy("pos")
             .agg(F.sum(F.col("x") * F.col("p")).alias("s"))
             .orderBy("pos")
-            .agg(F.collect_list("s").alias("s"))
-            .collect()[0]["s"]
-        )
+            .agg(F.collect_list("s").alias("s")),
+            "registry_11.power_iter_component",
+        )["s"]
         m = max(abs(x) for x in comp)
         vec = [x / m for x in comp]
     nrm = sum(x * x for x in vec) ** 0.5

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from pyspark_movie_recommender_spark.operators import relational as R
 from pyspark_movie_recommender_spark.operators.lineage import ckpt as _ckpt
+from pyspark_movie_recommender_spark.driver_scalar import bounded_collect, scalar_row
 from pyspark_movie_recommender_spark.queries import query
 from pyspark_movie_recommender_spark.sources import load_table
 
@@ -198,14 +199,15 @@ def fifo_belady_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: dict[int, list[str]] = {c: [] for c in caps}
     hits = {c: 0 for c in caps}
     for seg in range(n_seg):
-        seg_rows = (
+        seg_rows = bounded_collect(
             stream.filter(F.col("seg") == seg)
             .groupBy("seg")
             .applyInPandas(
                 make_replay(state),
                 schema="capacity long, seg_hits long, exit_q string",
-            )
-            .collect()
+            ),
+            len(caps),  # one row per capacity per segment
+            "registry_12.segment_replay",
         )
         for r in seg_rows:
             hits[r["capacity"]] += r["seg_hits"]
@@ -658,10 +660,12 @@ def boyer_moore_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"seg": [int(pdf["seg"].iloc[0])], "cand": [cand], "cnt": [cnt]}
         )
 
-    votes = (
-        stream.groupBy("seg")
-        .applyInPandas(vote, schema="seg long, cand string, cnt long")
-        .collect()
+    votes = bounded_collect(
+        stream.groupBy("seg").applyInPandas(
+            vote, schema="seg long, cand string, cnt long"
+        ),
+        n_seg,
+        "registry_12.segment_votes",
     )
     # Misra-Gries k=1 merge, folded in segment order: same candidate
     # adds, different candidates cancel and the larger survives

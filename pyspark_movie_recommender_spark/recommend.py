@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_movie_recommender_spark.driver_scalar import scalar_row
 from pyspark_movie_recommender_spark.operators.relational import (
     anti_join,
     global_top_k,
@@ -69,7 +70,9 @@ def evaluate_rmse(model, holdout: DataFrame) -> float:
     """RMSE of model predictions against held-out ratings — the
     join-and-aggregate of recommender.py:64-73, entirely in the plan."""
     scored = score(model, holdout)
-    return rmse(scored, "rating", "prediction").collect()[0]["rmse"]
+    return scalar_row(
+        rmse(scored, "rating", "prediction"), "recommend.rmse"
+    )["rmse"]
 
 
 @dataclass

@@ -39,13 +39,17 @@ def get_spark(
         shuffle_partitions = max(int(cpus), 8)
 
     # transformWithState speaks protobuf in every Python process Spark
-    # spawns; wire the bundled runtime into PYTHONPATH BEFORE the JVM
-    # launches (no-op, zero env change, where no runtime exists).
+    # spawns. Fix the DRIVER's import path here (pure sys.path, no env
+    # mutation); the worker-side shim is wired per-session via
+    # sc.environment below — scoping it there (round-6 advice) keeps
+    # the shim sitecustomize out of unrelated subprocesses the driver
+    # spawns. No-op where no runtime exists.
     from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
-        enable_for_workers,
+        enable_for_session,
+        ensure_protobuf,
     )
 
-    enable_for_workers()
+    ensure_protobuf()
 
     builder = (
         SparkSession.builder.master(f"local[{_CPUS}]")
@@ -69,4 +73,5 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    enable_for_session(spark)
     return spark

@@ -14,6 +14,7 @@ would be Kafka/files-in-arrival; watermarks bound state for late data.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -244,8 +245,13 @@ def _read_update_log(spark: SparkSession, sink_dir: str, schema_ddl: str) -> Dat
     """Read the foreachBatch parquet log, tolerating a sink that never
     materialized: an availableNow pass over an empty source dir runs
     zero micro-batches, foreachBatch never fires, and the path does not
-    exist — that is an empty log, not an error."""
-    if not os.path.isdir(sink_dir):
+    exist — that is an empty log, not an error. A sink dir that EXISTS
+    but holds no parquet parts (a crashed run that died before its
+    first batch committed) is equally an empty log: reading it would
+    raise a schema-inference error, so glob first (round-6 advice)."""
+    if not os.path.isdir(sink_dir) or not glob.glob(
+        os.path.join(sink_dir, "**", "*.parquet"), recursive=True
+    ):
         return spark.createDataFrame([], schema_ddl)
     return spark.read.parquet(sink_dir)
 

@@ -59,6 +59,11 @@ _CANDIDATE_DIRS = [
 
 _SHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_pb_shim")
 
+# How many minor versions ahead of the runtime a gencode may be before
+# the (bounded) lenient validator lets the VersionError stand. 1 covers
+# the verified 6.33-gencode / 6.32-runtime pairing.
+_LENIENT_MINOR_DELTA = 1
+
 
 def _probe() -> bool:
     """True iff a REAL protobuf runtime is importable.
@@ -81,9 +86,19 @@ def _purge_namespace_modules() -> None:
     ``google.protobuf`` as namespace packages assembled from jar
     resources; their ``__path__`` would never pick up a regular package
     appended to ``sys.path`` later, so the cache must go.
+
+    Only NAMESPACE portions are purged (packages with a ``__path__``
+    but no ``__file__``): a real, regularly-packaged ``google.*``
+    module already imported by the process (google.auth, google.cloud)
+    must keep its identity — deleting it would make previously bound
+    references diverge from a re-import (round-6 advice).
     """
     for name in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
-        del sys.modules[name]
+        mod = sys.modules[name]
+        if mod is None or (
+            getattr(mod, "__file__", None) is None and hasattr(mod, "__path__")
+        ):
+            del sys.modules[name]
 
 
 def _patch_runtime_version() -> None:
@@ -93,6 +108,13 @@ def _patch_runtime_version() -> None:
     installed protobuf has no runtime_version module (pre-5.x) or is
     already patched; any cross-major or non-PUBLIC mismatch still
     raises exactly as upstream would.
+
+    The leniency is BOUNDED (round-6 advice): only a gencode at most
+    ``_LENIENT_MINOR_DELTA`` minor versions ahead of the runtime is
+    tolerated — that covers the verified 6.33-gencode/6.32-runtime
+    pairing without also waving through e.g. 6.99 gencode, whose
+    reliance on newer runtime APIs would otherwise surface later as an
+    obscure AttributeError instead of the clear VersionError.
     """
     try:
         from google.protobuf import runtime_version as rv
@@ -106,7 +128,11 @@ def _patch_runtime_version() -> None:
         try:
             orig(domain, major, minor, patch, suffix, location)
         except rv.VersionError:
-            if domain != rv.Domain.PUBLIC or major != rv.MAJOR:
+            if (
+                domain != rv.Domain.PUBLIC
+                or major != rv.MAJOR
+                or not (0 <= minor - rv.MINOR <= _LENIENT_MINOR_DELTA)
+            ):
                 raise
             warnings.warn(
                 "protobuf gencode %d.%d.%d is newer than the runtime "
@@ -157,13 +183,17 @@ def enable_for_workers() -> str | None:
     """Ensure protobuf here AND in every Python process Spark spawns.
 
     Prepends the ``_pb_shim`` directory (whose ``sitecustomize.py``
-    replays :func:`ensure_protobuf` at interpreter start) to
-    ``os.environ['PYTHONPATH']``. Must run BEFORE the JVM launches:
-    the TWS driver worker and the executor daemons inherit PYTHONPATH
-    from the JVM, which inherits it from this process at
-    ``getOrCreate`` time. Returns :func:`ensure_protobuf`'s reason
-    (None on success); the PYTHONPATH edit is skipped when no runtime
-    could be found, so containers without one see zero behavior change.
+    replays :func:`ensure_protobuf` at interpreter start, then
+    chain-loads any sitecustomize it shadowed) to
+    ``os.environ['PYTHONPATH']`` — a GLOBAL edit that reaches every
+    Python subprocess this driver spawns, Spark or not. Prefer
+    :func:`enable_for_session`, which scopes the shim to one session's
+    ``sc.environment`` (``get_spark`` uses that path; round-6 advice).
+    Keep this variant only for launchers that must bake the env before
+    a JVM they don't control starts. Returns :func:`ensure_protobuf`'s
+    reason (None on success); the PYTHONPATH edit is skipped when no
+    runtime could be found, so containers without one see zero
+    behavior change.
     """
     reason = ensure_protobuf()
     if reason is not None:
@@ -178,15 +208,17 @@ def enable_for_workers() -> str | None:
 
 
 def enable_for_session(spark) -> str | None:
-    """:func:`enable_for_workers`, plus coverage for a session whose JVM
-    launched WITHOUT the shim on PYTHONPATH (a foreign builder, not
-    ``get_spark``). Python worker env vars come from
-    ``sc.environment`` at UDF/runner creation time — mutable after
-    launch — so injecting the shim there reaches the TWS driver worker
-    and the executor UDF workers even post-hoc (verified end-to-end:
-    a bare ``SparkSession.builder`` session runs transformWithState
-    green after this call). Returns the gate reason or None."""
-    reason = enable_for_workers()
+    """:func:`ensure_protobuf` in this process, plus the shim on the
+    SESSION's worker PYTHONPATH — without touching the driver's global
+    ``os.environ`` (round-6 advice: the global edit leaked the shim
+    sitecustomize into every Python subprocess the driver spawns, Spark
+    or not). Python worker env vars come from ``sc.environment`` at
+    UDF/runner creation time — mutable after launch — so injecting the
+    shim there reaches the TWS driver worker and the executor UDF
+    workers even post-hoc (verified end-to-end: a bare
+    ``SparkSession.builder`` session runs transformWithState green
+    after this call). Returns the gate reason or None."""
+    reason = ensure_protobuf()
     if reason is not None:
         return reason
     try:

@@ -967,3 +967,33 @@ def test_warp_dp_no_join_stages(spark, sf_dir):
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "Window" not in plan, name
+
+
+def test_keyish_pinned_filter_matches_whole_last_token(spark):
+    """The pinned-id IN-list exemption classifies a column as key-like
+    by its LAST underscore-token: TPC-H bare-"key" columns (o_custkey)
+    and *_id/_key names qualify; English words that merely END in
+    "key" or "id" (monkey, whiskey, valid, paid — round-5/6 advice) do
+    not earn the fail-open exemption."""
+    from pyspark_movie_recommender_spark.plans import _pinned_in_filter, _walk
+
+    def pinned(colname: str) -> bool:
+        # the limit() is a pushdown barrier: without it the optimizer
+        # rewrites the filter onto the underlying `id` attribute and the
+        # test would never see `colname`
+        df = (
+            spark.range(100)
+            .select(F.col("id").alias(colname))
+            .limit(50)
+            .filter(F.col(colname).isin(1, 2, 3))
+        )
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for n in _walk(plan):
+            if n.getClass().getSimpleName() == "Filter":
+                return _pinned_in_filter(n.condition())
+        raise AssertionError(f"no Filter in optimized plan for {colname}")
+
+    for good in ("id", "o_custkey", "l_orderkey", "session_key", "user_id"):
+        assert pinned(good), good
+    for bad in ("monkey", "whiskey", "turkey", "valid", "paid", "bid"):
+        assert not pinned(bad), bad

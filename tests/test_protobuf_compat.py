@@ -54,6 +54,81 @@ def test_lenient_validator_scopes_to_same_public_major():
         rv.ValidateProtobufRuntimeVersion(
             rv.Domain.PUBLIC, rv.MAJOR + 1, 0, 0, "", "unit-test"
         )
+    # same major but far ahead of the runtime: the leniency is BOUNDED
+    # (round-6 advice) — 6.99-style gencode must keep the clear
+    # VersionError instead of failing later with an AttributeError
+    with pytest.raises(rv.VersionError):
+        rv.ValidateProtobufRuntimeVersion(
+            rv.Domain.PUBLIC,
+            rv.MAJOR,
+            rv.MINOR + pc._LENIENT_MINOR_DELTA + 1,
+            0,
+            "",
+            "unit-test",
+        )
+
+
+def test_purge_spares_real_google_modules():
+    """_purge_namespace_modules drops only NAMESPACE portions: a real,
+    file-backed google.* module (google.auth, google.cloud) must keep
+    its sys.modules identity so previously bound references don't
+    diverge from a re-import (round-6 advice)."""
+    import types
+
+    real = types.ModuleType("google.fake_real_portion")
+    real.__file__ = "/nonexistent/google/fake_real_portion/__init__.py"
+    ns = types.ModuleType("google.fake_ns_portion")
+    ns.__path__ = ["/nonexistent/ns"]  # __path__ but no __file__
+    sys.modules["google.fake_real_portion"] = real
+    sys.modules["google.fake_ns_portion"] = ns
+    try:
+        pc._purge_namespace_modules()
+        assert sys.modules.get("google.fake_real_portion") is real
+        assert "google.fake_ns_portion" not in sys.modules
+    finally:
+        sys.modules.pop("google.fake_real_portion", None)
+        sys.modules.pop("google.fake_ns_portion", None)
+    # protobuf keeps working afterwards
+    assert pc.ensure_protobuf() is None
+
+
+def test_sitecustomize_shim_chain_loads_shadowed_sitecustomize(tmp_path):
+    """The shim must not swallow a pre-existing sitecustomize (round-6
+    advice: coverage.py subprocess tracking and site/ops customization
+    ride on it). With the shim dir FIRST on PYTHONPATH and another dir
+    carrying its own sitecustomize.py, a fresh interpreter must run
+    BOTH — protobuf via the shim, the marker via the chained module."""
+    other = tmp_path / "other"
+    other.mkdir()
+    (other / "sitecustomize.py").write_text(
+        "import sys\nsys.stderr.write('CHAINED_MARKER\\n')\n"
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from google.protobuf import descriptor\nprint('SHIM_OK')",
+        ],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "PYTHONPATH": SHIM_DIR + os.pathsep + str(other)},
+    )
+    if proc.returncode != 0 and pc.ensure_protobuf() is not None:
+        pytest.skip("no protobuf runtime available on this machine at all")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SHIM_OK" in proc.stdout
+    assert "CHAINED_MARKER" in proc.stderr
+
+
+def test_get_spark_scopes_shim_to_session_env(spark):
+    """get_spark wires the worker shim through sc.environment (scoped;
+    round-6 advice), NOT through the driver's global os.environ — the
+    global edit leaked the shim sitecustomize into every Python
+    subprocess the driver spawns."""
+    if pc.ensure_protobuf() is not None:
+        pytest.skip("no protobuf runtime available on this machine at all")
+    env = spark.sparkContext.environment
+    assert pc._SHIM_DIR in (env.get("PYTHONPATH") or "").split(os.pathsep)
 
 
 def test_enable_for_workers_prepends_shim_once(monkeypatch):

@@ -26,10 +26,10 @@ def _require_protobuf():
     so on this container the TWS paths RUN; the skip fires only where
     no runtime exists at all, and carries the compat layer's reason."""
     from pyspark_movie_recommender_spark.streaming.protobuf_compat import (
-        enable_for_workers,
+        ensure_protobuf,
     )
 
-    reason = enable_for_workers()
+    reason = ensure_protobuf()
     if reason is not None:
         pytest.skip(reason)
 
