@@ -4614,33 +4614,39 @@ def mattson_reuse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b", ((F.col("pos") - 1) / 16384).cast("long")
     )
     # tiny (segments x brands) relation; ckpt gives it fresh lineage so
-    # the grid/enter self-references and the cogroup below are
-    # unambiguous (and it computes once)
+    # the cogroup below reads it without recomputing the full-stream
+    # groupBy (and it computes once)
     seg_max = (
         bucketed.groupBy("b", "k")
         .agg(F.max("pos").alias("mx"))
         .transform(_ckpt)
     )
-    grid = (
-        seg_max.select(F.col("b").alias("gb"))
-        .distinct()
-        .crossJoin(F.broadcast(seg_max.select(F.col("k").alias("gk")).distinct()))
-    )
-    w_enter = (
-        Window.partitionBy("gk")
-        .orderBy("gb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # entering state per (segment, brand), fused into ONE pass over
+    # seg_max (round-6 verdict ask #4 — the previous distinct x
+    # crossJoin x running-max-window grid materialized seg_max twice):
+    # positions grow monotonically with segment id, so the last
+    # occurrence of brand k before segment s is simply k's mx from its
+    # LATEST appearance segment b_i < s — valid for every s in
+    # (b_i, next appearance], extended to the final segment after the
+    # last appearance. lead() gives the validity range, sequence +
+    # explode materializes exactly the same (segment, brand, last)
+    # rows the dense grid produced, minus the pre-first-appearance
+    # cells the old .where(isNotNull) dropped. Both windows run over
+    # the cardinality-reduced (segments x 25 brands) aggregate.
+    w_k = Window.partitionBy("k").orderBy("b")
+    w_all = Window.partitionBy(F.lit(1))
     enter = (
-        grid.join(
-            F.broadcast(seg_max),
-            (F.col("gb") == F.col("b")) & (F.col("gk") == F.col("k")),
-            "left",
+        seg_max.withColumn(
+            "nxt", F.coalesce(F.lead("b").over(w_k), F.max("b").over(w_all))
         )
-        .select("gb", "gk", F.max("mx").over(w_enter).alias("last"))
-        .where(F.col("last").isNotNull())
+        .where(F.col("nxt") > F.col("b"))
         .select(
-            F.col("gb").alias("b"), F.col("gk").alias("k"), "last"
+            F.explode(F.sequence(F.col("b") + 1, F.col("nxt"))).alias("b"),
+            # fresh exprId on purpose: enter's k would otherwise share
+            # the stream side's attribute id and the cogroup dedups it
+            # out of the right-side Arrow batch
+            F.col("k").alias("k"),
+            F.col("mx").alias("last"),
         )
     )
     def _scan(pdf, enter_pdf):
