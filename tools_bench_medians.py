@@ -23,7 +23,7 @@ import sys
 
 def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "04"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     runs: list[dict] = []
     for i in range(n):
         out = subprocess.run(
@@ -39,11 +39,21 @@ def main() -> None:
         ["git", "log", "-1", "--format=%h"], capture_output=True, text=True
     ).stdout.strip()
     names = runs[0]["queries"].keys()
+
+    def iqr(vals: list[float]) -> float:
+        # per-query noise floor for the drift tripwire (round-6 ask #3):
+        # interquartile range via statistics.quantiles (n>=2 runs)
+        if len(vals) < 2:
+            return 0.0
+        q1, _, q3 = statistics.quantiles(vals, n=4, method="inclusive")
+        return round(q3 - q1, 3)
+
     queries = {
         q: {
             "median": round(
                 statistics.median(r["queries"][q] for r in runs), 3
             ),
+            "iqr": iqr([r["queries"][q] for r in runs]),
             "runs": [r["queries"][q] for r in runs],
         }
         for q in names
@@ -61,6 +71,7 @@ def main() -> None:
         "sum_of_query_medians": round(
             sum(v["median"] for v in queries.values()), 3
         ),
+        "total_iqr": iqr([r["value"] for r in runs]),
         "queries": queries,
         "sf": runs[0]["sf"],
         "commit": commit,

@@ -21,9 +21,44 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import subprocess
 import sys
+
+# Scale budgets (round-6 verdict ask #6): the sf1 run is a GATE, not a
+# courtesy artifact. 10x data must cost <= TOTAL_BUDGET x total time,
+# and no single query may scale worse than QUERY_BUDGET x without a
+# written attribution (its name mentioned in BENCH_NOTES_r{N}.md).
+TOTAL_BUDGET = 3.0
+QUERY_BUDGET = 10.0
+
+
+def check_scale_budget(out: dict, notes_text: str) -> list[str]:
+    """Return the list of budget violations for a BENCH_SF1 artifact.
+
+    - total_ratio_for_10x_data > TOTAL_BUDGET is always a violation;
+    - a query ratio > QUERY_BUDGET is a violation unless the query
+      name appears (word-bounded) in the round's BENCH_NOTES text —
+      a written attribution, the same contract the drift tripwire uses.
+    """
+    problems: list[str] = []
+    total = out.get("total_ratio_for_10x_data")
+    if total is not None and total > TOTAL_BUDGET:
+        problems.append(
+            f"total ratio {total} > {TOTAL_BUDGET}x budget for 10x data"
+        )
+    for q, rec in sorted(out.get("queries", {}).items()):
+        ratio = rec.get("ratio")
+        if ratio is None or ratio <= QUERY_BUDGET:
+            continue
+        if re.search(rf"\b{re.escape(q)}\b", notes_text):
+            continue  # attributed in the notes
+        problems.append(
+            f"{q} scales {ratio}x > {QUERY_BUDGET}x with no attribution"
+            f" in BENCH_NOTES"
+        )
+    return problems
 
 
 def main() -> None:
@@ -91,6 +126,22 @@ def main() -> None:
         json.dumps({k: v for k, v in out.items() if k != "queries"}),
         "->",
         path,
+    )
+
+    notes_path = f"BENCH_NOTES_r{rnd}.md"
+    notes = ""
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            notes = f.read()
+    problems = check_scale_budget(out, notes)
+    if problems:
+        print("SF1 SCALE GATE RED:")
+        for pr in problems:
+            print(" -", pr)
+        sys.exit(1)
+    print(
+        f"sf1 scale gate green: total {out['total_ratio_for_10x_data']}x"
+        f" <= {TOTAL_BUDGET}x, max query {out['max_query_ratio']}x"
     )
 
 

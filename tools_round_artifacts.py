@@ -10,10 +10,11 @@ Steps (each tool also writes its own artifact file):
   1. tools_sweep.py <round>            -> SWEEP_r{N}.json        (gates)
   2. tools_plan_audit.py <round>       -> PLANAUDIT_r{N}.json    (gates)
   3. tools_streaming_audit.py <round>  -> STREAMING_r{N}.json    (gates)
-  4. tools_bench_medians.py <round> 3  -> BENCH_MEDIANS_r{N}.json
+  4. tools_bench_medians.py <round> 5  -> BENCH_MEDIANS_r{N}.json (+IQR)
   5. tools_bench_compare.py <round>    -> BENCHCOMPARE/PLANHASHES (gates)
   6. tools_make_sf1.py /tmp/sf1        (skipped when already present)
-     tools_bench_sf1.py <round> 3      -> BENCH_SF1_r{N}.json
+     tools_bench_sf1.py <round> 3      -> BENCH_SF1_r{N}.json    (gates:
+     total >3x for 10x data, or any query >10x unattributed, exit red)
   7. tools_dump_plans.py               -> PLANS.md
 
 ~90-120 min end to end at sf0.1/sf1. Usage:
@@ -52,7 +53,7 @@ def main() -> None:
             sys.exit(1)
 
     if not skip_bench:
-        if run("bench-medians", ["tools_bench_medians.py", rnd, "3"]) != 0:
+        if run("bench-medians", ["tools_bench_medians.py", rnd, "5"]) != 0:
             sys.exit(1)
         # drift tripwire: unexplained same-plan >1.5x movers exit red
         if run("bench-compare", ["tools_bench_compare.py", rnd]) != 0:
@@ -64,6 +65,7 @@ def main() -> None:
             if run("make-sf1", ["tools_make_sf1.py", "/tmp/sf1"]) != 0:
                 sys.exit(1)
         if run("bench-sf1", ["tools_bench_sf1.py", rnd, "3"]) != 0:
+            print("ROUND ARTIFACTS RED at bench-sf1 (scale budget)")
             sys.exit(1)
 
     run("dump-plans", ["tools_dump_plans.py"])
