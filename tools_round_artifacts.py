@@ -10,6 +10,7 @@ Steps (each tool also writes its own artifact file):
   1. tools_sweep.py <round>            -> SWEEP_r{N}.json        (gates)
   2. tools_plan_audit.py <round>       -> PLANAUDIT_r{N}.json    (gates)
   3. tools_streaming_audit.py <round>  -> STREAMING_r{N}.json    (gates)
+  3b. tools_laws.py <round>            -> LAWS_r{N}.json          (gates)
   4. tools_bench_medians.py <round> 5  -> BENCH_MEDIANS_r{N}.json (+IQR)
   5. tools_bench_compare.py <round>    -> BENCHCOMPARE/PLANHASHES (gates)
   6. tools_make_sf1.py /tmp/sf1        (skipped when already present)
@@ -46,6 +47,7 @@ def main() -> None:
         ("sweep", ["tools_sweep.py", rnd]),
         ("planaudit", ["tools_plan_audit.py", rnd]),
         ("streaming", ["tools_streaming_audit.py", rnd]),
+        ("laws", ["tools_laws.py", rnd]),
     ]
     for label, args in gates:
         if run(label, args) != 0:
