@@ -4565,78 +4565,98 @@ def mattson_reuse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the stream has a total (shipdate, orderkey,
     linenumber) order; distances and counts are exact integers.
 
-    Scale shape: the stream position comes from
-    ``operators/rank.py:distributed_order_stats`` — range-bucket on
-    the ship date (days), per-bucket windows, broadcast prefix
-    offsets — so the full-fact global sequence numbering never
-    funnels through one task (a bare ``Window.orderBy`` would).
-    Distances come from an Arrow SEGMENTED SCAN exploiting the
-    schema-bounded brand alphabet (25 at any SF): d(p) = #{brands j
-    whose last occurrence before p is later than brand k's}, so each
-    16k-position segment needs only its entering last-occurrence
-    vector — a (segment x brand) running-max prefix — plus one
-    vectorized cummax/compare pass per segment; one narrow (k, pos)
-    exchange total and NO candidate join (the prior shape joined
-    sum-of-reuse-gaps ~ 25n candidate rows). The curve itself is one
-    4-cell conditional aggregate. Monotonicity in C (pinned in
-    tests) is the stack-inclusion law.
+    Scale shape: reuse distance needs only the ORDER of occurrences,
+    never absolute stream positions, so no global ROW_NUMBER is
+    computed at all (the previous shape paid three fact passes in
+    ``distributed_order_stats`` — quantile, bucket partials, offset
+    window — before the scan). Instead the fact is range-bucketed
+    into ~16k-row segments straight from parquet FOOTER hints (row
+    count + ship-date min/max; zero construction jobs) and accesses
+    are compared as (sd, orderkey, linenumber) tuples: the one fact
+    pass is the segment-bucketed checkpoint the cogrouped scan
+    consumes. Distances come from an Arrow SEGMENTED SCAN exploiting
+    the schema-bounded brand alphabet (25 at any SF): d(p) = #{brands
+    j whose last occurrence before p is later than brand k's}; each
+    segment needs only its entering last-occurrence vector (the
+    latest prior tuple per brand), the in-segment running max is
+    CHUNKED at 16k rows so one pathological ship-day cannot blow task
+    memory, and the curve is ONE partial-aggregable pass (the prior
+    shape's separate n-agg re-executed the whole cogroup scan — two
+    FlatMapCoGroupsInPandas in the plan). Monotonicity in C (pinned
+    in tests) is the stack-inclusion law.
     """
-    from pyspark_movie_recommender_spark.operators.rank import (
-        distributed_order_stats,
+    import datetime as _dt
+
+    from pyspark_movie_recommender_spark.sources.tables import (
+        column_minmax_hint,
+        table_row_hint,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
     prt = load_table(spark, sf_dir, "part")
-    stream = distributed_order_stats(
-        li.join(
-            F.broadcast(
-                prt.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
-            ),
-            "l_partkey",
-        ).select(
-            F.col("p_brand").alias("k"),
-            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("sd"),
-            "l_orderkey",
-            "l_linenumber",
+    raw = li.join(
+        F.broadcast(
+            prt.select(F.col("p_partkey").alias("l_partkey"), "p_brand")
         ),
-        "sd",
-        ["l_orderkey", "l_linenumber"],
-        rank_col="pos",
-    ).select("k", "pos").transform(_ckpt)
-    # Arrow segmented scan over 16k-position segments: reuse distance
-    # at access p of brand k = #{brands j : last_j(p) > last_k(p)},
-    # where last_j(p) is j's latest position strictly before p. Each
-    # segment needs only its ENTERING last-occurrence vector (25
-    # values), which is a (segment x brand) running-max prefix — no
-    # candidate join at all (the previous shape joined sum-of-gaps
-    # ~ 25n candidate rows and countDistinct'd per position).
-    bucketed = stream.withColumn(
-        "b", ((F.col("pos") - 1) / 16384).cast("long")
+        "l_partkey",
+    ).select(
+        F.col("p_brand").alias("k"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("sd"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
     )
+    # ~16k rows per date-range segment; both hints are footer reads,
+    # so plan construction stays job-free (the levenshtein row_hint
+    # pattern). Ties (same ship-day) always land in one segment —
+    # bucket is a monotone function of sd — so bucket order + the
+    # within-segment (sd, ok, ln) sort IS the global stream order.
+    n_seg = max(32, -(-table_row_hint(sf_dir, "lineitem") // 16384))
+    mm = column_minmax_hint(sf_dir, "lineitem", "l_shipdate")
+    if mm is None:  # stats-less files: one bounded driver-scalar agg
+        row = scalar_row(
+            raw.agg(F.min("sd").alias("lo"), F.max("sd").alias("hi")),
+            "registry_08.mattson_shipdate_minmax",
+        )
+        lo_us, hi_us = row["lo"], row["hi"]
+    else:
+        epoch = _dt.date(1970, 1, 1).toordinal()
+        lo_us, hi_us = (
+            (d.toordinal() - epoch) * 86_400_000_000 for d in mm
+        )
+    span = float(hi_us - lo_us + 1)
+    bucketed = raw.withColumn(
+        "b",
+        F.least(
+            F.lit(n_seg - 1),
+            F.floor(
+                (F.col("sd") - F.lit(lo_us)).cast("double")
+                / F.lit(span)
+                * F.lit(float(n_seg))
+            ),
+        ).cast("long"),
+    ).transform(_ckpt)
     # tiny (segments x brands) relation; ckpt gives it fresh lineage so
-    # the cogroup below reads it without recomputing the full-stream
-    # groupBy (and it computes once)
-    seg_max = (
+    # the enter fusion below reads it without recomputing the
+    # full-stream groupBy (and it computes once). max over the struct
+    # is the brand's latest occurrence in the segment, lexicographic.
+    seg_last = (
         bucketed.groupBy("b", "k")
-        .agg(F.max("pos").alias("mx"))
+        .agg(F.max(F.struct("sd", "ok", "ln")).alias("mx"))
         .transform(_ckpt)
     )
     # entering state per (segment, brand), fused into ONE pass over
-    # seg_max (round-6 verdict ask #4 — the previous distinct x
-    # crossJoin x running-max-window grid materialized seg_max twice):
-    # positions grow monotonically with segment id, so the last
-    # occurrence of brand k before segment s is simply k's mx from its
-    # LATEST appearance segment b_i < s — valid for every s in
-    # (b_i, next appearance], extended to the final segment after the
-    # last appearance. lead() gives the validity range, sequence +
-    # explode materializes exactly the same (segment, brand, last)
-    # rows the dense grid produced, minus the pre-first-appearance
-    # cells the old .where(isNotNull) dropped. Both windows run over
-    # the cardinality-reduced (segments x 25 brands) aggregate.
+    # seg_last (round-6 verdict ask #4): occurrence tuples grow with
+    # segment id, so the last occurrence of brand k before segment s
+    # is k's mx from its LATEST appearance segment b_i < s — valid for
+    # every s in (b_i, next appearance], extended to the final
+    # non-empty segment after the last appearance. lead() gives the
+    # validity range, sequence + explode materializes the (segment,
+    # brand, last-tuple) rows. Both windows run over the
+    # cardinality-reduced (segments x 25 brands) aggregate.
     w_k = Window.partitionBy("k").orderBy("b")
     w_all = Window.partitionBy(F.lit(1))
     enter = (
-        seg_max.withColumn(
+        seg_last.withColumn(
             "nxt", F.coalesce(F.lead("b").over(w_k), F.max("b").over(w_all))
         )
         .where(F.col("nxt") > F.col("b"))
@@ -4646,72 +4666,99 @@ def mattson_reuse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the stream side's attribute id and the cogroup dedups it
             # out of the right-side Arrow batch
             F.col("k").alias("k"),
-            F.col("mx").alias("last"),
+            F.col("mx.sd").alias("lsd"),
+            F.col("mx.ok").alias("lok"),
+            F.col("mx.ln").alias("lln"),
         )
     )
+
     def _scan(pdf, enter_pdf):
-        # cogrouped: the 25-row entering state arrives ONCE per
-        # segment (a per-row map column would push 25 entries through
-        # Arrow on every stream row)
+        # cogrouped: the <=25-row entering state arrives ONCE per
+        # segment. Only ORDER is ever compared, never positions:
+        # every entering occurrence precedes every in-segment row, so
+        # the entering tuples rank below 0 among themselves and the
+        # segment's rows take 1..n in (sd, ok, ln) order.
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("pos")
-        st = dict(zip(enter_pdf["k"], enter_pdf["last"]))
+        pdf = pdf.sort_values(["sd", "ok", "ln"])
+        n_rows = len(pdf)
+        ent = enter_pdf.sort_values(["lsd", "lok", "lln"])
+        st = dict(zip(ent["k"], np.arange(-len(ent), 0, dtype="float64")))
         brands = sorted(set(pdf["k"]).union(st))
         idx = {br: i for i, br in enumerate(brands)}
-        n_rows, m = len(pdf), len(brands)
-        kcodes = pdf["k"].map(idx).to_numpy()
-        pos = pdf["pos"].to_numpy(dtype="float64")
-        a = np.full((n_rows + 1, m), -np.inf)
+        m = len(brands)
+        kcodes = pdf["k"].map(idx).to_numpy(dtype="int64")
+        cur = np.full(m, -np.inf)
         for br, v in st.items():
-            a[0, idx[br]] = v
-        a[np.arange(1, n_rows + 1), kcodes] = pos
-        # last occurrence of each brand STRICTLY before each row
-        last = np.maximum.accumulate(a, axis=0)[:-1]
-        q = last[np.arange(n_rows), kcodes]
-        d = (last > q[:, None]).sum(axis=1)
-        return pd.DataFrame(
-            {
-                "pos": pdf["pos"].to_numpy(),
-                "d": np.where(np.isinf(q), -1, d).astype("int64"),
-            }
-        )
+            cur[idx[br]] = v
+        out = np.empty(n_rows, dtype="int64")
+        # chunked running max: memory stays O(16k x 25) however large
+        # one segment gets (a pathological single ship-day cannot
+        # blow the task), while the cummax/compare stays vectorized
+        for lo in range(0, n_rows, 16384):
+            hi = min(lo + 16384, n_rows)
+            kc = kcodes[lo:hi]
+            a = np.full((hi - lo + 1, m), -np.inf)
+            a[0] = cur
+            a[np.arange(1, hi - lo + 1), kc] = np.arange(
+                lo + 1, hi + 1, dtype="float64"
+            )
+            run = np.maximum.accumulate(a, axis=0)
+            # last occurrence of each brand STRICTLY before each row
+            last = run[:-1]
+            q = last[np.arange(hi - lo), kc]
+            d = (last > q[:, None]).sum(axis=1)
+            out[lo:hi] = np.where(np.isinf(q), -1, d)
+            cur = run[-1]
+        return pd.DataFrame({"d": out})
 
     scanned = (
         bucketed.groupBy("b")
         .cogroup(enter.groupBy("b"))
-        .applyInPandas(_scan, "pos long, d long")
+        .applyInPandas(_scan, "d long")
     )
     alld = scanned.select(
-        "pos",
         F.when(F.col("d") < 0, F.lit(None).cast("long"))
         .otherwise(F.col("d"))
         .alias("d"),
     )
-    n = alld.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    caps = spark.createDataFrame([(1,), (2,), (4,), (8,)], "c long")
-    return (
-        alld.crossJoin(F.broadcast(caps))
-        .crossJoin(F.broadcast(n))
-        .groupBy("c", "n")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("d").isNotNull() & (F.col("d") < F.col("c")), 1
-                ).otherwise(0)
+    # the whole hit-rate curve in ONE pass over the scanned stream:
+    # the previous shape computed n in a separate agg whose subtree
+    # RE-EXECUTED the Arrow cogroup scan (two FlatMapCoGroupsInPandas
+    # in the physical plan, no exchange reuse) and then pushed a 4x
+    # caps crossJoin through the final agg. count + the four
+    # conditional sums are one partial-aggregable pass; explode of a
+    # 4-struct literal array fans the single row out to the curve.
+    curve = alld.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.when(F.col("d") < c, 1).otherwise(0))
+            .cast("long")
+            .alias(f"h{c}")
+            for c in (1, 2, 4, 8)
+        ],
+    )
+    return curve.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("long").alias("capacity"),
+                        F.col(f"h{c}").alias("hits"),
+                    )
+                    for c in (1, 2, 4, 8)
+                ]
             )
-            .cast("long")
-            .alias("hits")
-        )
-        .select(
-            F.col("c").cast("long").alias("capacity"),
-            F.col("n").alias("n_accesses"),
-            "hits",
-            F.round(F.col("hits") * 1000000.0 / F.col("n"))
-            .cast("long")
-            .alias("hit_ratio_ppm"),
-        )
+        ).alias("e"),
+    ).select(
+        F.col("e.capacity").alias("capacity"),
+        F.col("n").alias("n_accesses"),
+        F.col("e.hits").alias("hits"),
+        F.round(F.col("e.hits") * 1000000.0 / F.col("n"))
+        .cast("long")
+        .alias("hit_ratio_ppm"),
     )
 
 

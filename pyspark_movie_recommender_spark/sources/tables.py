@@ -59,6 +59,47 @@ def table_row_hint(sf_dir: str, name: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def column_minmax_hint(sf_dir: str, name: str, column: str):
+    """(min, max) of one column from parquet FOOTER row-group
+    statistics — the column-stats sibling of :func:`table_row_hint`:
+    an O(file footers) driver-side read, no Spark job, so a query can
+    size a range-bucketing scheme at plan-build time. Returns ``None``
+    when any row group lacks min/max stats (caller falls back to a
+    1-row aggregate); at cluster scale the same numbers come from
+    table statistics / catalog metadata or manifest-level zone maps.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            ci = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == column
+            )
+        except StopIteration:
+            raise KeyError(f"no column {column!r} in {name}")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+    return None if lo is None else (lo, hi)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table from a scale-factor directory.
 

@@ -1018,6 +1018,26 @@ def test_table_row_hint_matches_actual_counts(spark, sf_oracle_dir):
         assert table_row_hint(sf_oracle_dir, t) == _lt(spark, sf_oracle_dir, t).count()
 
 
+def test_column_minmax_hint_matches_actual_extremes(spark, sf_oracle_dir):
+    # the footer column-stats hint must agree with a real min/max agg —
+    # it sizes mattson's date-range segmentation without a Spark job
+    from pyspark.sql import functions as F
+
+    from pyspark_movie_recommender_spark.sources.tables import (
+        column_minmax_hint,
+        load_table as _lt,
+    )
+
+    mm = column_minmax_hint(sf_oracle_dir, "lineitem", "l_shipdate")
+    assert mm is not None
+    real = (
+        _lt(spark, sf_oracle_dir, "lineitem")
+        .agg(F.min("l_shipdate"), F.max("l_shipdate"))
+        .collect()[0]
+    )
+    assert (mm[0], mm[1]) == (real[0], real[1])
+
+
 def test_ckpt_registry_fail_closed_and_scoped(spark, sf_oracle_dir):
     # unknown RDD-backed relations audit as NOT reduced (fail-closed);
     # ckpt'd aggregates audit as reduced; createDataFrame literals are
