@@ -938,10 +938,17 @@ def test_adaptive_levenshtein_routes_by_block_population(spark, sf_dir):
 def test_mattson_segmented_scan_shape(spark, sf_dir):
     # round-4 rewrite: reuse distances come from a cogrouped Arrow
     # segmented scan, NOT a sum-of-gaps candidate join — pin the
-    # cogroup operator and the absence of any nested-loop fallback
+    # cogroup operator and the absence of any nested-loop fallback.
+    # round-7 tightening: EXACTLY ONE cogroup — the hit-rate curve is
+    # a single partial-aggregable pass (a separate n-aggregate used to
+    # re-execute the whole Arrow scan as a second
+    # FlatMapCoGroupsInPandas subtree), and the order-only segment
+    # scheme leaves no Window or rank machinery over the fact
     df = Q.QUERIES["mattson_reuse_profile"](spark, sf_dir)
     plan = physical_plan(df)
-    assert "FlatMapCoGroupsInPandas" in plan
+    # formatted plans print each node twice (tree + detail block), so
+    # one cogroup instance == 2 mentions; a duplicated subtree would be 4
+    assert plan.count("FlatMapCoGroupsInPandas") == 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
 
