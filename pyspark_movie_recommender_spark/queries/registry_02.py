@@ -3803,11 +3803,20 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark_movie_recommender_spark.functions import ws_tokens
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        ws_tokens(F.lower(F.col("text"))).alias("t"),
-        (((F.col("doc_id") * 2654435761) % 4294967296) % 100).alias("bucket"),
+    # tokenize ONCE: six downstream branches (counts / n_lang / vocab /
+    # d_tot / priors / test scoring) otherwise each re-scan the corpus
+    # and re-run lower+split — the 100 TB shape is materialize-then-fan
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            ws_tokens(F.lower(F.col("text"))).alias("t"),
+            (((F.col("doc_id") * 2654435761) % 4294967296) % 100).alias(
+                "bucket"
+            ),
+        )
+        .transform(_ckpt)
     )
     train = docs.filter(F.col("bucket") < 80)
     test = docs.filter(F.col("bucket") >= 80)
@@ -4261,9 +4270,14 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.functions import ws_tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE: four branches (bigram counts, context counts, the
+    # scored join's bigram stream, vocab) otherwise each re-scan the
+    # corpus and re-run lower+split; the in-row bigram explode stays
+    # lazy — re-deriving it from checkpointed token arrays is map-side
+    # cheap, materializing the bigram STREAM would not be
     toks = docs.select(
         "doc_id", "lang", ws_tokens(F.lower(F.col("text"))).alias("t")
-    )
+    ).transform(_ckpt)
     bi = toks.select(
         "doc_id",
         "lang",
@@ -4667,10 +4681,14 @@ def modularity_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
+    # ckpt the distinct bipartite edge set: the bidirection union reads
+    # it twice (e1/e2) — without materialization the orders x lineitem
+    # join + distinct executed once per direction
     fwd = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
+        .transform(_ckpt)
     )
     c_nodes = cust.select(
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"),
@@ -4697,13 +4715,22 @@ def modularity_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nodes.withColumnRenamed("node", "dst").withColumnRenamed("com", "dst_com")),
         "dst",
     )
-    s = lab.agg(F.count(F.lit(1)).cast("long").alias("m2"))
-    per = lab.groupBy(F.col("src_com").alias("com")).agg(
-        F.sum(F.when(F.col("src_com") == F.col("dst_com"), 1).otherwise(0))
-        .cast("long")
-        .alias("e_int"),
-        F.count(F.lit(1)).cast("long").alias("k"),
+    # one pass over the labeled edges: ckpt the |communities|-row agg
+    # (two consumers below) and derive 2m from it — Σ_c K_c counts every
+    # directed edge endpoint exactly once, so the old separate
+    # lab.count() branch re-ran the whole join pipeline for a total the
+    # 25-row relation already contains
+    per = (
+        lab.groupBy(F.col("src_com").alias("com"))
+        .agg(
+            F.sum(F.when(F.col("src_com") == F.col("dst_com"), 1).otherwise(0))
+            .cast("long")
+            .alias("e_int"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        .transform(_ckpt)
     )
+    s = per.agg(F.sum("k").cast("long").alias("m2"))
     return per.crossJoin(F.broadcast(s)).select(
         "com",
         "e_int",
@@ -8093,9 +8120,17 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("ch") == "signup", 4).otherwise(0)).alias("fs"),
         )
     )
-    tcounts = flags.select(
-        (F.col("fv") + F.col("fc") + F.col("fs")).alias("t")
-    ).groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # ckpt the <=8-row mask census: everything downstream consumes it
+    # through FOUR plan branches (v appears as v0 and v1 in phi, and
+    # phi again under the efficiency total) — without materialization
+    # each branch re-executes the fact-sized 3-day range join, and the
+    # physical plan carried the events scan EIGHT times
+    tcounts = (
+        flags.select((F.col("fv") + F.col("fc") + F.col("fs")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(_ckpt)
+    )
     coalitions = spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
     v = (
         coalitions.join(

@@ -2240,15 +2240,20 @@ def longest_common_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.length("t") > 0)
         .select("doc_id", "t", F.length("t").cast("long").alias("n"))
     )
-    pairs = d.select(
-        F.col("doc_id").alias("ida"), F.col("t").alias("ta")
-    ).join(
-        d.select(
-            (F.col("doc_id") - 25).alias("ida"),
-            F.col("doc_id").alias("idb"),
-            F.col("t").alias("tb"),
-        ),
-        "ida",
+    # ckpt the sampled pair relation (tiny: |docs|/25 rows of 150-char
+    # prefixes): both suffix sides and the witness stages read it —
+    # without materialization each branch re-ran the doc scan + self-join
+    pairs = (
+        d.select(F.col("doc_id").alias("ida"), F.col("t").alias("ta"))
+        .join(
+            d.select(
+                (F.col("doc_id") - 25).alias("ida"),
+                F.col("doc_id").alias("idb"),
+                F.col("t").alias("tb"),
+            ),
+            "ida",
+        )
+        .transform(_ckpt)
     )
     # suffix-array formulation: the LCS of two strings equals the max
     # LCP of ADJACENT suffixes from different docs in the merged
@@ -2309,18 +2314,23 @@ def longest_common_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr("substring(suf, 1, CAST(l AS INT))").alias("sub"),
         )
     )
-    best = lcp.groupBy("ida", "idb").agg(F.max("l").alias("lcs_len"))
+    # one pass over the ladder: min(struct(-l, sub)) IS (max length,
+    # then lexicographically smallest witness) — the previous
+    # max-then-rejoin shape re-executed the whole suffix window +
+    # ladder explode for the witness lookup
     return (
-        best.join(
-            lcp.withColumnRenamed("l", "lcs_len"),
-            ["ida", "idb", "lcs_len"],
+        lcp.groupBy("ida", "idb")
+        .agg(
+            F.min(
+                F.struct((-F.col("l")).alias("nl"), F.col("sub").alias("sub"))
+            ).alias("m")
         )
-        .groupBy(
+        .select(
             F.col("ida").alias("doc_a"),
             F.col("idb").alias("doc_b"),
-            "lcs_len",
+            (-F.col("m.nl")).alias("lcs_len"),
+            F.col("m.sub").alias("lcs_min"),
         )
-        .agg(F.min("sub").alias("lcs_min"))
     )
 
 
