@@ -61,7 +61,16 @@ def shingle_candidates(
     shingle self-equi-join (df-capped when ``max_shingle_df`` is set)
     and ``sizes`` is (id, n_shingles) over the SAME filtered sets.
     Used by ngram_jaccard_pairs and the threshold-sweep report so both
-    run the identical candidate pass."""
+    run the identical candidate pass.
+
+    The (df-capped) exploded posting relation is MATERIALIZED at its
+    fan-out point: three consumers (sizes, both self-join sides) would
+    otherwise each re-execute the corpus scan + explode (+ the df-cap
+    shuffle join) — a 3x fact re-read that dominates at corpus scale.
+    One write + three reads of the postings beats three executions of
+    the subtree that produces them."""
+    from pyspark_movie_recommender_spark.operators.lineage import ckpt
+
     base = df.select(
         F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -73,9 +82,10 @@ def shingle_candidates(
             .filter(F.col("__df") <= max_shingle_df)
             .select("shingle")
         )
-        exploded = exploded.join(keep, "shingle").select("id", "shingle")
+        exploded = ckpt(exploded.join(keep, "shingle").select("id", "shingle"))
         sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     else:
+        exploded = ckpt(exploded)
         sizes = base.select("id", F.size("shingles").alias("n_shingles"))
 
     a = exploded.select(F.col("id").alias("id_a"), "shingle")
@@ -144,6 +154,7 @@ def blocked_levenshtein_pairs(
     prefix_len: int = 40,
     max_dist: int = 8,
     freq_prefilter: bool = False,
+    probe_repartition: int | None = None,
 ) -> DataFrame:
     """Edit-distance near-dup pairs with (lang, length-bucket) blocking.
 
@@ -207,6 +218,20 @@ def blocked_levenshtein_pairs(
         F.col("prefix").alias("prefix_a"),
         *fv_cols_a,
     )
+    if probe_repartition:
+        # The pair-enumeration + banded-DP stage is CPU-bound, but its
+        # parallelism follows the probe side's BYTE-sized partitioning:
+        # a broadcast-joined probe inherits the parquet scan's few
+        # input splits (and AQE coalesces shuffles by bytes, blind to
+        # the quadratic per-row fan-out downstream). A round-robin
+        # repartition of the narrow (id, lang, bucket, prefix) rows
+        # spreads the DP across the cluster — measured 19.9s -> 9.7s
+        # at the sf1 profile on 32 cores. Callers enable it ONLY when
+        # the corpus is hint-proven small enough that its b-side
+        # broadcasts (adaptive_levenshtein_pairs); on a corpus that
+        # shuffle-joins, the join's own key exchange already sets
+        # parallelism and the extra pass would be waste.
+        a = a.repartition(probe_repartition)
     b = base.select(
         F.col("doc_id").alias("right_id"),
         "lang",
@@ -482,6 +507,18 @@ def adaptive_levenshtein_pairs(
     from pyspark_movie_recommender_spark.operators.cache import track
     from pyspark_movie_recommender_spark.operators.lineage import ckpt
 
+    # probe-parallelism knob for the block join: when the footer hint
+    # proves the corpus small enough that the build side broadcasts
+    # (~1M rows of 40-char prefixes stays well under the 64MB
+    # threshold), spread the CPU-bound DP stage over 2x the cores —
+    # the byte-sized input partitioning otherwise caps it at the scan's
+    # split count (measured 2x win at the sf1 profile). Left None on
+    # unhinted/large corpora, where the join's own key exchange sets
+    # parallelism.
+    probe_par: int | None = None
+    if row_hint is not None and row_hint <= 1_000_000:
+        probe_par = docs.sparkSession.sparkContext.defaultParallelism * 2
+
     if row_hint is not None and row_hint <= block_cap:
         return blocked_levenshtein_pairs(
             docs,
@@ -493,6 +530,7 @@ def adaptive_levenshtein_pairs(
             prefix_len,
             max_dist,
             freq_prefilter,
+            probe_repartition=probe_par,
         )
 
     base = docs.select(
@@ -547,6 +585,7 @@ def adaptive_levenshtein_pairs(
             prefix_len,
             max_dist,
             freq_prefilter,
+            probe_repartition=probe_par,
         )
 
     base = track(base)
@@ -984,8 +1023,16 @@ def simhash_neardup_pairs(
         )
     starts = [c * 64 // n_chunks for c in range(n_chunks)]
     widths = [(c + 1) * 64 // n_chunks - starts[c] for c in range(n_chunks)]
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash64_udf(seed)(F.col(text_col)).alias("sim")
+    from pyspark_movie_recommender_spark.operators.lineage import ckpt
+
+    # materialize the (id, sim) signatures: both self-join sides consume
+    # them, and without the ckpt the Python SimHash stage (the expensive
+    # part — it reads the full text column) executes twice
+    sig = ckpt(
+        df.select(
+            F.col(id_col).alias("id"),
+            simhash64_udf(seed)(F.col(text_col)).alias("sim"),
+        )
     )
     chunks = sig.select(
         "id",
@@ -1054,7 +1101,18 @@ def prefix_filtered_jaccard_pairs(
         )
         .filter(F.col("w") != "")
     )
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    from pyspark_movie_recommender_spark.operators.lineage import ckpt
+
+    # the token postings fan out FIVE ways (sizes, dfreq, ranked, and
+    # both verification sides) — materialize them once instead of
+    # re-running the corpus scan + explode per consumer; sizes and the
+    # prefix relation are each consumed 2-3x downstream and are
+    # |docs|-sized and prefix-sized respectively, so they get the same
+    # treatment
+    tok = ckpt(tok)
+    sizes = ckpt(
+        tok.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     w_rank = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("w"))
     ranked = (
@@ -1063,10 +1121,12 @@ def prefix_filtered_jaccard_pairs(
         .join(sizes, "id")
     )
     # integer ceil: prefix keeps sz - ceil(t*sz) + 1 rarest tokens
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("sz") - F.expr(f"({threshold_pct} * sz + 99) DIV 100") + 1
-    ).select("id", "w", "sz")
+    prefix = ckpt(
+        ranked.filter(
+            F.col("pos")
+            <= F.col("sz") - F.expr(f"({threshold_pct} * sz + 99) DIV 100") + 1
+        ).select("id", "w", "sz")
+    )
     a = prefix.select(
         F.col("id").alias("id_a"), "w", F.col("sz").alias("n_a")
     )

@@ -92,7 +92,15 @@ def ckpt(df: DataFrame) -> DataFrame:
     Reliable ``checkpoint`` into ``$SPARK_GRAFT_CHECKPOINT_DIR`` when
     that env var is set (cluster-safe); executor-local
     ``localCheckpoint`` otherwise (fast local default).
+
+    ``SPARK_GRAFT_CKPT_DISABLE=1`` makes this a no-op — a TEST-ONLY
+    seam: eager materialization truncates the visible plan at every
+    fan-out point, so plan-shape pins (dim broadcasts, window counts)
+    set the env var to inspect the full untruncated plan. Production
+    and the round battery never set it.
     """
+    if os.environ.get("SPARK_GRAFT_CKPT_DISABLE"):
+        return df
     # Classify the pre-checkpoint plan BEFORE it is replaced by a
     # LogicalRDD leaf, so downstream plan audits keep the information.
     from ..plans import subtree_reduced

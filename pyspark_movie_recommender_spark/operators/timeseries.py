@@ -42,18 +42,35 @@ def zero_filled_daily_grid(
 
     ``pts`` must carry a BIGINT ``day`` column (see ``epoch_day``);
     ``value_agg`` is the aggregate producing ``x`` for present days —
-    missing (key, day) cells become x=0 via the left join. The calendar
-    spans the GLOBAL min..max day so every key shares one aligned axis.
+    missing (key, day) cells become x=0 (every caller's aggregate is
+    zero-filling: counts, or sums wrapped in coalesce(…, 0)). The
+    calendar spans the GLOBAL min..max day so every key shares one
+    aligned axis.
+
+    The fact relation collapses to the sparse (keys…, day, x) series
+    FIRST and that series is materialized (``ckpt``): bounds, the key
+    census, and the calendar join are three consumers that would
+    otherwise each re-execute the fact scan + aggregation — the
+    round-7 duplicate-subtree smell, here retired at the source for
+    all eleven series queries at once. Aggregating before the calendar
+    join is value-identical for present cells (same row groups) and
+    the explicit 0-fill matches the old agg-over-one-null-row result
+    for the zero-filling aggregates this helper contracts for.
     """
+    from pyspark_movie_recommender_spark.operators.lineage import ckpt
+
     keys = keys or []
-    bounds = pts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    sparse = ckpt(pts.groupBy(*keys, "day").agg(value_agg.alias("x")))
+    bounds = sparse.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     days = bounds.select(F.explode(F.expr("sequence(lo, hi)")).alias("day"))
     if keys:
-        grid = pts.select(*keys).distinct().crossJoin(F.broadcast(days))
+        grid = sparse.select(*keys).distinct().crossJoin(F.broadcast(days))
     else:
         grid = days
-    joined = grid.join(pts, [*keys, "day"], "left")
-    return joined.groupBy(*keys, "day").agg(value_agg.alias("x"))
+    joined = grid.join(sparse, [*keys, "day"], "left")
+    return joined.select(
+        *keys, "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
 
 
 def mean_cleared_devs(

@@ -51,6 +51,27 @@ def has_operator(df: DataFrame, name: str) -> bool:
     return name in physical_plan(df)
 
 
+def count_nodes(df: DataFrame, name: str) -> int:
+    """Number of DISTINCT physical-plan instances of operator ``name``.
+
+    Counts the formatted explain's detail headers — ``(<id>) <name>``
+    at line start, one per node id — rather than raw substring
+    occurrences over the whole string. Raw counts bake in how many
+    times the renderer happens to print each node (tree line + detail
+    block today), so a Spark formatting change would flip them; node-id
+    headers are one-per-instance by construction. Falls back to the
+    numbered tree lines (``+- <name> (<id>)``) if a renderer ever drops
+    the detail section.
+    """
+    import re
+
+    plan = physical_plan(df)
+    ids = set(re.findall(rf"(?m)^\((\d+)\) {re.escape(name)}\s*$", plan))
+    if ids:
+        return len(ids)
+    return len(set(re.findall(rf"{re.escape(name)} \((\d+)\)", plan)))
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (lower is better; AQE may
     remove some at runtime that still appear here)."""
@@ -267,6 +288,102 @@ def subtree_reduced(node) -> bool:
     if cs.size() == 0:
         return _small_dim_leaf(node)
     return all(subtree_reduced(cs.apply(i)) for i in range(cs.size()))
+
+
+def _contains_relation_scan(node) -> bool:
+    """True if any leaf under ``node`` is a file-relation scan (the
+    thing whose re-execution costs a fact re-read)."""
+    for n in _walk(node):
+        if n.getClass().getSimpleName() == "LogicalRelation":
+            return True
+    return False
+
+
+# Nodes whose re-execution is real repeated WORK (shuffle, sort,
+# explode fan-out, Python stage) — a duplicated subtree that contains
+# none of these is a plain multi-scan (e.g. both sides of an
+# intentional self-join project the same base relation), which is
+# often the cheapest plan and is policed by the text census's
+# scan-count rule instead.
+_COMPUTE_NODES = frozenset(
+    {
+        "Aggregate",
+        "Join",
+        "Window",
+        "Generate",
+        "Expand",
+        "Sort",
+        "FlatMapCoGroupsInPandas",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapInArrow",
+    }
+)
+
+
+def _contains_compute(node) -> bool:
+    for n in _walk(node):
+        if n.getClass().getSimpleName() in _COMPUTE_NODES:
+            return True
+    return False
+
+
+def duplicate_fact_subtrees(df: DataFrame) -> tuple[int, int]:
+    """(dup_fact, reused_exchanges): semantically-duplicated logical
+    subtrees that would re-execute a relation scan, and the physical
+    plan's ReusedExchange count that may mitigate them at runtime.
+
+    Walks the OPTIMIZED logical plan grouping subtrees by
+    ``semanticHash()`` (canonicalized, so exprId renames don't split
+    groups). A MAXIMAL subtree whose hash occurs >= 2 times is a
+    duplicate — descent stops there, so nested duplicates under an
+    already-counted subtree are not double-counted. A duplicate counts
+    as FACT when it contains BOTH a file-relation leaf (its
+    re-execution re-reads the table) AND a compute node (aggregate /
+    join / window / explode / Python stage — re-executed WORK, not
+    just a second pass over bytes); duplicates rooted on
+    checkpointed/cached leaves or literal grids cost executor-local
+    reads and are ignored, and a bare double scan (an intentional
+    self-join) is left to the census's scan-count rule.
+    Spark's physical planner can still dedupe execution via exchange
+    reuse — the second element reports ``ReusedExchange`` occurrences
+    in the executed plan so callers can net the two.
+    """
+    from collections import Counter
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    counts: Counter = Counter()
+    for n in _walk(plan):
+        try:
+            counts[n.semanticHash()] += 1
+        except Exception:
+            pass
+
+    seen: set[int] = set()
+    dup_fact = 0
+
+    def visit(node) -> None:
+        nonlocal dup_fact
+        try:
+            h = node.semanticHash()
+        except Exception:
+            h = None
+        if h is not None and counts[h] >= 2:
+            if h not in seen:
+                seen.add(h)
+                if _contains_relation_scan(node) and _contains_compute(node):
+                    dup_fact += 1
+            return
+        cs = node.children()
+        for i in range(cs.size()):
+            visit(cs.apply(i))
+
+    visit(plan)
+    reused = df._jdf.queryExecution().executedPlan().toString().count(
+        "ReusedExchange"
+    )
+    return dup_fact, reused
 
 
 def unpartitioned_windows(df: DataFrame) -> tuple[int, int]:

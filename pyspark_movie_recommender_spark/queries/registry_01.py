@@ -1535,7 +1535,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4)
+    # ckpt the 10-row probe set: the search's three Arrow stages are
+    # distinct pipeline steps (corpus assign, probe routing, scoring),
+    # but the probe relation shouldn't cost a second corpus scan
+    return ivf_topk(
+        emb, _ckpt(emb.filter(F.col("vec_id") < 10)), k=5, n_cells=16, nprobe=4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4682,9 +4687,11 @@ def sparse_count_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    tc = _ckpt(tc)  # shared fan-out relation
     norms = tc.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("nrm")
     )
+    norms = _ckpt(norms)  # shared fan-out relation
     a = tc.alias("a")
     b = tc.alias("b")
     pairs = (
@@ -5241,6 +5248,7 @@ def data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpos"),
         (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("dup"),
     )
+    local = _ckpt(local)  # shared fan-out relation
     checks = [
         metric_row("orders.rows", local.select(F.col("rows").alias("metric"))),
         metric_row(
@@ -5329,9 +5337,14 @@ def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     join stays broadcast either way.
     """
     o = load_table(spark, sf_dir, "orders")
-    c = o.select(
-        "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    # materialize the 2-column cents projection once: med, dev, and the
+    # final pass all branch from it — unmaterialized, the orders scan
+    # executes 4x (med, dev via c, mad via dev, final via dev)
+    c = _ckpt(
+        o.select(
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
     )
     med = c.groupBy("o_orderpriority").agg(
         F.percentile("cents", F.lit(0.5)).alias("med_c")
@@ -5504,6 +5517,13 @@ def jaro_winkler_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark_movie_recommender_spark.operators.udf_surface import jaro_winkler
 
+    # evaluate the scorer ONCE per candidate: Catalyst inlines a
+    # deterministic UDF into both the filter and the projection that
+    # reference it (two ArrowEvalPython stages, the O(len^2) DP run
+    # twice per surviving row); the nondeterministic marking only
+    # suppresses that duplication — the function itself is pure
+    jaro_once = jaro_winkler.asNondeterministic()
+
     part = load_table(spark, sf_dir, "part")
     a = part.select(
         F.col("p_partkey").alias("key_a"),
@@ -5520,7 +5540,7 @@ def jaro_winkler_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["brand", "noun"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("jw_raw", jaro_winkler(F.col("name_a"), F.col("name_b")))
+        .withColumn("jw_raw", jaro_once(F.col("name_a"), F.col("name_b")))
         .filter(F.col("jw_raw") >= 0.84)
         .select(
             "key_a", "key_b", F.round("jw_raw", 6).alias("jw")
@@ -6583,6 +6603,7 @@ def privacy_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     erase = e.filter(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    erase = _ckpt(erase)  # shared fan-out relation
     kept = e.join(F.broadcast(erase), "user_id", "left_anti")
     residual = kept.join(F.broadcast(erase), "user_id", "left_semi")
 
@@ -7417,10 +7438,15 @@ def token_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument specialized to containment.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    t = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
-    ).withColumn("sz", F.size("w"))
-    tok = t.select("doc_id", F.explode("w").alias("token"))
+    # t fans out to the tokenizer, the small side, and the big side;
+    # tok to df-counts, rarest, and the candidate side — materialize
+    # both so the documents scan + split executes once, not 5x
+    t = _ckpt(
+        docs.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("w")
+        ).withColumn("sz", F.size("w"))
+    )
+    tok = _ckpt(t.select("doc_id", F.explode("w").alias("token")))
     df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # per doc: the token with the smallest (df, token) — its rarest
     rarest = (

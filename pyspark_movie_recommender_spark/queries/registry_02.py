@@ -771,10 +771,13 @@ def matryoshka_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 10)
+    # the two rank passes (full-width vs truncated) are the query's
+    # semantics — the corpus is scanned once per pass by design; the
+    # tiny probe relations, though, need not re-scan the corpus at all
+    probes = _ckpt(emb.filter(F.col("vec_id") < 10))
     full = cosine_topk_bruteforce(emb, probes, "embedding", "vec_id", k=10)
     emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
-    probes16 = emb16.filter(F.col("vec_id") < 10)
+    probes16 = _ckpt(emb16.filter(F.col("vec_id") < 10))
     trunc = cosine_topk_bruteforce(emb16, probes16, "embedding", "vec_id", k=10)
     f = full.select("probe_id", "neighbor_id")
     t = trunc.select(
@@ -2572,6 +2575,7 @@ def kaplan_meier_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(converted, 1).otherwise(0).alias("event"),
         )
     )
+    durations = _ckpt(durations)  # shared fan-out relation
     km = durations.groupBy("t_days").agg(
         F.sum("event").cast("long").alias("d_events"),
         F.count(F.lit(1)).cast("long").alias("n_here"),
@@ -2975,12 +2979,20 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.operators.similarity import kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(
-        emb, centroid_ids=[3, 66, 129, 192, 255, 318, 381, 444]
-    ).select("vec_id", "cell")
-    vec = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).join(assigned, "vec_id")
+    # the Arrow k-means argmax feeds the cell census AND both self-join
+    # sides; without materialization the Python stage executes 5x over
+    # 5 embeddings scans — ckpt the narrow assignment once, and the
+    # (id, vector, cell) relation both pair sides consume
+    assigned = _ckpt(
+        kmeans_assign(
+            emb, centroid_ids=[3, 66, 129, 192, 255, 318, 381, 444]
+        ).select("vec_id", "cell")
+    )
+    vec = _ckpt(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        ).join(assigned, "vec_id")
+    )
     a = vec.select(
         F.col("cell"),
         F.col("vec_id").alias("id_a"),
@@ -3264,10 +3276,13 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest; a nonzero count means an upstream extractor dropped parents
     or the load raced.
 
-    Scale shape: each FK check is a LEFT ANTI join (Catalyst lowers the
-    NOT EXISTS to the same) that shuffles only the key column; parent
-    sides are dims (broadcast) except orders, which co-partitions with
-    lineitem on the order key. Four checks union into one 4-row report.
+    Scale shape: each FK check is ONE pass over the child keys — a left
+    join against the distinct parent keys with the orphan count and the
+    row total read off the same aggregate (the previous anti-join +
+    separate total scanned every child table twice; lineitem, a child
+    in two checks, was scanned 4x). Parent sides are dims (broadcast)
+    except orders, which co-partitions with lineitem on the order key.
+    Four checks union into one 4-row report.
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -3276,12 +3291,19 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
     def audit(fk_name, child, child_key, parent, parent_key):
-        orphans = child.join(
-            parent, child[child_key] == parent[parent_key], "left_anti"
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
-        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        return orphans.crossJoin(total).select(
-            F.lit(fk_name).alias("fk"), "n_orphans", "n_rows"
+        # distinct keeps the left join row-preserving even if a parent
+        # key ever duplicated (it would multiply child rows otherwise)
+        pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+        return (
+            child.select(F.col(child_key).alias("__ck"))
+            .join(pk, F.col("__ck") == F.col("__pk"), "left")
+            .agg(
+                F.count(F.when(F.col("__pk").isNull(), 1))
+                .cast("long")
+                .alias("n_orphans"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+            .select(F.lit(fk_name).alias("fk"), "n_orphans", "n_rows")
         )
 
     return (
@@ -3410,6 +3432,7 @@ def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    uni = _ckpt(uni)  # shared fan-out relation
     tot = uni.agg(F.sum("c").alias("n"))
     bi = (
         toks.select(
@@ -3947,6 +3970,7 @@ def acf_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
     ).select("day", "x", F.row_number().over(Window.orderBy("day")).alias("i"))
     dev = mean_cleared_devs(daily).select("i", "d")
+    dev = _ckpt(dev)  # shared fan-out relation
     den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("dd"))
     lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
     pairs = (
@@ -4480,6 +4504,7 @@ def psi_drift_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).cast("long").alias("n0"),
         F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("n1"),
     )
+    counts = _ckpt(counts)  # shared fan-out relation
     tot = counts.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
     p0 = F.col("n0").cast("double") / F.col("t0")
     p1 = F.col("n1").cast("double") / F.col("t1")
@@ -4778,9 +4803,11 @@ def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_orderpriority").alias("p")
     )
+    a = _ckpt(a)  # shared fan-out relation
     b = orders.filter(F.col("o_orderstatus") == "O").select(
         F.col("o_orderpriority").alias("p")
     )
+    b = _ckpt(b)  # shared fan-out relation
     i = (
         a.intersectAll(b)
         .groupBy("p")
@@ -4863,7 +4890,10 @@ def multimodal_ahash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = image_ahash(attach_fake_payload(docs))
+    # the Arrow decode+hash stage feeds both banded self-join sides and
+    # the final signature join — ckpt the narrow signature relation so
+    # the payload decode runs once, not 3x
+    sigs = _ckpt(image_ahash(attach_fake_payload(docs)))
     chunks = 7  # max_hamming 6 budget → 7 chunks
     width = 64 // chunks
 
@@ -5476,6 +5506,7 @@ def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    o = _ckpt(o)  # shared fan-out relation
     bounds = o.agg(F.expr("(min(day) + max(day)) div 2").alias("mid"))
     agg = (
         o.crossJoin(F.broadcast(bounds))
@@ -5494,6 +5525,7 @@ def kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("hist"), F.asc("nation"))).alias("ra"),
         F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("nation"))).alias("rb"),
     )
+    ranked = _ckpt(ranked)  # shared fan-out relation
     x = ranked.select(
         F.col("nation").alias("nx"), F.col("ra").alias("rax"), F.col("rb").alias("rbx")
     )
@@ -5949,6 +5981,7 @@ def seasonal_residual_outlier_days(spark: SparkSession, sf_dir: str) -> DataFram
     resid = mean_cleared_devs(daily, keys=["dow"]).select(
         "day", "dow", "x", F.col("d").alias("r")
     )
+    resid = _ckpt(resid)  # shared fan-out relation
     mad = resid.agg(
         F.floor(F.expr("percentile(abs(r), 0.5)")).cast("long").alias("m")
     )
@@ -6038,6 +6071,7 @@ def cross_correlation_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("b"),
         )
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     stats = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("a").cast("long").alias("sa"),
@@ -6127,6 +6161,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
     )
+    fwd = _ckpt(fwd)  # shared fan-out relation
     e1 = fwd.select(
         F.concat(F.lit("c"), F.col("ck").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("sk").cast("string")).alias("dst"),
@@ -6139,6 +6174,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
+    deg = _ckpt(deg)  # shared fan-out relation
     ed = (
         edges.join(
             deg.select(F.col("node").alias("src"), F.col("d").alias("xd")), "src"
@@ -6487,7 +6523,9 @@ def rolling_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    du = _ckpt(du)  # shared fan-out relation
     days = du.select("day").distinct()
+    days = _ckpt(days)  # shared fan-out relation
     dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     u = du.select(F.col("day").alias("uday"), "user_id")
     wau = (
@@ -6597,6 +6635,7 @@ def cuped_adjusted_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
+    per_user = _ckpt(per_user)  # shared fan-out relation
     xd = F.col("x").cast("decimal(38,0)")
     yd = F.col("y").cast("decimal(38,0)")
     mo = per_user.agg(
@@ -6671,7 +6710,9 @@ def segment_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     tu = ev.select("event_type", "user_id").distinct()
+    tu = _ckpt(tu)  # shared fan-out relation
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sizes = _ckpt(sizes)  # shared fan-out relation
     a = tu.select(F.col("event_type").alias("type_a"), "user_id")
     b = tu.select(F.col("event_type").alias("type_b"), "user_id")
     inter = (
@@ -7195,6 +7236,7 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ev") * 100).cast("long").alias("v"),
     )
     sums = vals.groupBy("dim").agg(F.sum("v").cast("long").alias("s"))
+    sums = _ckpt(sums)  # shared fan-out relation
     n = vals.agg(F.countDistinct("vec_id").cast("long").alias("n"))
     a = vals.select("vec_id", F.col("dim").alias("i"), F.col("v").alias("va"))
     b = vals.select("vec_id", F.col("dim").alias("j"), F.col("v").alias("vb"))
@@ -7238,6 +7280,7 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("i").alias("dim"), "y")
     )
+    y2 = _ckpt(y2)  # shared fan-out relation
     mx = y2.agg(F.max(F.abs(F.col("y"))).alias("m"))
     return y2.crossJoin(F.broadcast(mx)).select(
         "dim",
@@ -8001,7 +8044,9 @@ def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    viewers = _ckpt(viewers)  # shared fan-out relation
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    clickers = _ckpt(clickers)  # shared fan-out relation
     na = viewers.agg(F.count(F.lit(1)).cast("long").alias("na"))
     nb = clickers.agg(F.count(F.lit(1)).cast("long").alias("nb"))
     m = viewers.join(clickers, "user_id").agg(

@@ -71,6 +71,7 @@ def smape_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = zero_filled_daily_grid(
         pts, F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     a = daily.select("day", F.col("x").alias("actual"))
     f = daily.select((F.col("day") + 7).alias("day"), F.col("x").alias("forecast"))
     paired = a.join(f, "day")
@@ -1163,6 +1164,7 @@ def weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    tc = _ckpt(tc)  # shared fan-out relation
     a = tc.select(F.col("source").alias("src_a"), "w", F.col("c").alias("ca"))
     b = tc.select(F.col("source").alias("src_b"), "w", F.col("c").alias("cb"))
     pairs = (
@@ -1172,6 +1174,7 @@ def weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.least("ca", "cb")).cast("long").alias("min_sum"))
     )
     totals = tc.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    totals = _ckpt(totals)  # shared fan-out relation
     j = (
         pairs.join(
             F.broadcast(totals.select(F.col("source").alias("src_a"),
@@ -1769,6 +1772,7 @@ def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(has_buy, 1).otherwise(0).alias("event"),
         )
     )
+    durations = _ckpt(durations)  # shared fan-out relation
     day_counts = durations.groupBy("t_days").agg(
         F.sum(F.when(F.col("arm") == 1, F.col("event")).otherwise(0))
         .cast("long")
@@ -2231,10 +2235,12 @@ def l_diversity_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     cells = q.groupBy("nation", "bal_band", "sensitive").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    cells = _ckpt(cells)  # shared fan-out relation
     groups = cells.groupBy("nation", "bal_band").agg(
         F.sum("n").cast("long").alias("group_n"),
         F.count(F.lit(1)).cast("long").alias("l_distinct"),
     )
+    groups = _ckpt(groups)  # shared fan-out relation
     tot = cells.agg(F.sum("n").alias("tot"))
     glob = cells.groupBy("sensitive").agg(F.sum("n").cast("long").alias("gn"))
     glob = glob.crossJoin(F.broadcast(tot))
@@ -2445,6 +2451,7 @@ def shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+    m = _ckpt(m)  # shared fan-out relation
     tot = m.groupBy("period").agg(F.sum("n").cast("long").alias("tn"))
     wide = (
         m.join(F.broadcast(tot), "period")
@@ -2545,6 +2552,7 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    wk = _ckpt(wk)  # shared fan-out relation
     firsts = wk.groupBy("user_id").agg(F.min("week").alias("first_week"))
     lagged = wk.join(firsts, "user_id").select(
         "user_id",
@@ -2741,6 +2749,7 @@ def order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("cents"),
     )
+    agg = _ckpt(agg)  # shared fan-out relation
     tot = agg.agg(F.sum("cents").alias("t"))
     return agg.crossJoin(F.broadcast(tot)).select(
         "age_bucket",
@@ -3325,6 +3334,7 @@ def seat_apportionment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    rev = _ckpt(rev)  # shared fan-out relation
     tot = rev.agg(F.sum("cents").cast("long").alias("t"))
     quota = rev.crossJoin(F.broadcast(tot)).select(
         "n_name",
@@ -3436,6 +3446,7 @@ def bh_fdr_nation_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k"),
         )
     )
+    per = _ckpt(per)  # shared fan-out relation
     tot = per.agg(
         F.sum("n").cast("long").alias("nn"),
         F.sum("k").cast("long").alias("kk"),
@@ -3579,6 +3590,7 @@ def p_chart_weekly_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.coalesce(F.col("late"), F.lit(0))).cast("long").alias("n_late"),
     )
+    weekly = _ckpt(weekly)  # shared fan-out relation
     pooled = weekly.agg(
         (F.sum("n_late").cast("double") / F.sum("n_orders")).alias("pbar")
     )
@@ -3669,11 +3681,14 @@ def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"),
     )
     cnt = tok.groupBy("s", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cnt = _ckpt(cnt)  # shared fan-out relation
     nt = cnt.groupBy("s").agg(F.sum("c").cast("long").alias("t"))
+    nt = _ckpt(nt)  # shared fan-out relation
     probs = cnt.join(F.broadcast(nt), "s").select(
         "s", "w", (F.col("c").cast("double") / F.col("t")).alias("p")
     )
     hs = probs.groupBy("s").agg(F.sum(-F.col("p") * F.log("p")).alias("h"))
+    hs = _ckpt(hs)  # shared fan-out relation
     srcs = nt.select("s")
     pairs = (
         srcs.select(F.col("s").alias("src_a"))
@@ -3999,7 +4014,9 @@ def kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = li.groupBy(
         F.col("l_returnflag").alias("grp"), F.col("l_quantity").alias("v")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hist = _ckpt(hist)  # shared fan-out relation
     vals = hist.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    vals = _ckpt(vals)  # shared fan-out relation
     wv = Window.orderBy("v")
     mids = vals.select(
         "v",
@@ -4018,6 +4035,7 @@ def kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("mid2")).cast("long").alias("s2_g"),
         )
     )
+    rsum = _ckpt(rsum)  # shared fan-out relation
     tot = rsum.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -4342,6 +4360,7 @@ def neyman_allocation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight"),
     )
+    strata = _ckpt(strata)  # shared fan-out relation
     tot = strata.agg(F.sum("weight").cast("long").alias("t"))
     quota = strata.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -5050,8 +5069,10 @@ def subsequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> x.et)"
         ).alias("t")
     )
+    seqs = _ckpt(seqs)  # shared fan-out relation
     n = seqs.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     types = ev.select(F.col("event_type").alias("et")).distinct()
+    types = _ckpt(types)  # shared fan-out relation
     cand = (
         types.select(F.col("et").alias("step_a"))
         .crossJoin(types.select(F.col("et").alias("step_b")))
@@ -5508,6 +5529,7 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("x")
     )
+    spend = _ckpt(spend)  # shared fan-out relation
     tagged = (
         spend.join(c, spend.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -5525,6 +5547,7 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(xd * F.log(xd)) / F.sum(xd) - F.log(F.avg(xd))
         ).alias("t_g"),
     )
+    grp = _ckpt(grp)  # shared fan-out relation
     joined = grp.crossJoin(F.broadcast(glob))
     within = joined.agg(
         F.sum(
@@ -5864,6 +5887,7 @@ def leakage_safe_training_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_movie_recommender_spark.operators.timeseries import epoch_day
 
     pts = ev.select("user_id", "event_type", epoch_day("ts").alias("day"))
+    pts = _ckpt(pts)  # shared fan-out relation
     bounds = pts.agg((F.max("day") - 14).alias("snap_day"))
     tagged = pts.crossJoin(F.broadcast(bounds))
     feats = (
@@ -5980,6 +6004,7 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c1"),
     )
+    hist = _ckpt(hist)  # shared fan-out relation
     tot = hist.agg(
         F.sum("c0").cast("long").alias("n0"),
         F.sum("c1").cast("long").alias("n1"),
@@ -6072,11 +6097,13 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("z").alias("s_g"),
         F.sum(F.col("z") * F.col("z")).alias("ss_g"),
     )
+    grp = _ckpt(grp)  # shared fan-out relation
     tot = grp.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("s_g").alias("s"),
     )
+    tot = _ckpt(tot)  # shared fan-out relation
     joined = grp.crossJoin(F.broadcast(tot))
     between = joined.agg(
         F.sum(
@@ -6775,6 +6802,7 @@ def covariance_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.corr(F.col(f"l_{a}"), F.col(f"l_{b}")).alias(f"r_{a}_{b}")
         )
     m = li.agg(*aggs)
+    m = _ckpt(m)  # shared fan-out relation
     out = None
     for a, b in pairs:
         row = m.select(
@@ -7361,6 +7389,7 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     horizon = daily.agg(F.max("day").alias("max_day"))
     tagged = daily.crossJoin(F.broadcast(horizon))
     bottom = tagged.groupBy("region").agg(
@@ -7371,10 +7400,12 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fc_bottom")
     )
+    bottom = _ckpt(bottom)  # shared fan-out relation
     top = bottom.agg(F.sum("fc_bottom").cast("long").alias("bu_total"))
     hist = daily.groupBy("region").agg(
         F.sum("cents").cast("long").alias("hist_cents")
     )
+    hist = _ckpt(hist)  # shared fan-out relation
     hist_tot = hist.agg(F.sum("hist_cents").cast("long").alias("h"))
     return (
         bottom.join(hist, "region")
@@ -7458,6 +7489,7 @@ def woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("bad")).cast("long").alias("n_good"),
         F.sum("bad").cast("long").alias("n_bad"),
     )
+    b = _ckpt(b)  # shared fan-out relation
     tot = b.agg(
         F.sum("n_good").cast("long").alias("g"),
         F.sum("n_bad").cast("long").alias("bb"),
@@ -8068,6 +8100,7 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("stop") == 0)
         .drop("stop")
     )
+    isl = _ckpt(isl)  # shared fan-out relation
     phr = (
         isl.groupBy("doc_id", "grp")
         .agg(
@@ -8082,6 +8115,7 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = phr.join(isl, ["doc_id", "grp"]).select(
         "doc_id", "grp", "phrase", "plen", "w"
     )
+    members = _ckpt(members)  # shared fan-out relation
     wstat = members.groupBy("w").agg(
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum("plen").cast("long").alias("degree"),

@@ -84,6 +84,7 @@ def two_way_fixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("y"),
         )
     )
+    pts = _ckpt(pts)  # shared fan-out relation
     em = pts.groupBy("entity").agg(
         F.avg("x").alias("xe"), F.avg("y").alias("ye")
     )
@@ -685,6 +686,9 @@ def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("approx_p90").alias("approx_p90"),
         F.first("n").alias("n"),
     )
+    # one row feeding three metric branches: without the ckpt each
+    # union arm re-runs BOTH exact passes over orders (6 scans total)
+    ranks = _ckpt(ranks)
 
     def metric(name, exact, approx, bound_ok):
         return ranks.select(
@@ -5265,6 +5269,7 @@ def ljung_box_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
     ).select("day", "x", F.row_number().over(Window.orderBy("day")).alias("i"))
     dev = mean_cleared_devs(daily).select("i", "d", "n")
+    dev = _ckpt(dev)  # shared fan-out relation
     den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("dd"))
     n_df = dev.agg(F.max("n").alias("n"))
     lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
@@ -5449,6 +5454,7 @@ def lof_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lrd")
     )
+    lrd = _ckpt(lrd)  # shared fan-out relation
     lof = (
         knn.join(lrd.select(F.col("aid").alias("bid"), F.col("lrd").alias("lrd_b")), "bid")
         .join(lrd.select(F.col("aid"), F.col("lrd").alias("lrd_a")), "aid")
@@ -5902,6 +5908,7 @@ def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(p_wins, 1).when(e_wins, 2).otherwise(0).alias("cause"),
         )
     )
+    pts = _ckpt(pts)  # shared fan-out relation
     grp = pts.groupBy("t_days").agg(
         F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
         .cast("long")
@@ -6359,6 +6366,7 @@ def pacf_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
     ).select("day", "x", F.row_number().over(Window.orderBy("day")).alias("i"))
     dev = mean_cleared_devs(daily).select("i", "d")
+    dev = _ckpt(dev)  # shared fan-out relation
     den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("dd"))
     lags = spark.range(1, 4).select(F.col("id").cast("long").alias("lag"))
     rho_rows = (
@@ -6384,6 +6392,7 @@ def pacf_daily_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
         F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
     )
+    rho = _ckpt(rho)  # shared fan-out relation
     r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
     l1 = rho.select(
         F.lit(1).cast("long").alias("lag"),
@@ -6460,6 +6469,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     dim = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    dim = _ckpt(dim)  # shared fan-out relation
     m_bits = 16384
     positions = dim.select(
         F.explode(
@@ -6511,6 +6521,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = probed.where(member).select(
         "o_custkey", "o_orderpriority", "o_totalprice"
     )
+    candidates = _ckpt(candidates)  # shared fan-out relation
     return (
         candidates.join(dim, candidates.o_custkey == dim.c_custkey)
         .groupBy("o_orderpriority")
@@ -6622,6 +6633,7 @@ def motif_discovery_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = zero_filled_daily_grid(
         pts, F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
     ).select("day", "x", F.row_number().over(Window.orderBy("day")).alias("i"))
+    daily = _ckpt(daily)  # shared fan-out relation
     wf = Window.orderBy("i").rowsBetween(0, 6)
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     win = (
@@ -6807,6 +6819,7 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dm").cast("long").alias("sm"),
         F.count(F.lit(1)).cast("long").alias("cnt"),
     )
+    seas = _ckpt(seas)  # shared fan-out relation
     mean_d = lambda k: F.max(  # noqa: E731
         F.when(F.col("dow") == k, F.col("sm").cast("double") / F.col("cnt"))
     )
@@ -6913,6 +6926,7 @@ def hampel_filter_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = zero_filled_daily_grid(
         pts, F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     wf = Window.orderBy("day").rowsBetween(-7, 7)
     med = daily.select(
         "day",

@@ -300,6 +300,7 @@ def kpss_stationarity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("c").cast("long").alias("cents"))
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
@@ -307,6 +308,7 @@ def kpss_stationarity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lags"),
     )
+    tot = _ckpt(tot)  # shared fan-out relation
     wd = Window.orderBy("day")
     seq = daily.select(
         "day",
@@ -813,6 +815,7 @@ def durbin_watson_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
         "y",
     )
+    seq = _ckpt(seq)  # shared fan-out relation
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     mom = seq.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -836,6 +839,7 @@ def durbin_watson_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
     )
+    resid = _ckpt(resid)  # shared fan-out relation
     lagged = resid.select(
         "t", "n", "e", F.lag("e").over(Window.orderBy("t")).alias("le")
     )
@@ -1774,6 +1778,7 @@ def logistic_irls_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = w2.agg(
         slope.alias("b"), (swz / sw - slope * swx / sw).alias("a")
     )
+    f2 = _ckpt(f2)  # shared fan-out relation
     ll = pts.crossJoin(F.broadcast(f2)).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         (
@@ -2409,6 +2414,7 @@ def wilcoxon_signed_rank_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("npos"),
     )
+    ad_tab = _ckpt(ad_tab)  # shared fan-out relation
     cum = distributed_order_stats(
         ad_tab.withColumn("__k", F.col("ad").cast("double")),
         "__k",
@@ -2523,6 +2529,7 @@ def mood_median_test_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("not_above"),
         )
     )
+    counts = _ckpt(counts)  # shared fan-out relation
     tot = counts.agg(
         F.sum("above").cast("long").alias("ta"),
         F.sum("not_above").cast("long").alias("tn"),
@@ -2803,7 +2810,9 @@ def pinball_loss_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("c").cast("long").alias("v"))
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     cutoff = daily.agg((F.max("day") - 6).alias("cut"))
+    cutoff = _ckpt(cutoff)  # shared fan-out relation
     fc = (
         daily.crossJoin(F.broadcast(cutoff))
         .where(F.col("day") < F.col("cut"))
@@ -3095,6 +3104,7 @@ def fleiss_kappa_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_returnflag")
         .agg(F.count(F.lit(1)).cast("long").alias("nij"))
     )
+    cell = _ckpt(cell)  # shared fan-out relation
     peri = cell.groupBy("l_orderkey").agg(
         F.sum(F.col("nij") * F.col("nij")).cast("long").alias("ss")
     )
@@ -3380,6 +3390,7 @@ def cochrane_orcutt_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_slope("y", F.col("t").cast("double")).alias("b"),
         F.regr_intercept("y", F.col("t").cast("double")).alias("a"),
     )
+    ols = _ckpt(ols)  # shared fan-out relation
     res = idx.crossJoin(F.broadcast(ols)).select(
         "t", "y", (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e")
     )
@@ -3396,6 +3407,7 @@ def cochrane_orcutt_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r"
         )
     )
+    rho = _ckpt(rho)  # shared fan-out relation
     star = (
         lagged.where(F.col("yp").isNotNull())
         .crossJoin(F.broadcast(rho))
@@ -3863,6 +3875,7 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    cnt = _ckpt(cnt)  # shared fan-out relation
     tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
     top = (
         cnt.groupBy("tok")
@@ -4292,6 +4305,7 @@ def event_study_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+    win = _ckpt(win)  # shared fan-out relation
     base = win.where(F.col("tau") < 0).agg(
         F.sum("total_events").cast("long").alias("pre_ev"),
         F.sum("n_users").cast("long").alias("pre_u"),
@@ -4952,6 +4966,7 @@ def cronbach_alpha_linenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
         )
     )
+    items = _ckpt(items)  # shared fan-out relation
     per_item = items.groupBy("l_linenumber").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("s1"),
@@ -5776,6 +5791,7 @@ def stuart_maxwell_status_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     modal = halves.groupBy("o_custkey", "half").agg(
         F.max(F.struct(F.col("c"), F.col("st"))).alias("m")
     ).select("o_custkey", "half", F.col("m.st").alias("st"))
+    modal = _ckpt(modal)  # shared fan-out relation
     a = modal.where(F.col("half") == 1).select(
         "o_custkey", F.col("st").alias("s1")
     )
@@ -5887,6 +5903,7 @@ def bowker_symmetry_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     modal = halves.groupBy("o_custkey", "half").agg(
         F.max(F.struct(F.col("c"), F.col("st"))).alias("m")
     ).select("o_custkey", "half", F.col("m.st").alias("st"))
+    modal = _ckpt(modal)  # shared fan-out relation
     a = modal.where(F.col("half") == 1).select(
         "o_custkey", F.col("st").alias("s1")
     )
@@ -6274,6 +6291,7 @@ def rmst_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(has_buy, 1).otherwise(0).alias("event"),
         )
     )
+    durations = _ckpt(durations)  # shared fan-out relation
     km = durations.groupBy("t_days").agg(
         F.sum("event").cast("long").alias("d_events"),
         F.count(F.lit(1)).cast("long").alias("n_here"),
@@ -6309,6 +6327,7 @@ def rmst_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("s"),
     )
+    curve = _ckpt(curve)  # shared fan-out relation
     wl = Window.orderBy("t_days")
     seg = curve.where(F.col("t_days") <= 30).select(
         "t_days", "s", F.lead("t_days").over(wl).alias("t_next")
@@ -6443,6 +6462,7 @@ def tornqvist_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("r0").isNotNull() & F.col("r1").isNotNull())
     )
+    wide = _ckpt(wide)  # shared fan-out relation
     tot = wide.agg(
         F.sum("r0").cast("long").alias("t0"), F.sum("r1").cast("long").alias("t1")
     )
@@ -6853,6 +6873,7 @@ def feature_ranking_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f_tax"),
     )
+    pts = _ckpt(pts)  # shared fan-out relation
     long_ = (
         pts.select("y", F.lit("price").alias("feat"), F.col("f_price").alias("bin"))
         .unionAll(
@@ -7394,7 +7415,9 @@ def knn_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.where(F.col("vec_id") % 7 == 0)
     corpus = emb.where(F.col("vec_id") % 7 != 0)
     topk = cosine_topk_bruteforce(corpus, probes, "embedding", "vec_id", k=5)
-    labels = emb.select("vec_id", "label")
+    # both the neighbor-label and the probe-truth joins consume this
+    # 2-column relation — ckpt so the embeddings scan feeding it runs once
+    labels = _ckpt(emb.select("vec_id", "label"))
     votes = (
         topk.join(
             labels.select(
@@ -7784,6 +7807,7 @@ def geometric_median_weiszfeld(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("x"),
         (F.col("l_extendedprice") / 1000.0).alias("y"),
     )
+    pts = _ckpt(pts)  # shared fan-out relation
     m0 = pts.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
 
     def step(prev):
@@ -8005,6 +8029,7 @@ def chain_ladder_reserves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("cents").cast("long").alias("paid"))
     )
+    cells = _ckpt(cells)  # shared fan-out relation
     maxo = cells.agg(F.max("origin").alias("mo"))
     wc = Window.partitionBy("origin").orderBy("dev")
     cum = cells.select(

@@ -344,6 +344,7 @@ def generalized_esd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("c").cast("long").alias("v"))
     )
+    daily = _ckpt(daily)  # shared fan-out relation
 
     def esd_round(df):
         wall = Window.partitionBy()
@@ -670,6 +671,7 @@ def quantile_shift_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0).alias("g"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
+    pts = _ckpt(pts)  # shared fan-out relation
     rows_ = []
     for q in range(1, 10):
         rows_.append(
@@ -1320,6 +1322,7 @@ def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
     )
+    cells = _ckpt(cells)  # shared fan-out relation
     tot = cells.agg(
         F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("pt")
     )
@@ -1441,6 +1444,7 @@ def bcg_growth_share_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("r0") > 0)
     )
+    wide = _ckpt(wide)  # shared fan-out relation
     mkt = wide.agg(
         F.max("r1").cast("long").alias("leader1"),
         (F.sum("r1").cast("double") / F.sum("r0").cast("double") - 1.0).alias(
@@ -2338,6 +2342,7 @@ def psi_feature_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).cast("long").alias("n0"),
         F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).cast("long").alias("n1"),
     )
+    cells = _ckpt(cells)  # shared fan-out relation
     tot = cells.groupBy("feat").agg(
         F.sum("n0").cast("long").alias("t0"), F.sum("n1").cast("long").alias("t1")
     )
@@ -2438,6 +2443,7 @@ def ks_feature_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("f_tax"),
         )
     )
+    base = _ckpt(base)  # shared fan-out relation
     feats = None
     for name in ("price", "qty", "disc", "tax"):
         part = base.select(
@@ -2549,6 +2555,7 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "day",
@@ -2571,6 +2578,7 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_cross = crossed.where(F.col("sig") != 0).agg(
         F.min("day").alias("d")
     )
+    first_cross = _ckpt(first_cross)  # shared fan-out relation
     n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     final = llr.orderBy(F.col("day").desc()).limit(1).select(
         F.round("l", 4).alias("final_llr")
@@ -2748,7 +2756,14 @@ def survivorship_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     em = F.expr("unix_micros(CAST(o_orderdate AS timestamp_ltz))")
     span = o.agg(F.min(em).alias("lo"), F.max(em).alias("hi"))
-    with_span = o.crossJoin(F.broadcast(span))
+    # both halves (first-half spenders, second-half survivors) consume
+    # this relation — materialize the 3-column projection so the
+    # orders scan runs once for the span agg and once here, not 4x
+    with_span = _ckpt(
+        o.select("o_custkey", "o_orderdate", "o_totalprice").crossJoin(
+            F.broadcast(span)
+        )
+    )
     h1 = (
         with_span.where(em * 2 <= F.col("lo") + F.col("hi"))
         .groupBy("o_custkey")
@@ -3500,6 +3515,7 @@ def bloom_fpr_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     members = o.select(F.col("o_custkey").alias("k")).distinct()
+    members = _ckpt(members)  # shared fan-out relation
 
     def pos(col, salt):
         return ((col + salt) * 2654435761) % 65536 if salt else (col * 2654435761) % 65536
@@ -3510,6 +3526,7 @@ def bloom_fpr_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(members.select(pos(F.col("k"), 1442695040).alias("b")))
         .distinct()
     )
+    bits = _ckpt(bits)  # shared fan-out relation
     probes = c.select((F.col("c_custkey") + 10000000).alias("k"))
     b1 = bits.select(F.col("b").alias("b1"))
     b2 = bits.select(F.col("b").alias("b2"))
@@ -4440,6 +4457,7 @@ def cochrans_q_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
+    inc = _ckpt(inc)  # shared fan-out relation
     per_cust = inc.groupBy("o_custkey").agg(F.sum("x").cast("long").alias("ri"))
     per_period = inc.groupBy("t").agg(F.sum("x").cast("long").alias("cj"))
     mc = per_cust.agg(
@@ -4846,6 +4864,7 @@ def median_polish_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("med")
         )
     )
+    cells = _ckpt(cells)  # shared fan-out relation
     row_eff = cells.groupBy("pr").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY med)")
         .cast("long")
@@ -4937,6 +4956,7 @@ def markov_next_event_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wl).cast("long").alias("i"),
         F.count(F.lit(1)).over(wu).cast("long").alias("n"),
     )
+    seq = _ckpt(seq)  # shared fan-out relation
     a = seq.alias("a")
     b = seq.alias("b")
     pairs = a.join(
@@ -4949,6 +4969,7 @@ def markov_next_event_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.i").alias("i"),
         F.col("a.n").alias("n"),
     )
+    pairs = _ckpt(pairs)  # shared fan-out relation
     train = (
         pairs.where(F.col("i") < F.col("n") - 1)
         .groupBy("s", "t")
@@ -5013,6 +5034,7 @@ def popularity_baseline_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wl).cast("long").alias("i"),
         F.count(F.lit(1)).over(wu).cast("long").alias("n"),
     )
+    seq = _ckpt(seq)  # shared fan-out relation
     a = seq.alias("a")
     b = seq.alias("b")
     pairs = a.join(
@@ -5025,6 +5047,7 @@ def popularity_baseline_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.i").alias("i"),
         F.col("a.n").alias("n"),
     )
+    pairs = _ckpt(pairs)  # shared fan-out relation
     train = (
         pairs.where(F.col("i") < F.col("n") - 1)
         .groupBy("s", "t")
@@ -5513,6 +5536,7 @@ def zone_map_pruning_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         120,
         out_col="sorted_block",
     ).select("nat_block", "d", "sorted_block")
+    rows_ = _ckpt(rows_)  # shared fan-out relation
     pred = rows_.agg(
         (F.min("d") + 30).alias("plo"), (F.min("d") + 36).alias("phi")
     )
@@ -5912,6 +5936,7 @@ def jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s"),
         )
     )
+    g = _ckpt(g)  # shared fan-out relation
     tot = g.agg(
         F.sum("n").cast("long").alias("nt"),
         F.sum("s").cast("long").alias("st"),
@@ -6100,6 +6125,7 @@ def regression_to_mean_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend")
         )
     )
+    halves = _ckpt(halves)  # shared fan-out relation
     a = halves.where(F.col("h") == 0).select(
         "o_custkey", F.col("spend").alias("s0")
     )
@@ -6236,6 +6262,7 @@ def winners_curse_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n0").isNotNull() & F.col("n1").isNotNull())
     )
+    wide = _ckpt(wide)  # shared fan-out relation
     winner = wide.orderBy(F.col("m0").desc(), "nk").limit(1).select(
         "nk", "m0", "m1"
     )
@@ -6618,6 +6645,7 @@ def minplus_diameter_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("f")
         )
     )
+    flows = _ckpt(flows)  # shared fan-out relation
     tot = flows.agg(F.sum("f").cast("long").alias("tf"))
     edges = flows.crossJoin(F.broadcast(tot)).select(
         "u",
@@ -6881,6 +6909,7 @@ def ransac_line_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("x", "yc", "rn")
     )
+    sampled = _ckpt(sampled)  # shared fan-out relation
     a = sampled.alias("a")
     b = sampled.alias("b")
     # try_divide: ANSI mode would raise on the degenerate x1==x2 pair even
@@ -7003,6 +7032,7 @@ def largest_rectangle_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
         .withColumn("i", F.row_number().over(Window.orderBy("d")))
     )
+    bars = _ckpt(bars)  # shared fan-out relation
     a, b, k = bars.alias("a"), bars.alias("b"), bars.alias("k")
     spans = (
         a.join(b, F.col("b.i") >= F.col("a.i"))
@@ -7102,6 +7132,7 @@ def convex_hull_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pts = prof.groupBy("x", "y").agg(F.min("nk").alias("nk"))
+    pts = _ckpt(pts)  # shared fan-out relation
     p, q, r = pts.alias("p"), pts.alias("q"), pts.alias("r")
     cross = (F.col("q.x") - F.col("p.x")) * (F.col("r.y") - F.col("p.y")) - (
         F.col("q.y") - F.col("p.y")
@@ -7458,6 +7489,7 @@ def banzhaf_region_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_swings")
         )
     )
+    swings = _ckpt(swings)  # shared fan-out relation
     sw_tot = swings.agg(F.sum("n_swings").alias("all_swings"))
     return swings.crossJoin(F.broadcast(sw_tot)).select(
         "r_name",

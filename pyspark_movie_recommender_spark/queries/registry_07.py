@@ -537,6 +537,7 @@ def hausdorff_region_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = dmin.groupBy("ra", "rb").agg(
         F.max("mind").alias("hmax"), F.avg("mind").alias("cavg")
     )
+    direct = _ckpt(direct)  # shared fan-out relation
     d1 = direct.alias("d1")
     dd2 = direct.alias("d2")
     return (
@@ -628,6 +629,7 @@ def littlewood_protection_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d")
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     fares = orders.agg(
         F.avg(
             F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
@@ -636,25 +638,31 @@ def littlewood_protection_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderpriority") != "1-URGENT", F.col("o_totalprice"))
         ).alias("pl"),
     )
+    fares = _ckpt(fares)  # shared fan-out relation
     dist = daily.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    dist = _ckpt(dist)  # shared fan-out relation
     cand = dist.select(F.col("d").alias("y")).union(
         dist.sparkSession.range(1).select(F.lit(0).cast("long").alias("y"))
     ).distinct()
+    cand = _ckpt(cand)  # shared fan-out relation
     surv = (
         cand.join(dist, dist.d > cand.y, "left")
         .groupBy("y")
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("days_gt"))
     )
+    surv = _ckpt(surv)  # shared fan-out relation
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("days"),
         F.max("d").cast("long").alias("max_daily"),
     )
+    tot = _ckpt(tot)  # shared fan-out relation
     pick = (
         surv.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(fares))
         .where(F.col("days_gt") * F.col("ph") <= F.col("pl") * F.col("days"))
         .agg(F.min("y").alias("y_star"))
     )
+    pick = _ckpt(pick)  # shared fan-out relation
     spill = (
         surv.crossJoin(F.broadcast(pick))
         .where(F.col("y") == F.col("y_star"))
@@ -1374,6 +1382,7 @@ def isotonic_urgent_rate_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bux = ranked.groupBy("b").agg(
         F.sum("u").cast("long").alias("u"), F.count("*").cast("long").alias("n")
     )
+    bux = _ckpt(bux)  # shared fan-out relation
     w = Window.orderBy("b")
     pref = bux.select(
         "b",
@@ -1408,6 +1417,7 @@ def isotonic_urgent_rate_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("m").alias("mn"))
     )
     fit = inner_min.groupBy("i").agg(F.max("mn").alias("f"))
+    fit = _ckpt(fit)  # shared fan-out relation
     return bux.join(fit, bux.b == fit.i).select(
         F.col("b").cast("long").alias("bucket"),
         F.col("n").alias("n_orders"),
@@ -1554,6 +1564,7 @@ def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("c").cast("long").alias("s"),
     )
+    nn = _ckpt(nn)  # shared fan-out relation
     z = idx.crossJoin(F.broadcast(nn)).select(
         "t", (F.col("n") * F.col("c") - F.col("s")).alias("z"), "n"
     )
@@ -1569,6 +1580,7 @@ def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pw = terms.select("k", (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn")).alias("p"))
     tot = pw.agg(F.sum("p").alias("tp"))
+    tot = _ckpt(tot)  # shared fan-out relation
     top = pw.orderBy(F.desc("p"), F.asc("k")).limit(1)
     ent = pw.crossJoin(F.broadcast(tot)).agg(
         (
@@ -1670,7 +1682,9 @@ def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p")
     )
     cnts = pat.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cnts = _ckpt(cnts)  # shared fan-out relation
     tot = cnts.agg(F.sum("n").cast("long").alias("nt"))
+    tot = _ckpt(tot)  # shared fan-out relation
     top = cnts.orderBy(F.desc("n"), F.asc("p")).limit(1)
     ent = cnts.crossJoin(F.broadcast(tot)).agg(
         (
@@ -1980,19 +1994,24 @@ def _nation_metric_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sbal", F.lit(0)).alias("m6"),
         )
     )
+    # 25 rows feeding six union branches (then self-joined by the
+    # Copeland caller): materialize so the three-table agg runs once
+    base = _ckpt(base)
     lng = None
     for i in range(1, 7):
         part = base.select(
             "nk", F.lit(i).alias("m"), (F.col(f"m{i}") * 1.0).alias("v")
         )
         lng = part if lng is None else lng.unionAll(part)
-    return lng.select(
-        "m",
-        "nk",
-        F.row_number()
-        .over(Window.partitionBy("m").orderBy(F.desc("v"), F.asc("nk")))
-        .cast("long")
-        .alias("r"),
+    return _ckpt(
+        lng.select(
+            "m",
+            "nk",
+            F.row_number()
+            .over(Window.partitionBy("m").orderBy(F.desc("v"), F.asc("nk")))
+            .cast("long")
+            .alias("r"),
+        )
     )
 
 
@@ -2174,6 +2193,7 @@ def allen_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("l_shipdate").alias("e"))
     )
+    iv = _ckpt(iv)  # shared fan-out relation
     a = iv.alias("a")
     b = iv.alias("b")
     pairs = a.join(
@@ -2203,6 +2223,7 @@ def allen_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("relation")
     )
     cnts = rel.groupBy("relation").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cnts = _ckpt(cnts)  # shared fan-out relation
     tot = cnts.agg(F.sum("cnt").cast("long").alias("t"))
     return cnts.crossJoin(F.broadcast(tot)).select(
         "relation",
@@ -2657,6 +2678,10 @@ def _warp_dp_spark(spark: SparkSession, sf_dir: str, semiring: str) -> DataFrame
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    # 25x7 profile feeds both the per-nation totals and the grid join;
+    # the 25-row array relation feeds both self-join sides — ckpt each
+    # so the fact agg runs once
+    prof = _ckpt(prof)
     grid = nat.select(F.col("n_nationkey").alias("nk")).crossJoin(
         spark.range(0, 7).select(F.col("id").alias("dw"))
     )
@@ -2672,7 +2697,7 @@ def _warp_dp_spark(spark: SparkSession, sf_dir: str, semiring: str) -> DataFrame
             .alias("v"),
         )
     )
-    arr = (
+    arr = _ckpt(
         p.groupBy("nk")
         .agg(F.array_sort(F.collect_list(F.struct("dw", "v"))).alias("s"))
         .select("nk", F.expr("transform(s, x -> x.v)").alias("vs"))
@@ -2982,6 +3007,7 @@ def mantel_matrix_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("f")
         )
     )
+    flows = _ckpt(flows)  # shared fan-out relation
     tf = flows.agg(F.sum("f").cast("long").alias("tf"))
     cost = (
         flows.crossJoin(F.broadcast(tf))
@@ -3010,6 +3036,7 @@ def mantel_matrix_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    prof = _ckpt(prof)  # shared fan-out relation
     ptot = prof.groupBy("nk").agg(F.sum("cnt").cast("long").alias("t"))
     grid = nat.select(F.col("n_nationkey").alias("nk")).crossJoin(
         spark.range(0, 7).select(F.col("id").alias("dw"))
@@ -3719,6 +3746,7 @@ def delong_auc_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("ng"),
     )
+    nn = _ckpt(nn)  # shared fan-out relation
     from pyspark_movie_recommender_spark.operators.rank import (
         distributed_order_stats,
     )
@@ -3867,6 +3895,7 @@ def delong_paired_auc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("ng"),
     )
+    nn = _ckpt(nn)  # shared fan-out relation
 
     from pyspark_movie_recommender_spark.operators.rank import (
         distributed_order_stats,
@@ -4028,7 +4057,9 @@ def alpha_footprint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type").alias("a"), F.col("event_type").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    df = _ckpt(df)  # shared fan-out relation
     types = ev.select(F.col("event_type").alias("t")).distinct()
+    types = _ckpt(types)  # shared fan-out relation
     grid = types.select(F.col("t").alias("a")).crossJoin(
         types.select(F.col("t").alias("b"))
     )
@@ -4104,7 +4135,9 @@ def heuristic_dependency_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type").alias("a"), F.col("event_type").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    df = _ckpt(df)  # shared fan-out relation
     types = ev.select(F.col("event_type").alias("t")).distinct()
+    types = _ckpt(types)  # shared fan-out relation
     grid = types.select(F.col("t").alias("a")).crossJoin(
         types.select(F.col("t").alias("b"))
     )
@@ -4231,6 +4264,7 @@ def cooks_distance_top_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("y"),
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     mm = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg(F.col("x") * 1.0).alias("mx"),
@@ -5220,6 +5254,7 @@ def inverse_vol_risk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r", (F.coalesce("cents", F.lit(0)) * 1.0).alias("x")
     )
     vol = filled.groupBy("r").agg(F.sqrt(F.var_samp("x")).alias("s"))
+    vol = _ckpt(vol)  # shared fan-out relation
     tot = vol.agg(F.sum(1.0 / F.col("s")).alias("ti"))
     return vol.crossJoin(F.broadcast(tot)).select(
         F.col("r").cast("long").alias("region_key"),
@@ -5642,6 +5677,7 @@ def farthest_pair_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+    ords = _ckpt(ords)  # shared fan-out relation
     tt = ords.agg(
         F.sum("cnt").cast("long").alias("tc"),
         F.sum("cents").cast("long").alias("tr"),
@@ -6364,7 +6400,10 @@ def theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    a, b = year_set(1995), year_set(1996)
+    # each year-set feeds its hash relation, its exact count, and the
+    # exact intersection — ckpt so the orders scan + distinct runs once
+    # per side instead of 5x total
+    a, b = _ckpt(year_set(1995)), _ckpt(year_set(1996))
     hash_of = lambda df: df.select(
         (
             (
@@ -7064,8 +7103,11 @@ def front_door_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
+    base = _ckpt(base)  # shared fan-out relation
     px = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("nx"))
+    px = _ckpt(px)  # shared fan-out relation
     n = px.agg(F.sum("nx").cast("long").alias("n"))
+    n = _ckpt(n)  # shared fan-out relation
     pmx = base.groupBy("x", "m").agg(F.count(F.lit(1)).cast("long").alias("nmx"))
     pymx = base.groupBy("m", "x").agg(F.avg(F.col("y") * 1.0).alias("py"))
     inner_y = (
@@ -7189,9 +7231,13 @@ def backdoor_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z",
         )
     )
+    base = _ckpt(base)  # shared fan-out relation
     pz = base.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("nz"))
+    pz = _ckpt(pz)  # shared fan-out relation
     n = pz.agg(F.sum("nz").cast("long").alias("n"))
+    n = _ckpt(n)  # shared fan-out relation
     pyxz = base.groupBy("z", "x").agg(F.avg(F.col("y") * 1.0).alias("py"))
+    pyxz = _ckpt(pyxz)  # shared fan-out relation
     p1 = pyxz.where(F.col("x") == 1).select("z", F.col("py").alias("py1"))
     p0 = pyxz.where(F.col("x") == 0).select("z", F.col("py").alias("py0"))
     bd = (
@@ -8057,6 +8103,7 @@ def fairness_group_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("pos"),
         F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
     )
+    per = _ckpt(per)  # shared fan-out relation
     mx = per.agg(F.max(F.col("sel") * 1.0 / F.col("n")).alias("max_rate"))
     return per.crossJoin(F.broadcast(mx)).select(
         F.col("g").cast("long").alias("region_key"),

@@ -193,6 +193,7 @@ def pattern_waiting_time_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select("x")
     )
+    top_t = _ckpt(top_t)  # shared fan-out relation
     p = ev.crossJoin(F.broadcast(top_t)).agg(
         F.avg(
             F.when(F.col("event_type") == F.col("x"), 1.0).otherwise(0.0)
@@ -510,6 +511,7 @@ def rousseeuw_croux_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.stddev_samp(F.col("x") * 1.0).alias("sd"),
     )
+    n = _ckpt(n)  # shared fan-out relation
     a, b = v.alias("a"), v.alias("b")
     pd = a.join(
         b, (F.col("a.nk") == F.col("b.nk")) & (F.col("a.id") < F.col("b.id"))
@@ -829,13 +831,17 @@ def conditional_entropy_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
     ).select("source", F.expr("substring(s, i, 3)").alias("tri"))
     h3c = g.groupBy("source", "tri").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    h3c = _ckpt(h3c)  # shared fan-out relation
     h2c = h3c.groupBy(
         "source", F.expr("substring(tri, 1, 2)").alias("bi")
     ).agg(F.sum("n").cast("long").alias("n"))
+    h2c = _ckpt(h2c)  # shared fan-out relation
     h1c = h2c.groupBy(
         "source", F.expr("substring(bi, 1, 1)").alias("un")
     ).agg(F.sum("n").cast("long").alias("n"))
+    h1c = _ckpt(h1c)  # shared fan-out relation
     tot = h1c.groupBy("source").agg(F.sum("n").cast("long").alias("t"))
+    tot = _ckpt(tot)  # shared fan-out relation
 
     def ent(cnts: DataFrame, out: str) -> DataFrame:
         return (
@@ -1039,6 +1045,7 @@ def pit_uniformity_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b")
     )
     cnt = pit.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cnt = _ckpt(cnt)  # shared fan-out relation
     n = cnt.agg(F.sum("c").cast("long").alias("n"))
     return cnt.crossJoin(F.broadcast(n)).select(
         F.col("b").cast("long").alias("pit_decile"),
@@ -1896,6 +1903,7 @@ def join_order_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
     ).agg(F.count(F.lit(1)).alias("oc"))
     base = stats.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(oc))
+    base = _ckpt(base)  # shared fan-out relation
     est_lo = F.col("nl") * 1.0 * F.col("no") / F.greatest("dlok", "dook")
     est_oc = F.col("no") * 1.0 * F.col("ncu") / F.greatest("dock", "dcck")
     rows = [
@@ -2009,6 +2017,7 @@ def selectivity_independence_audit(spark: SparkSession, sf_dir: str) -> DataFram
         F.avg(F.col("p2") * F.col("p4") * 1.0).alias("s24"),
         F.avg(F.col("p3") * F.col("p4") * 1.0).alias("s34"),
     )
+    s = _ckpt(s)  # shared fan-out relation
     combos = [
         ("qty_discount", "s1", "s2", "s12"),
         ("qty_returns", "s1", "s3", "s13"),
@@ -4462,6 +4471,7 @@ def prophet_inequality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ck", "v", "i", F.round(F.col("t") * 100).cast("long").alias("thr")
         )
     )
+    elig = _ckpt(elig)  # shared fan-out relation
     firsthit = elig.groupBy("ck").agg(
         F.min(F.when(F.col("v") >= F.col("thr"), F.col("i"))).alias("hit_i"),
         F.max("i").alias("last_i"),
@@ -4652,7 +4662,16 @@ def mattson_reuse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-empty segment after the last appearance. lead() gives the
     # validity range, sequence + explode materializes the (segment,
     # brand, last-tuple) rows. Both windows run over the
-    # cardinality-reduced (segments x 25 brands) aggregate.
+    # cardinality-reduced (segments x 25 brands) aggregate. The
+    # explode is TWO-LEVEL (outer chunk starts, inner <=4096-element
+    # ranges): a brand absent across a long stretch would otherwise
+    # build the whole validity range as ONE in-row array — at the
+    # 100 TB shape (n_seg ~ rows/16384, tens of millions) that single
+    # row hits Spark's array-length ceiling / task memory. Chunking
+    # bounds every materialized array at 4096 longs while the outer
+    # chunk-start array stays n_seg/4096 elements, and the row count
+    # out of the double explode is identical to the single explode.
+    _chunk = 4096
     w_k = Window.partitionBy("k").orderBy("b")
     w_all = Window.partitionBy(F.lit(1))
     enter = (
@@ -4661,7 +4680,20 @@ def mattson_reuse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("nxt") > F.col("b"))
         .select(
-            F.explode(F.sequence(F.col("b") + 1, F.col("nxt"))).alias("b"),
+            "k",
+            "mx",
+            "nxt",
+            F.explode(
+                F.sequence(F.col("b") + 1, F.col("nxt"), F.lit(_chunk))
+            ).alias("cs"),
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("cs"),
+                    F.least(F.col("cs") + F.lit(_chunk - 1), F.col("nxt")),
+                )
+            ).alias("b"),
             # fresh exprId on purpose: enter's k would otherwise share
             # the stream side's attribute id and the cogroup dedups it
             # out of the right-side Arrow batch
@@ -4926,6 +4958,7 @@ def dfr_pl2_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    tf = _ckpt(tf)  # shared fan-out relation
     dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
@@ -5246,6 +5279,7 @@ def mean_excess_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     v = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    v = _ckpt(v)  # shared fan-out relation
     th = None
     for qm, q in [(500, 0.5), (750, 0.75), (900, 0.9), (950, 0.95)]:
         r = v.agg(
@@ -6016,6 +6050,7 @@ def hedge_expert_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     w = Window.orderBy("t")
     fx = daily.select(
         "t",
@@ -6140,6 +6175,7 @@ def hedge_regret_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
+    daily = _ckpt(daily)  # shared fan-out relation
     w = Window.orderBy("t")
     fx = daily.select(
         "t",
@@ -6158,6 +6194,7 @@ def hedge_regret_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng = part if lng is None else lng.unionAll(part)
     mx = daily.agg(F.max("y").alias("m"))
     tt = lng.agg(F.countDistinct("t").cast("long").alias("bign"))
+    tt = _ckpt(tt)  # shared fan-out relation
     losses = lng.crossJoin(F.broadcast(mx)).select(
         "t", "ex", "y", "f",
         (F.abs(F.col("f") - F.col("y")) / F.col("m")).alias("loss"),

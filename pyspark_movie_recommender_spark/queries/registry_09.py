@@ -938,15 +938,19 @@ def delta_join_maintenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     do_ = o.crossJoin(F.broadcast(md_o)).where(
         F.col("o_orderdate") == F.col("od")
     ).select("o_orderkey")
+    do_ = _ckpt(do_)  # shared fan-out relation
     o_old = o.crossJoin(F.broadcast(md_o)).where(
         F.col("o_orderdate") != F.col("od")
     ).select("o_orderkey")
+    o_old = _ckpt(o_old)  # shared fan-out relation
     dl = li.crossJoin(F.broadcast(md_l)).where(
         F.col("l_shipdate") == F.col("sd")
     ).select("l_orderkey")
+    dl = _ckpt(dl)  # shared fan-out relation
     l_old = li.crossJoin(F.broadcast(md_l)).where(
         F.col("l_shipdate") != F.col("sd")
     ).select("l_orderkey")
+    l_old = _ckpt(l_old)  # shared fan-out relation
     cnt = lambda df: df.agg(F.count(F.lit(1)).cast("long").alias("n"))
     c1 = cnt(do_.join(l_old, do_.o_orderkey == l_old.l_orderkey)).select(
         F.col("n").alias("c1")
@@ -1811,6 +1815,7 @@ def bbse_label_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
         F.when(F.col("o_totalprice") > F.col("t"), 1).otherwise(0).alias("yh"),
     )
+    base = _ckpt(base)  # shared fan-out relation
     conf = base.where(F.col("tgt") == 0).agg(
         F.avg(F.when(F.col("y") == 0, F.col("yh") * 1.0)).alias("c10"),
         F.avg(F.when(F.col("y") == 1, F.col("yh") * 1.0)).alias("c11"),
@@ -1918,6 +1923,7 @@ def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ns"),
         F.sum("tgt").cast("long").alias("nt"),
     )
+    shares = _ckpt(shares)  # shared fan-out relation
     tots = shares.agg(
         F.sum("ns").cast("long").alias("tns"),
         F.sum("nt").cast("long").alias("tnt"),
@@ -5215,6 +5221,7 @@ def procrustes_period_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+    halves = _ckpt(halves)  # shared fan-out relation
     tots = halves.groupBy("h").agg(
         F.sum("cnt").cast("long").alias("tc"),
         F.sum("cents").cast("long").alias("tr"),

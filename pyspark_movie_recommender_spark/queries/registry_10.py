@@ -110,6 +110,7 @@ def kemeny_optimal_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
     )
+    b = _ckpt(b)  # shared fan-out relation
     r = b.select(
         "nk",
         "seg",
@@ -370,6 +371,7 @@ def mean_cumulative_function_purchases(spark: SparkSession, sf_dir: str) -> Data
         F.min(F.to_date("ts")).alias("entry"),
         F.max(F.to_date("ts")).alias("exit"),
     )
+    spans = _ckpt(spans)  # shared fan-out relation
     days = ev.select(F.to_date("ts").alias("day")).distinct()
     ent = spans.groupBy(F.col("entry").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_in")
@@ -488,6 +490,7 @@ def base_stock_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
     )
+    dem = _ckpt(dem)  # shared fan-out relation
     bounds = dem.agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
     wgrid = bounds.select(
         F.explode(
@@ -1047,6 +1050,7 @@ def product_quantization_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT))"
         ).alias("v"),
     )
+    e = _ckpt(e)  # shared fan-out relation
     cb = (
         e.filter(F.col("vec_id").isin(CB))
         .select(
@@ -1072,6 +1076,7 @@ def product_quantization_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cb))
         .select("vec_id", "sub", "cent_idx", F.expr(sub_d).alias("d"))
     )
+    sdist = _ckpt(sdist)  # shared fan-out relation
     codes = (
         sdist.groupBy("vec_id", "sub")
         .agg(F.min(F.struct("d", "cent_idx")).alias("m"))
@@ -1244,6 +1249,7 @@ def assignment_optimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
     )
+    m = _ckpt(m)  # shared fan-out relation
     regs = m.select("region").distinct()
     rsel = [regs.select(F.col("region").alias(f"c{i}")) for i in range(1, 6)]
     perms = (
@@ -1797,6 +1803,7 @@ def synthetic_control_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
     )
+    wk = _ckpt(wk)  # shared fan-out relation
     rankn = (
         wk.groupBy("nk")
         .agg(F.sum("cents").alias("tot"))
@@ -1809,6 +1816,7 @@ def synthetic_control_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+    rankn = _ckpt(rankn)  # shared fan-out relation
     bounds = wk.agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
     spine = bounds.select(
         F.explode(F.sequence("w0", "w1", F.expr("INTERVAL 7 DAY"))).alias("wk")
@@ -1957,6 +1965,7 @@ def poisson_irls_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("y") * 1.0).alias("y"),
     )
+    pts = _ckpt(pts)  # shared fan-out relation
     n_ = F.count(F.lit(1))
     f0 = pts.agg(
         F.log(F.sum("y") / n_).alias("a"), F.lit(0.0).alias("b")
@@ -2107,6 +2116,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (
         uc.orderBy(F.desc("c"), "w").limit(30).select("w")
     )
+    nodes = _ckpt(nodes)  # shared fan-out relation
     wseq = Window.partitionBy("doc_id").orderBy("pos")
     bi = toks.select(
         F.lag("w").over(wseq).alias("a"), F.col("w").alias("b")
@@ -2431,6 +2441,7 @@ def point_in_polygon_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(x) DIV COUNT(*)").cast("long").alias("cx"),
         F.expr("SUM(y) DIV COUNT(*)").cast("long").alias("cy"),
     )
+    cent = _ckpt(cent)  # shared fan-out relation
     g = cent.agg(
         F.expr("SUM(cx) DIV COUNT(*)").cast("long").alias("gx"),
         F.expr("SUM(cy) DIV COUNT(*)").cast("long").alias("gy"),
@@ -3146,6 +3157,7 @@ def welch_psd_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hrs = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
     )
+    hrs = _ckpt(hrs)  # shared fan-out relation
     bounds = hrs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = (
         bounds.select(
@@ -3715,6 +3727,7 @@ def cluster_robust_se_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx_.alias("sxx"),
         n_.cast("long").alias("n"),
     )
+    fit = _ckpt(fit)  # shared fan-out relation
     e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
     gsum = (
         pts.crossJoin(F.broadcast(fit))
@@ -3960,7 +3973,9 @@ def ziv_merhav_cross_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     docs = load_table(spark, sf_dir, "documents")
-    d = (
+    # both self-join sides and both union arms re-derive this sampled
+    # projection — materialize it once (documents scanned once)
+    d = _ckpt(
         docs.filter(F.col("doc_id") % 25 == 0)
         .select("doc_id", F.substring(F.trim("text"), 1, 150).alias("t"))
         .filter(F.length("t") > 0)
@@ -4075,14 +4090,23 @@ def inclusion_dependency_discovery(spark: SparkSession, sf_dir: str) -> DataFram
     candidates first by min/max/type metadata (`zone_map_pruning_
     simulation` territory), then runs exactly this join per survivor.
     """
+    # several (table, column) sides repeat across candidates (the
+    # reversed decoys reuse the genuine edges' columns) — materialize
+    # each distinct value set once and share it, instead of re-running
+    # the scan + distinct per candidate that mentions it
+    sets: dict = {}
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        for t, col in ((ct, cc), (pt, pc)):
+            if (t, col) not in sets:
+                sets[(t, col)] = _ckpt(
+                    load_table(spark, sf_dir, t)
+                    .select(F.col(col).alias("v"))
+                    .distinct()
+                )
     out = None
     for ct, cc, pt, pc in _IND_CANDIDATES:
-        child = (
-            load_table(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
-        )
-        parent = (
-            load_table(spark, sf_dir, pt).select(F.col(pc).alias("v")).distinct()
-        )
+        child = sets[(ct, cc)]
+        parent = sets[(pt, pc)]
         joined = child.join(
             parent.withColumn("hit", F.lit(1)), "v", "left"
         ).agg(
@@ -4446,6 +4470,7 @@ def rle_sort_compression_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_linenumber"],
         rank_col="pos",
     ).select("rf", "ls", "sm", "pos")
+    src = _ckpt(src)  # shared fan-out relation
     cols = (
         src.select(F.lit("l_returnflag").alias("col"), "pos", F.col("rf").alias("v"))
         .unionByName(
@@ -4459,6 +4484,7 @@ def rle_sort_compression_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    cols = _ckpt(cols)  # shared fan-out relation
     prevs = cols.select(
         "col", (F.col("pos") + 1).alias("pos"), F.col("v").alias("prev")
     )
@@ -4666,6 +4692,7 @@ def sobol_main_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("xm"),
         F.col("o_totalprice").alias("y"),
     )
+    pts = _ckpt(pts)  # shared fan-out relation
     n_ = F.count(F.lit(1))
     vy = pts.agg(
         (
@@ -5298,6 +5325,7 @@ def bootstrap_bca_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("den") > 0)
         .select("b", (F.col("num") * 1.0 / F.col("den")).alias("m"))
     )
+    means = _ckpt(means)  # shared fan-out relation
     base = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
@@ -5309,6 +5337,7 @@ def bootstrap_bca_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("d") * F.col("d")).alias("m2"),
         F.sum(F.col("d") * F.col("d") * F.col("d")).alias("m3"),
     )
+    hat = _ckpt(hat)  # shared fan-out relation
     frac = (
         means.crossJoin(F.broadcast(hat))
         .agg(
@@ -6120,6 +6149,7 @@ def haar_synopsis_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, "t", "left")
         .select("t", F.coalesce("x", F.lit(0)).alias("x"))
     )
+    slots = _ckpt(slots)  # shared fan-out relation
     lvl_dfs = []
     cur = slots.select(F.col("t").alias("i"), F.col("x").alias("s"))
     for lvl in range(1, 6):
@@ -7634,6 +7664,7 @@ def passing_bablok_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("k_neg"),
     )
+    stat = _ckpt(stat)  # shared fan-out relation
     ranked = slopes.select(
         "s",
         F.row_number().over(Window.orderBy("s")).cast("long").alias("rk"),
@@ -7908,6 +7939,7 @@ def dp_exponential_mechanism(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("seg"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
+    util = _ckpt(util)  # shared fan-out relation
     mx = util.agg(
         F.max(0.1 * F.col("n_orders") / 2.0).alias("mx"),
         F.max("n_orders").alias("best_n"),

@@ -222,6 +222,7 @@ def bayes_prob_superiority(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("BUILDING_n") - F.col("BUILDING_k") + 1).alias("b2"),
         )
     )
+    ab = _ckpt(ab)  # shared fan-out relation
     top = ab.select(
         (F.col("a1") + F.col("b1") + F.col("a2") + F.col("b2")).alias("top")
     )
@@ -875,6 +876,7 @@ def arma11_mom_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.round(F.sum("value") * 100).cast("long").alias("x")
     )
+    d = _ckpt(d)  # shared fan-out relation
     w = Window.orderBy("day")
     r = d.select(
         "x",
@@ -882,6 +884,7 @@ def arma11_mom_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("x", 2).over(w).alias("x2"),
     )
     mu = d.agg((F.sum("x") * 1.0 / F.count(F.lit(1))).alias("m"))
+    mu = _ckpt(mu)  # shared fan-out relation
     c0 = d.crossJoin(F.broadcast(mu)).agg(
         F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias(
             "c0"
@@ -1027,6 +1030,7 @@ def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
     )
+    nk = _ckpt(nk)  # shared fan-out relation
     bounds = nk.agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
     spine = bounds.select(
         F.explode(F.sequence("w0", "w1", F.expr("INTERVAL 7 DAY"))).alias("wk")
@@ -1083,6 +1087,7 @@ def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n").alias("n"),
         F.first("b").alias("b"),
     )
+    adf = _ckpt(adf)  # shared fan-out relation
     sse = dr.crossJoin(F.broadcast(adf.select("gamma"))).agg(
         F.sum(
             (F.col("de") - F.col("gamma") * F.col("e1"))
@@ -1683,6 +1688,7 @@ def storey_qvalue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+    rates = _ckpt(rates)  # shared fan-out relation
     glob = rates.agg((F.sum("k") * 1.0 / F.sum("n")).alias("p0"))
     z = rates.crossJoin(F.broadcast(glob)).select(
         "nk",
@@ -1930,6 +1936,7 @@ def range_partition_splitter_audit(spark: SparkSession, sf_dir: str) -> DataFram
     sizes = assigned.groupBy("pid").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    sizes = _ckpt(sizes)  # shared fan-out relation
     tot = sizes.agg(F.sum("n").cast("long").alias("tot"))
     return sizes.crossJoin(F.broadcast(tot)).select(
         F.col("pid").alias("partition_id"),
@@ -3042,7 +3049,11 @@ def minimal_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     first.
     """
     o = load_table(spark, sf_dir, "orders")
-    n = o.count()
+    # 15 candidate combinations each run a distinct-count aggregate;
+    # materialize the 5-column projection once so the union of plans
+    # reads executor-local blocks instead of re-scanning orders 15x
+    op = _ckpt(o.select(*_UCC_COLS))
+    n = op.count()
     out = None
     combos = [(c1,) for c1 in _UCC_COLS] + [
         (c1, c2)
@@ -3050,7 +3061,7 @@ def minimal_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c2 in _UCC_COLS[i + 1:]
     ]
     for cols in combos:
-        row = o.agg(
+        row = op.agg(
             F.lit(",".join(cols)).alias("columns"),
             F.lit(len(cols)).alias("width"),
             F.countDistinct(*cols).cast("long").alias("n_distinct"),
@@ -3170,6 +3181,7 @@ def fisher_exact_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d"),
     )
+    cell = _ckpt(cell)  # shared fan-out relation
     tot = cell.select(
         (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("t")
     )
@@ -3689,6 +3701,7 @@ def buhlmann_credibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s2"),
         )
     )
+    per = _ckpt(per)  # shared fan-out relation
     comp = per.agg(
         (F.sum(F.col("s2") * (F.col("n") - 1)) / F.sum(F.col("n") - 1)).alias(
             "epv"
@@ -3697,6 +3710,7 @@ def buhlmann_credibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("ntot"),
     )
+    comp = _ckpt(comp)  # shared fan-out relation
     vhm = (
         per.crossJoin(F.broadcast(comp))
         .groupBy("k", "epv", "ntot", "grand")
@@ -4320,12 +4334,14 @@ def historical_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
     )
+    ranked = _ckpt(ranked)  # shared fan-out relation
     var_k = ranked.select("n").distinct().select(
         "n",
         F.greatest(F.ceil(F.col("n") * 0.1).cast("long"), F.lit(1)).alias(
             "k"
         ),
     )
+    var_k = _ckpt(var_k)  # shared fan-out relation
     var90 = ranked.join(
         F.broadcast(var_k), ranked["rk"] == var_k["k"]
     ).select((-F.col("r")).alias("v"))
@@ -7076,6 +7092,7 @@ def pythagorean_expectation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("m").orderBy(F.desc("cents"), "nk"))
         .alias("rk"),
     ).filter(F.col("rk") <= 2)
+    top2 = _ckpt(top2)  # shared fan-out relation
     a = top2.filter(F.col("rk") == 1).select(
         "m", F.col("nk").alias("na"), F.col("cents").alias("ca")
     )

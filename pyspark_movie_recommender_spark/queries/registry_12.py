@@ -1069,6 +1069,7 @@ def footrule_rank_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
     )
+    b = _ckpt(b)  # shared fan-out relation
     r = b.select(
         "nk",
         "seg",
@@ -1473,11 +1474,13 @@ def mm1_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = arr.crossJoin(F.broadcast(span)).select(
         "cls", "n", (F.col("n") / F.col("horizon_s")).alias("l")
     )
+    lam = _ckpt(lam)  # shared fan-out relation
     tot_l = lam.agg(F.sum("l").alias("lt"))
     mu = tot_l.select((F.col("lt") / 0.7).alias("m"))
     rho = lam.crossJoin(F.broadcast(mu)).select(
         "cls", "n", "l", (F.col("l") / F.col("m")).alias("r"), "m"
     )
+    rho = _ckpt(rho)  # shared fan-out relation
     r1 = rho.filter(F.col("cls") == 1).select(F.col("r").alias("r1v"))
     rtot = rho.agg(F.sum("r").alias("rt"))
     w = (
@@ -1994,6 +1997,7 @@ def circular_triads_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
     )
+    b = _ckpt(b)  # shared fan-out relation
     r = b.select(
         "nk",
         "seg",
@@ -2011,6 +2015,7 @@ def circular_triads_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ra.seg").alias("sa"), F.col("rx.seg").alias("sb"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    pref = _ckpt(pref)  # shared fan-out relation
     p1, p2 = pref.alias("p1"), pref.alias("p2")
     majority = p1.join(
         p2,
@@ -3058,6 +3063,7 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy(
         F.col("a.tier").alias("from_tier"), F.col("b.tier").alias("to_tier")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    moves = _ckpt(moves)  # shared fan-out relation
     totals = moves.groupBy("from_tier").agg(
         F.sum("n").cast("long").alias("tot")
     )
@@ -3773,87 +3779,79 @@ def pipeline_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: exact counts throughout.
 
-    Scale shape: one scan per metric group with map-side aggregation;
-    the anti-joins broadcast the dimension side. A production
-    deployment runs exactly this union nightly and diffs against
-    yesterday's row.
+    Scale shape: the nine KPIs come from THREE passes, not nine —
+    every orders-only metric fuses into one aggregate, every
+    lineitem-side metric (row count, FK orphans, temporal sanity)
+    reads off a single left join against orders, and the 1-row fused
+    results are materialized so the nine metric selects don't
+    re-execute them. A production deployment runs exactly this union
+    nightly and diffs against yesterday's row.
     """
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
 
-    def m(name, df):
-        return df.select(F.lit(name).alias("metric"), F.col("value"))
+    o_stats = _ckpt(
+        o.agg(
+            F.count(F.lit(1)).cast("long").alias("orders_rows"),
+            F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("orders_null_priority"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("order_date_span_days"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+            .cast("long")
+            .alias("duplicate_orderkeys"),
+        )
+    )
+    # left join preserves lineitem row count (o_orderkey is unique —
+    # the duplicate_orderkeys KPI above audits exactly that), so the
+    # row total, the orphan count (null parent), and the
+    # ship-before-order violations all come from one pass
+    l_stats = _ckpt(
+        l.select("l_orderkey", "l_shipdate")
+        .join(
+            o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
+            "l_orderkey",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("lineitem_rows"),
+            F.count(F.when(F.col("o_orderdate").isNull(), 1))
+            .cast("long")
+            .alias("orphan_lineitems"),
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ship_after_order_violations"),
+        )
+    )
+    c_stats = _ckpt(
+        c.agg(F.count(F.lit(1)).cast("long").alias("customer_rows"))
+    )
+    orphan_o = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("long").alias("value"))
+
+    def m(name, df, col=None):
+        return df.select(
+            F.lit(name).alias("metric"), F.col(col or "value").alias("value")
+        )
 
     rows_ = [
-        m("orders_rows", o.agg(F.count(F.lit(1)).cast("long").alias("value"))),
-        m(
-            "lineitem_rows",
-            l.agg(F.count(F.lit(1)).cast("long").alias("value")),
-        ),
-        m(
-            "customer_rows",
-            c.agg(F.count(F.lit(1)).cast("long").alias("value")),
-        ),
-        m(
-            "orders_null_priority",
-            o.agg(
-                F.sum(
-                    F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
-                )
-                .cast("long")
-                .alias("value")
-            ),
-        ),
-        m(
-            "orphan_orders",
-            o.join(
-                F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
-                "o_custkey",
-                "left_anti",
-            ).agg(F.count(F.lit(1)).cast("long").alias("value")),
-        ),
-        m(
-            "orphan_lineitems",
-            l.join(
-                o.select(F.col("o_orderkey").alias("l_orderkey")),
-                "l_orderkey",
-                "left_anti",
-            ).agg(F.count(F.lit(1)).cast("long").alias("value")),
-        ),
-        m(
-            "order_date_span_days",
-            o.agg(
-                F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
-                .cast("long")
-                .alias("value")
-            ),
-        ),
-        m(
-            "ship_after_order_violations",
-            l.join(
-                o.select(
-                    F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
-                ),
-                "l_orderkey",
-            ).agg(
-                F.sum(
-                    F.when(
-                        F.col("l_shipdate") < F.col("o_orderdate"), 1
-                    ).otherwise(0)
-                )
-                .cast("long")
-                .alias("value")
-            ),
-        ),
-        m(
-            "duplicate_orderkeys",
-            o.agg(
-                (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
-                .cast("long")
-                .alias("value")
-            ),
-        ),
+        m("orders_rows", o_stats, "orders_rows"),
+        m("lineitem_rows", l_stats, "lineitem_rows"),
+        m("customer_rows", c_stats, "customer_rows"),
+        m("orders_null_priority", o_stats, "orders_null_priority"),
+        m("orphan_orders", orphan_o),
+        m("orphan_lineitems", l_stats, "orphan_lineitems"),
+        m("order_date_span_days", o_stats, "order_date_span_days"),
+        m("ship_after_order_violations", l_stats, "ship_after_order_violations"),
+        m("duplicate_orderkeys", o_stats, "duplicate_orderkeys"),
     ]
     out = rows_[0]
     for r_ in rows_[1:]:

@@ -67,6 +67,17 @@ def column_minmax_hint(sf_dir: str, name: str, column: str):
     when any row group lacks min/max stats (caller falls back to a
     1-row aggregate); at cluster scale the same numbers come from
     table statistics / catalog metadata or manifest-level zone maps.
+
+    Exactness guard: parquet writers may TRUNCATE min/max statistics
+    for string/binary columns (a 64-byte prefix is a valid bound but
+    not the exact value). ``has_min_max`` alone cannot distinguish
+    exact from truncated, so any row group whose footer reports
+    ``is_min_value_exact``/``is_max_value_exact`` as False also
+    returns None — the hint is only ever a substitute for a real
+    aggregate when it is bit-exact. (Arrow exposes the exactness flags
+    as None for pre-2.6 writers; numeric and date statistics are never
+    truncated, so None+numeric is accepted, but None on a BYTE_ARRAY
+    column falls back too.)
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -91,9 +102,22 @@ def column_minmax_hint(sf_dir: str, name: str, column: str):
             )
         except StopIteration:
             raise KeyError(f"no column {column!r} in {name}")
+        phys = md.schema.column(ci).physical_type
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
+                return None
+            # Truncation guard: BYTE_ARRAY stats may be prefix-bounds.
+            # Exactness flags are tri-state (None on pre-2.6 writers);
+            # require an explicit True for byte-array columns, accept
+            # None only for fixed-width physical types (never truncated).
+            min_exact = getattr(st, "is_min_value_exact", None)
+            max_exact = getattr(st, "is_max_value_exact", None)
+            if min_exact is False or max_exact is False:
+                return None
+            if phys in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY") and (
+                min_exact is not True or max_exact is not True
+            ):
                 return None
             lo = st.min if lo is None or st.min < lo else lo
             hi = st.max if hi is None or st.max > hi else hi

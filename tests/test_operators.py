@@ -1038,6 +1038,38 @@ def test_column_minmax_hint_matches_actual_extremes(spark, sf_oracle_dir):
     assert (mm[0], mm[1]) == (real[0], real[1])
 
 
+def test_column_minmax_hint_fails_closed_on_inexact_string_stats(tmp_path):
+    # parquet writers may truncate BYTE_ARRAY min/max to a prefix; a
+    # prefix is a valid bound but not the exact extreme, so the hint
+    # must refuse string/binary columns unless the footer explicitly
+    # marks the stats exact (is_min/max_value_exact True). On pyarrow
+    # builds that do not expose the exactness flags at all, byte-array
+    # columns fail closed while fixed-width types (never truncated)
+    # still produce the hint.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_movie_recommender_spark.sources.tables import (
+        column_minmax_hint,
+    )
+
+    t = pa.table({"p_name": ["apple", "zebra"], "p_size": [3, 9]})
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    # fixed-width physical type: exact by construction -> hint works
+    assert column_minmax_hint(str(tmp_path), "part", "p_size") == (3, 9)
+    st = (
+        pq.ParquetFile(str(tmp_path / "part.parquet"))
+        .metadata.row_group(0)
+        .column(0)
+        .statistics
+    )
+    hint = column_minmax_hint(str(tmp_path), "part", "p_name")
+    if getattr(st, "is_min_value_exact", None) is True:
+        assert hint == ("apple", "zebra")  # flags prove exactness
+    else:
+        assert hint is None  # no proof of exactness -> fail closed
+
+
 def test_ckpt_registry_fail_closed_and_scoped(spark, sf_oracle_dir):
     # unknown RDD-backed relations audit as NOT reduced (fail-closed);
     # ckpt'd aggregates audit as reduced; createDataFrame literals are

@@ -662,7 +662,10 @@ def test_binseg_single_window_pass(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2  # events scanned for daily (+reuse)
 
 
-def test_tornqvist_dims_broadcast(spark, sf_dir):
+def test_tornqvist_dims_broadcast(spark, sf_dir, monkeypatch):
+    # the fan-out ckpt truncates the visible plan at the materialized
+    # relation; disable it (test-only seam) to pin the full join shape
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DISABLE", "1")
     df = Q.QUERIES["tornqvist_price_index"](spark, sf_dir)
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan  # part dim broadcast
@@ -710,7 +713,8 @@ def test_win_ratio_never_materializes_pairs(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_fairness_audit_dims_broadcast(spark, sf_dir):
+def test_fairness_audit_dims_broadcast(spark, sf_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DISABLE", "1")  # see tornqvist
     df = Q.QUERIES["fairness_group_audit"](spark, sf_dir)
     assert has_operator(df, "BroadcastHashJoin")
 
@@ -743,9 +747,10 @@ def test_pq_adc_scoring_join_is_broadcast_lut(spark, sf_dir):
     assert has_operator(df, "BroadcastHashJoin")
 
 
-def test_rle_advisor_single_fact_window(spark, sf_dir):
+def test_rle_advisor_single_fact_window(spark, sf_dir, monkeypatch):
     # natural-order runs: one window per exploded column set; sorted
     # runs come from a distinct-count agg, not a sorted materialization
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DISABLE", "1")  # see tornqvist
     df = Q.QUERIES["rle_sort_compression_advisor"](spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
@@ -946,9 +951,13 @@ def test_mattson_segmented_scan_shape(spark, sf_dir):
     # scheme leaves no Window or rank machinery over the fact
     df = Q.QUERIES["mattson_reuse_profile"](spark, sf_dir)
     plan = physical_plan(df)
-    # formatted plans print each node twice (tree + detail block), so
-    # one cogroup instance == 2 mentions; a duplicated subtree would be 4
-    assert plan.count("FlatMapCoGroupsInPandas") == 2
+    # count DISTINCT node ids, not raw substring mentions: the
+    # formatted renderer prints each node in both the tree and the
+    # detail block, and that multiplicity is a formatting accident a
+    # Spark upgrade may change (round-7 advice)
+    from pyspark_movie_recommender_spark.plans import count_nodes
+
+    assert count_nodes(df, "FlatMapCoGroupsInPandas") == 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
 

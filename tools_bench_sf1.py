@@ -11,8 +11,15 @@ on the same commit).
 Writes BENCH_SF1_r{N}.json:
     {"runs": N, "sf1_totals": [...], "sf1_median_total": ...,
      "queries": {name: {"sf1_median": s, "runs": [...], "sf01_median": s,
-                        "ratio": r}},
+                        "ratio": r, "plan": "plan_same|plan_changed|..."}},
      "max_query_ratio": ..., "median_query_ratio": ..., "commit": ...}
+
+Also writes PLANHASHES_SF1_r{N}.json (round-7 verdict stretch ask #7):
+the same normalized plan hashes tools_bench_compare.py records at
+sf0.1, computed AGAINST THE SF1 DATA, so an sf1 mover next round
+classifies as plan_changed vs rig noise for free — sf1 plans can
+differ from sf0.1 plans (row hints, routing census, AQE thresholds),
+so the sf0.1 hash file cannot stand in.
 
 Usage: python tools_bench_sf1.py [round] [n_runs] [sf1_dir]
 """
@@ -84,6 +91,23 @@ def main() -> None:
     commit = subprocess.run(
         ["git", "log", "-1", "--format=%h"], capture_output=True, text=True
     ).stdout.strip()
+
+    # per-query plan hashes AT SF1 (stretch ask #7): same normalizer
+    # and built-twice stability rule as tools_bench_compare.py, but
+    # against the sf1 data so hint/census-dependent plan differences
+    # are captured; movers next round classify against this file
+    from pyspark_movie_recommender_spark import get_spark
+    from tools_bench_compare import stable_hash
+
+    spark = get_spark("bench-sf1-hashes")
+    hashes = {q: stable_hash(spark, sf1_dir, q) for q in sorted(runs[0]["queries"])}
+    with open(f"PLANHASHES_SF1_r{rnd}.json", "w") as f:
+        json.dump(hashes, f, indent=2, sort_keys=True)
+    prev = f"{int(rnd) - 1:02d}"
+    prior_hashes: dict = {}
+    if os.path.exists(f"PLANHASHES_SF1_r{prev}.json"):
+        prior_hashes = json.load(open(f"PLANHASHES_SF1_r{prev}.json"))
+
     queries = {}
     ratios = []
     for q in runs[0]["queries"]:
@@ -92,11 +116,21 @@ def main() -> None:
         ratio = round(med / base, 2) if base else None
         if ratio is not None:
             ratios.append(ratio)
+        h_now, h_then = hashes.get(q), prior_hashes.get(q)
+        if q not in prior_hashes:
+            plan_cls = "no_prior_hash"
+        elif h_now is not None and h_now == h_then:
+            plan_cls = "plan_same"
+        elif h_now is None or h_then is None:
+            plan_cls = "hash_unstable"
+        else:
+            plan_cls = "plan_changed"
         queries[q] = {
             "sf1_median": med,
             "runs": [r["queries"][q] for r in runs],
             "sf01_median": base,
             "ratio": ratio,
+            "plan": plan_cls,
         }
     out = {
         "runs": n,

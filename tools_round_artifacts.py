@@ -9,6 +9,8 @@ and prints one summary line per artifact.
 Steps (each tool also writes its own artifact file):
   1. tools_sweep.py <round>            -> SWEEP_r{N}.json        (gates)
   2. tools_plan_audit.py <round>       -> PLANAUDIT_r{N}.json    (gates)
+  2b. tools_subtree_audit.py <round> --gate -> SUBTREE_r{N}.json  (gates:
+      new high-confidence duplicate-subtree flags / fact-sized dups red)
   3. tools_streaming_audit.py <round>  -> STREAMING_r{N}.json    (gates)
   3b. tools_laws.py <round>            -> LAWS_r{N}.json          (gates)
   4. tools_bench_medians.py <round> 5  -> BENCH_MEDIANS_r{N}.json (+IQR)
@@ -46,6 +48,7 @@ def main() -> None:
     gates = [
         ("sweep", ["tools_sweep.py", rnd]),
         ("planaudit", ["tools_plan_audit.py", rnd]),
+        ("subtree", ["tools_subtree_audit.py", rnd, "--gate"]),
         ("streaming", ["tools_streaming_audit.py", rnd]),
         ("laws", ["tools_laws.py", rnd]),
     ]

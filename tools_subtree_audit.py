@@ -1,34 +1,48 @@
-"""Registry-wide duplicate-subtree census (advisory, not a gate).
+"""Registry-wide duplicate-subtree census — gated from round 8 on.
 
-Round 7 found the same waste shape in six queries: a fact-sized
+Round 7 found one waste shape in six bench queries: a fact-sized
 subtree consumed by several plan branches with no materialization at
 the fan-out point, so the physical plan re-executes it once per
-consumer (mattson's n-aggregate re-ran the whole Arrow cogroup scan;
-shapley's v0/v1 + efficiency total ran the 3-day range join four
-times). This tool walks EVERY registry query's executed plan and
-records the smell signals so the next round starts from a ranked
-list instead of rediscovering them:
+consumer. Round 8 burned the census down (173 flagged -> single
+digits) by checkpointing the fan-out relations; this tool keeps the
+regression door shut.
+
+Census signals, per query, from the EXECUTED plan's tree text:
 
 - ``py_ops``: occurrences of Python-stage operators
   (FlatMapCoGroupsInPandas / FlatMapGroupsInPandas / MapInPandas /
-  ArrowEvalPython / BatchEvalPython) in the executed plan's tree form;
+  ArrowEvalPython / BatchEvalPython);
 - ``scans``: per-table parquet scan mentions;
 - ``cached``: whether the plan contains an InMemoryRelation (a
-  ``track()`` persist) or LogicalRDD (a ``ckpt``) — when true, the
-  text counts INCLUDE cache recipes that execute only once, so the
-  signal is advisory only for those queries.
+  persist) or a ``Scan ExistingRDD`` leaf (the physical form of a
+  ``ckpt()``-materialized LogicalRDD) — when true, the text counts
+  INCLUDE cache/checkpoint recipe text that executes only once.
 
-Flagging rule (advisory): py_ops >= 2 without caching, or any single
-table scanned >= 4 times without caching. False positives are
-possible (a twice-scanned dimension can be the cheapest plan); the
-point is a short review list, not a red gate.
+Flag rule: py_ops >= 2 or any single table scanned >= 4 times.
+UNCACHED plans matching it flag HIGH confidence; CACHED plans
+matching it flag LOW confidence (advisory only — recipe text inflates
+their counts, but a pathological cached plan can still hide waste, so
+it is surfaced rather than suppressed; round-7 advice).
 
-Writes SUBTREE_r{N}.json. Usage: python tools_subtree_audit.py <round>
+Gate mode (``--gate``, run in the round battery): exits RED when
+  (a) any HIGH-confidence flag is NOT in SUBTREE_ALLOWLIST.json
+      (every allowlist entry carries a written why-this-plan-is-
+      cheapest note), or
+  (b) any HIGH-confidence flag has more semantically-duplicated
+      compute-over-scan subtrees than physical ReusedExchange nodes
+      (plans.duplicate_fact_subtrees) — a fact-sized duplicate is red
+      even if allowlisted.
+The gate's classifier is regression-tested in
+tests/test_subtree_gate.py against an injected 4-scan union plan.
+
+Writes SUBTREE_r{N}.json. Usage:
+    python tools_subtree_audit.py <round> [--gate]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import re
 import subprocess
 import sys
@@ -37,6 +51,7 @@ import time
 sys.path.insert(0, ".")
 
 from pyspark_movie_recommender_spark import queries as Q
+from pyspark_movie_recommender_spark.plans import duplicate_fact_subtrees
 from pyspark_movie_recommender_spark.session import get_spark
 
 PY_OPS = (
@@ -57,48 +72,87 @@ TABLES = (
     "embeddings",
 )
 
+ALLOWLIST_PATH = "SUBTREE_ALLOWLIST.json"
+
+
+def census_one(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cached = "InMemoryRelation" in plan or "Scan ExistingRDD" in plan
+    py = sum(plan.count(op) for op in PY_OPS)
+    scans = {
+        t: c
+        for t in TABLES
+        if (c := len(re.findall(rf"{t}\.parquet", plan))) > 1
+    }
+    over = py >= 2 or any(c >= 4 for c in scans.values())
+    return {
+        "py_ops": py,
+        "scans": scans,
+        "cached": cached,
+        "over_threshold": over,
+    }
+
 
 def main() -> None:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "07"
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "08"
+    gate = "--gate" in sys.argv
     sf_dir = "/root/testdata/sf0.001"
+    allow: dict[str, str] = {}
+    if os.path.exists(ALLOWLIST_PATH):
+        allow = json.load(open(ALLOWLIST_PATH))
+
     spark = get_spark()
     t0 = time.time()
     out: dict[str, dict] = {}
-    flagged: list[str] = []
+    high: list[str] = []
+    low: list[str] = []
+    red: list[str] = []
     for name, fn in Q.QUERIES.items():
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            rec = census_one(df)
         except Exception as e:  # construction failures belong to planaudit
             out[name] = {"error": str(e)[:120]}
             continue
-        cached = "InMemoryRelation" in plan or "Scan ExistingRDD" in plan
-        py = sum(plan.count(op) for op in PY_OPS)
-        scans = {
-            t: c
-            for t in TABLES
-            if (c := len(re.findall(rf"{t}\.parquet", plan))) > 1
-        }
-        rec = {"py_ops": py, "scans": scans, "cached": cached}
-        if not cached and (py >= 2 or any(c >= 4 for c in scans.values())):
-            flagged.append(name)
-            rec["flag"] = True
-        if py or scans:
+        if rec["over_threshold"]:
+            if rec["cached"]:
+                low.append(name)
+                rec["flag"] = "low"
+            else:
+                high.append(name)
+                rec["flag"] = "high"
+                dup, reused = duplicate_fact_subtrees(df)
+                rec["dup_fact"], rec["reused_exchanges"] = dup, reused
+                if gate:
+                    if name not in allow:
+                        red.append(f"{name}: high-confidence flag not allowlisted")
+                    if dup > reused:
+                        red.append(
+                            f"{name}: {dup} duplicated compute-over-scan "
+                            f"subtrees vs {reused} reused exchanges"
+                        )
+        if rec["py_ops"] or rec["scans"]:
             out[name] = rec
     commit = subprocess.run(
         ["git", "log", "-1", "--format=%h"], capture_output=True, text=True
     ).stdout.strip()
+    stale = sorted(set(allow) - set(high)) if gate else []
     art = {
         "commit": commit,
         "elapsed_sec": round(time.time() - t0, 1),
         "queries_walked": len(Q.QUERIES),
-        "flagged_uncached": sorted(flagged),
-        "flagged_count": len(flagged),
+        "flagged_high": sorted(high),
+        "flagged_high_count": len(high),
+        "flagged_low": sorted(low),
+        "flagged_low_count": len(low),
+        "allowlist_stale_entries": stale,
+        "gate": {"enabled": gate, "red": red},
         "details": out,
         "note": (
-            "advisory census of duplicate-subtree smells; cached=true "
-            "entries include persist/ckpt recipe text that executes once "
-            "— see tool docstring for the flagging rule"
+            "gated duplicate-subtree census; high = uncached over "
+            "threshold (gated vs SUBTREE_ALLOWLIST.json + fact-dup "
+            "classifier), low = cached over threshold (advisory — "
+            "counts include one-shot cache/ckpt recipe text)"
         ),
     }
     path = f"SUBTREE_r{rnd}.json"
@@ -106,12 +160,27 @@ def main() -> None:
         json.dump(art, f, indent=1, sort_keys=True)
     print(
         json.dumps(
-            {k: art[k] for k in ("queries_walked", "flagged_count", "elapsed_sec")}
+            {
+                k: art[k]
+                for k in (
+                    "queries_walked",
+                    "flagged_high_count",
+                    "flagged_low_count",
+                    "elapsed_sec",
+                )
+            }
         ),
         "->",
         path,
     )
-    print("flagged:", sorted(flagged))
+    print("high:", sorted(high))
+    if gate and red:
+        print("SUBTREE GATE RED:")
+        for r in red:
+            print(" -", r)
+        sys.exit(1)
+    if gate:
+        print("SUBTREE GATE GREEN")
 
 
 if __name__ == "__main__":
