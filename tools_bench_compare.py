@@ -49,6 +49,11 @@ _NOISE = [
     (re.compile(r"\[id=#?x?\d*\]"), "[id=x]"),
     (re.compile(r"Scan ExistingRDD\[[^\]]*\]"), "Scan ExistingRDD[x]"),
     (re.compile(r"ExistingRDD \[[^\]]*\]"), "ExistingRDD [x]"),
+    # ckpt-materialized leaves print their session-scoped RDD id
+    # ("MapPartitionsRDD[14] at localCheckpoint at ...") — round 8's
+    # fan-out materialization made every ckpt'd query hash-unstable
+    # (None), losing drift classification exactly where it matters
+    (re.compile(r"\b\w+RDD\[\d+\]"), "RDD[x]"),
     (re.compile(r"file:[^\s,\]]*"), "file:x"),
     (re.compile(r"Statistics\([^)]*\)"), "Statistics(x)"),
     (re.compile(r"subquery#?x?\d*", re.IGNORECASE), "subquery#x"),
