@@ -54,6 +54,15 @@ _NOISE = [
     # fan-out materialization made every ckpt'd query hash-unstable
     # (None), losing drift classification exactly where it matters
     (re.compile(r"\b\w+RDD\[\d+\]"), "RDD[x]"),
+    # the ckpt leaf's callsite flips from NativeMethodAccessorImpl.java
+    # to <unknown> once the JVM JITs a generated reflection accessor —
+    # same plan, hot-path-dependent string
+    (re.compile(r"at localCheckpoint at [^,\s]+"), "at localCheckpoint at x"),
+    # higher-order-function lambda variables are numbered by a
+    # SESSION-GLOBAL counter ("lambda x_1", "lambda y_2", ...), so any
+    # HOF-bearing plan hashes differently depending on how many HOF
+    # expressions the session resolved before it — strip the counter
+    (re.compile(r"\blambda ([a-z]+)_\d+"), r"lambda \1"),
     (re.compile(r"file:[^\s,\]]*"), "file:x"),
     (re.compile(r"Statistics\([^)]*\)"), "Statistics(x)"),
     (re.compile(r"subquery#?x?\d*", re.IGNORECASE), "subquery#x"),
