@@ -63,6 +63,12 @@ def misra_gries(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     # merge decrement: subtract the (k+1)-th largest combined counter
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
     ranked = merged.withColumn("rnk", F.row_number().over(w))
+    # the ≤|partitions|·k-row candidate relation fans out to the
+    # decrement lookup AND the final filter — without materialization
+    # the whole Arrow sketch pass over the stream runs twice
+    from pyspark_movie_recommender_spark.operators.lineage import ckpt
+
+    ranked = ckpt(ranked)
     dec = ranked.filter(F.col("rnk") == k + 1).select(
         F.col("cnt").alias("dec")
     )

@@ -1627,6 +1627,10 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
     )
+    # distinct edge relation fans out to both direction projections —
+    # without materialization the orders⋈lineitem distinct runs once
+    # per consumer (census: orders/lineitem ×8)
+    fwd = _ckpt(fwd)
     e1 = fwd.select(
         F.concat(F.lit("c"), F.col("ck").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("sk").cast("string")).alias("dst"),
@@ -1639,6 +1643,7 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
+    deg = _ckpt(deg)  # degree relation fans out (club + both ce joins)
     ks = spark.createDataFrame([(4,), (8,), (16,), (32,)], "k long")
     club = ks.join(deg, deg.d > ks.k).groupBy("k").agg(
         F.count(F.lit(1)).cast("long").alias("n_club")
@@ -5535,10 +5540,14 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("n_name", "x")
     )
+    # |customers|-row labeled-spend relation fans out to the global and
+    # per-nation moment passes (census: customer ×6 without it)
+    tagged = _ckpt(tagged)
     glob = tagged.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg(F.col("x").cast("double")).alias("mu"),
     )
+    glob = _ckpt(glob)  # 1-row global moments, consumed per component
     xd = F.col("x").cast("double")
     grp = tagged.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),

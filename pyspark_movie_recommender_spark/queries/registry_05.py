@@ -6034,6 +6034,7 @@ def rocchio_feedback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    tf = _ckpt(tf)  # shared fan-out relation (5 consumers)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
     w = df.crossJoin(F.broadcast(nd)).select(
@@ -6042,6 +6043,7 @@ def rocchio_feedback_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w_e6"),
     )
+    w = _ckpt(w)  # shared fan-out relation (3 consumers)
     qterms = spark.createDataFrame([("data",), ("system",)], ["tok"])
     base = (
         tf.join(F.broadcast(qterms), "tok")
@@ -6115,7 +6117,12 @@ def expansion_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact; one division, rounded.
 
     Scale shape: same tf/weights backbone; the audit adds two top-10s
-    and one 10×10 join — dimension-free.
+    and one 10×10 join — dimension-free. The tf relation feeds FIVE
+    consumers (df/nd/base/cand/rescored) and the weight relation
+    three — without materialization the plan re-tokenizes the corpus
+    once per consumer (the census counted documents scanned 24×), so
+    both checkpoint at the fan-out point, as do the doc-level score
+    relations consumed by top-k AND count branches.
     """
     from pyspark_movie_recommender_spark.functions import ws_tokens
 
@@ -6126,6 +6133,7 @@ def expansion_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    tf = _ckpt(tf)  # shared fan-out relation (5 consumers)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
     w = df.crossJoin(F.broadcast(nd)).select(
@@ -6134,6 +6142,7 @@ def expansion_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w_e6"),
     )
+    w = _ckpt(w)  # shared fan-out relation (3 consumers)
     qterms = spark.createDataFrame([("data",), ("system",)], ["tok"])
     base = (
         tf.join(F.broadcast(qterms), "tok")
@@ -6141,6 +6150,7 @@ def expansion_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.col("w_e6")).cast("long").alias("score_e6"))
     )
+    base = _ckpt(base)  # shared fan-out relation (fb / base_top / nb)
     fb = base.orderBy(F.col("score_e6").desc(), "doc_id").limit(5).select(
         "doc_id"
     )
@@ -6161,6 +6171,7 @@ def expansion_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.col("w_e6")).cast("long").alias("score_e6"))
     )
+    rescored = _ckpt(rescored)  # shared fan-out relation (exp_top / ne)
     base_top = base.orderBy(F.col("score_e6").desc(), "doc_id").limit(10).select(
         "doc_id"
     )

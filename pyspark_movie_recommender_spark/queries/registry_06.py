@@ -6528,6 +6528,10 @@ def bellman_ford_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("f")
         )
     )
+    # the ~600-row edge relation fans out to the seed frontier plus
+    # BOTH relaxation rounds — without materialization each round
+    # re-executes the 4-table fact join (census: 14 scans per table)
+    flows = _ckpt(flows)  # shared fan-out relation (tot / edges)
     tot = flows.agg(F.sum("f").cast("long").alias("tf"))
     edges = flows.crossJoin(F.broadcast(tot)).select(
         "u",
@@ -6536,6 +6540,7 @@ def bellman_ford_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
+    edges = _ckpt(edges)  # shared fan-out relation (seed + 2 relax rounds)
     d = edges.where(F.col("u") == 0).select(
         F.col("v").alias("node"), F.col("w").alias("d")
     ).unionAll(
@@ -7774,6 +7779,10 @@ def hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") / 16).cast("long") % 16).alias("y"),
     ).distinct()
     cells = occupied.join(F.broadcast(lut), ["x", "y"])
+    # ≤256-row occupied-cell relation fans out to both step walks, the
+    # rectangle runs, and the cell count — without materialization each
+    # consumer re-runs the fact-sized distinct (census: customer ×5)
+    cells = _ckpt(cells)
     zw = Window.orderBy("zd")
     hw = Window.orderBy("hd")
     zsteps = cells.select(

@@ -4901,6 +4901,7 @@ def wagner_whitin_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1
         ).cast("long").alias("m")
     ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("d"))
+    mon = _ckpt(mon)  # ≤84-row monthly agg fans out (tt / prefix walk)
     tt = mon.agg((F.max("m") + 1).cast("long").alias("t"))
     w = Window.orderBy("m")
     pref = mon.select(
@@ -4908,6 +4909,7 @@ def wagner_whitin_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").over(w).cast("long").alias("d1"),
         F.sum(F.col("d") * F.col("m")).over(w).cast("long").alias("d2"),
     )
+    pref = _ckpt(pref)  # shared fan-out relation (pref0 / hi side)
     pref0 = pref.unionAll(
         pref.limit(1).select(
             F.lit(-1).cast("long").alias("m"),
@@ -4929,7 +4931,8 @@ def wagner_whitin_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     )
-    m = edges.groupBy("u", "v").agg(F.min("c").alias("c")).transform(_ckpt)
+    m0 = edges.groupBy("u", "v").agg(F.min("c").alias("c")).transform(_ckpt)
+    m = m0
     for _ in range(7):
         x = m.alias("x")
         y = m.alias("y")
@@ -4947,7 +4950,10 @@ def wagner_whitin_lot_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("c").alias("c"))
             .transform(_ckpt)
         )
-    e1 = edges.groupBy("u", "v").agg(F.min("c").alias("c"))
+    # the single-order bound needs the LENGTH-1 cost matrix — that is
+    # exactly m0 (the pre-squaring checkpoint); recomputing it from
+    # edges was a verbatim duplicate subtree re-running the fact agg
+    e1 = m0
     opt = (
         m.crossJoin(F.broadcast(tt))
         .where((F.col("u") == 0) & (F.col("v") == F.col("t")))

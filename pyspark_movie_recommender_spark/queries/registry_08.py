@@ -3326,6 +3326,9 @@ def learning_curve_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 2 * a * b * F.col("vsx")
     ) / F.col("vn")
     mse = tm.crossJoin(F.broadcast(vm)).select("pct", "n", m.alias("m"))
+    # 4-row curve fans out to the full-data baseline AND the final
+    # ratio — without materialization both fact aggs run twice
+    mse = _ckpt(mse)
     base = mse.where(F.col("pct") == 100).select(F.col("m").alias("m100"))
     return mse.crossJoin(F.broadcast(base)).select(
         F.col("pct").cast("long").alias("train_pct"),
@@ -4851,6 +4854,10 @@ def che_lru_approximation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
     ).select(F.col("p_brand").alias("k"))
     rates = stream.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # 25-row brand-rate relation fans out to the total, the fill grid,
+    # and the hit-rate pass — without materialization each re-runs the
+    # fact-sized stream agg (census: lineitem/part ×4)
+    rates = _ckpt(rates)
     n = rates.agg(F.sum("cnt").cast("long").alias("n"))
     caps = spark.createDataFrame([(1,), (2,), (4,), (8,)], "c long")
     tg = spark.range(1, 201).select(F.col("id").alias("t"))

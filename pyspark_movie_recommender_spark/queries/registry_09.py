@@ -6119,14 +6119,24 @@ def emsr_b_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cls"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    fares = classed.groupBy("cls").agg(
-        F.round(F.avg(F.col("cents") * 1.0)).cast("long").alias("fare")
+    # ONE pass over the fact: the (day, class) grain carries both the
+    # demand count and the exact integer cent sum, so fares, daily
+    # demand, the day spine, and the class set all derive from this
+    # ≤(days×3)-row relation — previously each was its own orders scan
+    # (census: orders ×5)
+    per_dc = classed.groupBy("d", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("dem"),
+        F.sum("cents").cast("long").alias("cents_sum"),
     )
-    daily = classed.groupBy("d", "cls").agg(
-        F.count(F.lit(1)).cast("long").alias("dem")
+    per_dc = _ckpt(per_dc)
+    fares = per_dc.groupBy("cls").agg(
+        F.round(F.sum("cents_sum") * 1.0 / F.sum("dem"))
+        .cast("long")
+        .alias("fare")
     )
-    days = classed.select("d").distinct()
-    clss = classed.select("cls").distinct()
+    daily = per_dc.select("d", "cls", "dem")
+    days = per_dc.select("d").distinct()
+    clss = per_dc.select("cls").distinct()
     filled = (
         days.crossJoin(F.broadcast(clss))
         .join(daily, ["d", "cls"], "left")

@@ -7647,6 +7647,10 @@ def passing_bablok_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     pts = d.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    # ≤30-row day relation fans out to both self-join sides, the
+    # intercept median, and the day count — without materialization
+    # each consumer re-runs the events agg (census: events ×6)
+    pts = _ckpt(pts)
     a, b = pts.alias("a"), pts.alias("b")
     slopes = a.join(
         b,
@@ -7658,6 +7662,7 @@ def passing_bablok_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.x") - F.col("a.x"))
         ).alias("s")
     )
+    slopes = _ckpt(slopes)  # shared fan-out relation (stat / ranked)
     stat = slopes.agg(
         F.count(F.lit(1)).cast("long").alias("ns"),
         F.sum(F.when(F.col("s") < -1.0, 1).otherwise(0))

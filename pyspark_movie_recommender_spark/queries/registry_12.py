@@ -4351,6 +4351,9 @@ def alabama_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_nationkey") % 5).alias("state"))
         .agg(F.count(F.lit(1)).cast("long").alias("votes"))
     )
+    # 5-row vote relation fans out to the total and the quota ladder —
+    # without materialization both re-run the orders join agg
+    pop = _ckpt(pop)
     tot = pop.agg(F.sum("votes").cast("long").alias("t"))
     houses = spark.createDataFrame([(10,), (11,)], "house long")
     quota = (
@@ -4394,6 +4397,7 @@ def alabama_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     seats = ranked.select(
         "house", "state", (F.col("base") + F.col("bonus")).alias("seats")
     )
+    seats = _ckpt(seats)  # 10-row allocation fans out to both houses
     a = seats.filter(F.col("house") == 10).select(
         "state", F.col("seats").alias("seats_house10")
     )
