@@ -87,6 +87,29 @@ def test_gate_ignores_intentional_self_join(spark, sf_oracle_dir):
     assert dup == 0
 
 
+def test_gate_classifier_fires_on_cached_plan_hiding_duplicate(
+    spark, sf_oracle_dir
+):
+    # round-8 close lesson: a plan can contain a ckpt/persist leaf
+    # (census classifies it cached/low-confidence) while a DIFFERENT
+    # subtree still fans out unmaterialized — 13 registry queries hid
+    # exactly this behind their recipe text. The gate now runs the
+    # fact-dup classifier on low flags too; this pins that a partially
+    # cached plan with a live fan-out still classifies dup > reused.
+    import tools_subtree_audit as tsa
+
+    o = load_table(spark, sf_oracle_dir, "orders")
+    marker = ckpt(o.groupBy().agg(F.count("*").cast("double").alias("v"))
+                  .select(F.lit("n").alias("metric"), "v"))
+    bad = _fanout_union(o).unionByName(marker)
+
+    rec = tsa.census_one(bad)
+    assert rec["cached"], "ckpt leaf must classify the plan as cached"
+    assert rec["over_threshold"], "4-scan fan-out must stay over threshold"
+    dup, reused = duplicate_fact_subtrees(bad)
+    assert dup >= 1 and dup > reused  # the gate's red condition
+
+
 def test_subtree_gate_tool_reds_on_unallowlisted_flag(tmp_path, monkeypatch):
     # end-to-end: the --gate path exits nonzero when a high-confidence
     # flag is not in the allowlist. Run the tool against a 1-query

@@ -20,20 +20,27 @@ Census signals, per query, from the EXECUTED plan's tree text:
 
 Flag rule: py_ops >= 2 or any single table scanned >= 4 times.
 UNCACHED plans matching it flag HIGH confidence; CACHED plans
-matching it flag LOW confidence (advisory only — recipe text inflates
-their counts, but a pathological cached plan can still hide waste, so
-it is surfaced rather than suppressed; round-7 advice).
+matching it flag LOW confidence (recipe text inflates their counts,
+but a pathological cached plan can still hide waste, so it is
+surfaced rather than suppressed; round-7 advice). Low flags ALSO run
+the semantic fact-dup classifier — the round-8 close found 13 cached
+flags whose recipes masked genuinely re-executed fact subtrees (the
+text counts were recipe noise, but the OPTIMIZED logical plan still
+held verbatim-duplicated compute-over-scan subtrees), so the census
+records ``dup_fact``/``reused_exchanges`` for every flag, not only
+the uncached ones.
 
 Gate mode (``--gate``, run in the round battery): exits RED when
   (a) any HIGH-confidence flag is NOT in SUBTREE_ALLOWLIST.json
       (every allowlist entry carries a written why-this-plan-is-
       cheapest note), or
-  (b) any HIGH-confidence flag has more semantically-duplicated
+  (b) ANY flag — high or low — has more semantically-duplicated
       compute-over-scan subtrees than physical ReusedExchange nodes
-      (plans.duplicate_fact_subtrees) — a fact-sized duplicate is red
-      even if allowlisted.
-The gate's classifier is regression-tested in
-tests/test_subtree_gate.py against an injected 4-scan union plan.
+      (plans.duplicate_fact_subtrees): a fact-sized duplicate is red
+      even if allowlisted or partially cached.
+The gate's classifiers are regression-tested in
+tests/test_subtree_gate.py against injected plans (a 4-scan uncached
+union, and a partially-cached plan hiding the same fan-out).
 
 Writes SUBTREE_r{N}.json. Usage:
     python tools_subtree_audit.py <round> [--gate]
@@ -121,16 +128,20 @@ def main() -> None:
             else:
                 high.append(name)
                 rec["flag"] = "high"
-                dup, reused = duplicate_fact_subtrees(df)
-                rec["dup_fact"], rec["reused_exchanges"] = dup, reused
-                if gate:
-                    if name not in allow:
-                        red.append(f"{name}: high-confidence flag not allowlisted")
-                    if dup > reused:
-                        red.append(
-                            f"{name}: {dup} duplicated compute-over-scan "
-                            f"subtrees vs {reused} reused exchanges"
-                        )
+                if gate and name not in allow:
+                    red.append(f"{name}: high-confidence flag not allowlisted")
+            # the fact-dup classifier runs on EVERY flag: cached plans
+            # can hide re-executed fact subtrees behind recipe text
+            # (round-8 close found 13 such), and a fact-sized verbatim
+            # duplicate is red regardless of confidence tier
+            dup, reused = duplicate_fact_subtrees(df)
+            rec["dup_fact"], rec["reused_exchanges"] = dup, reused
+            if gate and dup > reused:
+                red.append(
+                    f"{name}: {dup} duplicated compute-over-scan "
+                    f"subtrees vs {reused} reused exchanges"
+                    f" ({rec['flag']}-confidence flag)"
+                )
         if rec["py_ops"] or rec["scans"]:
             out[name] = rec
     commit = subprocess.run(
@@ -150,9 +161,11 @@ def main() -> None:
         "details": out,
         "note": (
             "gated duplicate-subtree census; high = uncached over "
-            "threshold (gated vs SUBTREE_ALLOWLIST.json + fact-dup "
-            "classifier), low = cached over threshold (advisory — "
-            "counts include one-shot cache/ckpt recipe text)"
+            "threshold (gated vs SUBTREE_ALLOWLIST.json), low = cached "
+            "over threshold (counts include one-shot cache/ckpt recipe "
+            "text); EVERY flag carries dup_fact/reused_exchanges from "
+            "the semantic classifier and dup_fact > reused_exchanges "
+            "is gate-red at either confidence tier"
         ),
     }
     path = f"SUBTREE_r{rnd}.json"
