@@ -5771,15 +5771,19 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the LM is a token→count table built by one explode +
     hash agg (vocab-sized, broadcast back onto the token stream); the
     per-doc score is a second hash agg on doc_id. Two shuffles total,
-    both over narrow rows; every expression is JVM-side.
+    both over narrow rows; every expression is JVM-side. The token
+    arrays are ckpt'd ONCE: the LM agg and the scoring stream both
+    re-derive the exploded tokens map-side from the materialized
+    arrays instead of re-scanning the corpus and re-running trim+split
+    per branch.
     """
     docs = load_table(spark, sf_dir, "documents").filter(
         F.trim(F.col("text")) != ""
     )
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("w"),
-    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("t")
+    ).transform(_ckpt)
+    tok = toks.select("doc_id", F.explode("t").alias("w"))
     lm = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     total = lm.agg(F.sum("cnt").cast("long").alias("n"))
     return (
@@ -6511,7 +6515,11 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and the global order count are tiny broadcast sides; the
     top-50 is TakeOrderedAndProject. The support≥3 filter runs on the
     aggregated pair relation BEFORE the ratio joins, pruning the long
-    tail early.
+    tail early. The pair census is UNDIRECTED (a < b): both_cnt is
+    symmetric, so enumerating each unordered pair once and mirroring
+    the aggregated (and support-filtered) relation halves the biggest
+    shuffle in the suite — the C(basket,2) pair exchange — while the
+    mirror union runs over the tiny ckpt'd rule set.
     """
     from pyspark_movie_recommender_spark.operators.cache import track
 
@@ -6526,18 +6534,28 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = items.alias("a")
     b = items.alias("b")
-    pair_n = (
+    und = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(
-            F.col("a.l_partkey").alias("ante"),
-            F.col("b.l_partkey").alias("cons"),
+            F.col("a.l_partkey").alias("lo"),
+            F.col("b.l_partkey").alias("hi"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("both_cnt"))
         .filter(F.col("both_cnt") >= 3)
+        # ckpt: the mirror union below reads the rule set twice; without
+        # materialization each direction would re-run the pair join
+        .transform(_ckpt)
+    )
+    pair_n = und.select(
+        F.col("lo").alias("ante"), F.col("hi").alias("cons"), "both_cnt"
+    ).unionByName(
+        und.select(
+            F.col("hi").alias("ante"), F.col("lo").alias("cons"), "both_cnt"
+        )
     )
     ia = F.broadcast(item_n.select(F.col("l_partkey").alias("ante"),
                                    F.col("cnt").alias("ante_cnt")))
@@ -7125,45 +7143,61 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix a curation run reads before deciding which sources are
     near-copies of each other.
 
-    Scale shape: the join key is the 3-gram and per-key fan-out is
-    bounded by |sources| (each gram appears once per source after the
-    DISTINCT), so the self-join can never go quadratic in documents —
-    worst case |distinct grams| x C(|sources|, 2) with tiny constant.
-    The distinct and the pair agg share the gram-keyed exchange.
+    Scale shape: ONE gram-keyed exchange total — collect_set(source)
+    per gram (map-side partial sets dedup before the shuffle, so the
+    exchange carries ≈ the distinct (gram, source) relation) collapses
+    straight into the ≤2^|sources|-row source-set census, and BOTH the
+    per-source sizes and every pair count are linear sums over that
+    tiny ckpt'd relation (a gram present in source set S contributes
+    to each of the C(|S|,2) pairs — enumerated in-row over a sorted
+    ≤|sources|-element array). The previous shape paid a (source,
+    gram) DISTINCT exchange, then re-shuffled the persisted relation
+    into a gram-keyed self-join; per-key fan-out stays bounded by
+    |sources| in both shapes, but the census form never runs the join
+    at all.
     """
-    from pyspark_movie_recommender_spark.operators.cache import track
-
     docs = load_table(spark, sf_dir, "documents")
     # tokenize ONCE per row into a column; the gram lambda then reads the
     # materialized array (element_at inside the lambda over split(text)
     # would re-split per element — ~3x gram count splits per doc)
     toks = docs.select("source", F.split("text", " ").alias("t"))
-    grams = track(
-        toks.select(
-            "source",
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1), element_at(t, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    census = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .groupBy("srcs")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # ckpt the tiny census: sizes and pair counts both read it —
+        # without materialization each branch re-ran the gram pass
+        .transform(_ckpt)
+    )
+    sz = (
+        census.select(F.explode("srcs").alias("source"), "n")
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_grams"))
+    )
+    shared = (
+        census.select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
-                    " i -> concat_ws(' ', element_at(t, i),"
-                    " element_at(t, i + 1), element_at(t, i + 2)))"
+                    "flatten(transform(srcs, (x, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " y -> struct(x AS src_a, y AS src_b))))"
                 )
-            ).alias("gram"),
-        ).distinct()
-        # persisted: consumed three ways (per-source sizes + both join sides)
-    )
-    sz = grams.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") < F.col("b.source")),
+            ).alias("p"),
+            "n",
         )
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.sum("n").cast("long").alias("n_shared"))
     )
     za = sz.select(F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a"))
     zb = sz.select(F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b"))

@@ -3821,8 +3821,13 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row-per-doc window argmax.
 
     Scale shape: the model relation is vocab×|langs| and broadcasts; the
-    only data-sized shuffles are the (lang,w) training agg and the
-    per-doc scoring agg. Nothing quadratic, no UDFs, no driver loop.
+    only data-sized shuffles are the (lang,w) training agg and ONE
+    doc-keyed repartition of the exploded test tokens — every
+    downstream doc-keyed op (the (doc,w) collapse, the per-doc scoring
+    agg, the argmax window) reuses that partitioning, and n_lang/vocab
+    are linear sums over the ckpt'd model relation instead of extra
+    passes over the exploded training tokens. Nothing quadratic, no
+    UDFs, no driver loop.
     """
     from pyspark_movie_recommender_spark.functions import ws_tokens
 
@@ -3845,11 +3850,17 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("bucket") >= 80)
 
     train_tok = train.select("lang", F.explode("t").alias("w"))
-    counts = train_tok.groupBy("lang", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # ckpt the (lang, w) model counts: n_lang (Σ_w c) and the vocab size
+    # (distinct w) are linear sums over this vocab×|langs| relation —
+    # deriving them here replaces two more explode+agg passes over the
+    # training tokens with two tiny aggs over the materialized model
+    counts = (
+        train_tok.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(_ckpt)
     )
-    n_lang = train_tok.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_l"))
-    vocab = train_tok.agg(F.countDistinct("w").cast("long").alias("v"))
+    n_lang = counts.groupBy("lang").agg(F.sum("c").cast("long").alias("n_l"))
+    vocab = counts.agg(F.countDistinct("w").cast("long").alias("v"))
     d_tot = train.agg(F.count(F.lit(1)).cast("long").alias("d_tot"))
     priors = (
         train.groupBy("lang")
@@ -3865,6 +3876,12 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     test_tok = (
         test.select("doc_id", F.col("lang").alias("true_lang"), F.explode("t").alias("w"))
+        # ONE doc-keyed exchange for the whole scoring pipeline:
+        # HashPartitioning(doc_id) satisfies the (doc,true,w) collapse,
+        # the (doc,true,cand) scoring agg AND the argmax window, so the
+        # two fact-sized downstream exchanges (one carrying the ×|langs|
+        # candidate fan-out) collapse into this single narrow shuffle
+        .repartition("doc_id")
         .groupBy("doc_id", "true_lang", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
     )
@@ -4313,8 +4330,16 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "lang", "bg.a", "bg.b")
-    bc = bi.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-    uc = bi.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c_a"))
+    # ckpt the bigram LM: the context counts are its row-wise marginal
+    # (c_a = Σ_b c_ab — every bigram occurrence has exactly one context),
+    # so deriving uc from the materialized bc replaces a second full
+    # explode+agg pass over the bigram stream with a vocab-sized sum
+    bc = (
+        bi.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .transform(_ckpt)
+    )
+    uc = bc.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").cast("long").alias("v")
     )
@@ -4697,63 +4722,66 @@ def modularity_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero float drift. Σ q_scaled / (2m)² recovers the float Q.
 
     Scale shape: the distinct bipartite edge set collapses the fact
-    first; both endpoint labelings join the node→community dim
-    (broadcast at real scale — dims are customer/supplier sized); then
-    one |communities|-row hash agg and a 1-row total. Degree products
-    never materialize pairs.
+    first; ONE pass over it (integer keys, both nation dims broadcast)
+    yields the ≤|nations|² (cust_nation, supp_nation) census, and
+    every bidirected per-community quantity is a linear combination of
+    that tiny relation: k(c) sums the census row-wise + column-wise
+    (each undirected edge contributes one src endpoint per direction),
+    e_int(c) = 2·census(c,c). The previous shape unioned two
+    string-keyed direction projections and walked the edge ckpt twice;
+    the census form never materializes the bidirected edge list at
+    all. Degree products never materialize pairs.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
-    # ckpt the distinct bipartite edge set: the bidirection union reads
-    # it twice (e1/e2) — without materialization the orders x lineitem
-    # join + distinct executed once per direction
     fwd = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
-        .transform(_ckpt)
     )
-    c_nodes = cust.select(
-        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"),
-        F.col("c_nationkey").cast("long").alias("com"),
-    )
-    s_nodes = supp.select(
-        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
-        F.col("s_nationkey").cast("long").alias("com"),
-    )
-    nodes = c_nodes.unionByName(s_nodes)
-    e1 = fwd.select(
-        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("sk").cast("string")).alias("dst"),
-    )
-    e2 = fwd.select(
-        F.concat(F.lit("s"), F.col("sk").cast("string")).alias("src"),
-        F.concat(F.lit("c"), F.col("ck").cast("string")).alias("dst"),
-    )
-    edges = e1.unionByName(e2)
-    lab = edges.join(
-        F.broadcast(nodes.withColumnRenamed("node", "src").withColumnRenamed("com", "src_com")),
-        "src",
-    ).join(
-        F.broadcast(nodes.withColumnRenamed("node", "dst").withColumnRenamed("com", "dst_com")),
-        "dst",
-    )
-    # one pass over the labeled edges: ckpt the |communities|-row agg
-    # (two consumers below) and derive 2m from it — Σ_c K_c counts every
-    # directed edge endpoint exactly once, so the old separate
-    # lab.count() branch re-ran the whole join pipeline for a total the
-    # 25-row relation already contains
-    per = (
-        lab.groupBy(F.col("src_com").alias("com"))
-        .agg(
-            F.sum(F.when(F.col("src_com") == F.col("dst_com"), 1).otherwise(0))
-            .cast("long")
-            .alias("e_int"),
-            F.count(F.lit(1)).cast("long").alias("k"),
+    census = (
+        fwd.join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("ck"),
+                    F.col("c_nationkey").cast("long").alias("cn"),
+                )
+            ),
+            "ck",
         )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("s_suppkey").alias("sk"),
+                    F.col("s_nationkey").cast("long").alias("sn"),
+                )
+            ),
+            "sk",
+        )
+        .groupBy("cn", "sn")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # ckpt the tiny census: the two role projections below read it
+        # twice — without materialization each role re-ran the fact join
         .transform(_ckpt)
+    )
+    roles = census.select(
+        F.col("cn").alias("com"),
+        F.when(F.col("cn") == F.col("sn"), F.col("cnt")).otherwise(0).alias("e_part"),
+        F.col("cnt").alias("k_part"),
+    ).unionByName(
+        census.select(
+            F.col("sn").alias("com"),
+            F.when(F.col("cn") == F.col("sn"), F.col("cnt"))
+            .otherwise(0)
+            .alias("e_part"),
+            F.col("cnt").alias("k_part"),
+        )
+    )
+    per = roles.groupBy("com").agg(
+        F.sum("e_part").cast("long").alias("e_int"),
+        F.sum("k_part").cast("long").alias("k"),
     )
     s = per.agg(F.sum("k").cast("long").alias("m2"))
     return per.crossJoin(F.broadcast(s)).select(
@@ -8158,7 +8186,11 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 3 DAY")),
             "left",
         )
-        .groupBy("event_id")
+        # grouping by (user_id, event_id) is identical (event_id is
+        # unique) but HashPartitioning(user_id) from the range join
+        # already satisfies it — the fact-sized post-join exchange a
+        # bare groupBy(event_id) would add is gone
+        .groupBy(purchases.user_id, "event_id")
         .agg(
             F.max(F.when(F.col("ch") == "view", 1).otherwise(0)).alias("fv"),
             F.max(F.when(F.col("ch") == "click", 2).otherwise(0)).alias("fc"),
