@@ -4330,14 +4330,16 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "lang", "bg.a", "bg.b")
-    # ckpt the bigram LM: the context counts are its row-wise marginal
-    # (c_a = Σ_b c_ab — every bigram occurrence has exactly one context),
-    # so deriving uc from the materialized bc replaces a second full
-    # explode+agg pass over the bigram stream with a vocab-sized sum
-    bc = (
-        bi.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-        .transform(_ckpt)
+    # persist (tracked) the bigram LM: the context counts are its
+    # row-wise marginal (c_a = Σ_b c_ab — every bigram occurrence has
+    # exactly one context), so deriving uc from the cached bc replaces
+    # a second full explode+agg pass over the bigram stream with a
+    # vocab-sized sum; a lazy persist (not an eager ckpt) because the
+    # first consumer materializes it in-line — no extra job
+    from pyspark_movie_recommender_spark.operators.cache import track
+
+    bc = track(
+        bi.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
     )
     uc = bc.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
     vocab = toks.select(F.explode("t").alias("w")).agg(
