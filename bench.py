@@ -29,7 +29,26 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else float("nan")
 
 
+def rig_canary() -> float:
+    """Seconds for a fixed single-process NumPy matmul (~0.3 s when the
+    host is quiet). The bench box is a shared VM with hour-scale 3-24x
+    throughput swings (BENCH_NOTES_r08.md); carrying the canary in the
+    output line makes every bench run self-diagnosing — a consumer can
+    tell 'engine regressed' from 'host was degraded' without access to
+    the builder's median artifacts. ADDITIVE key only: the metric /
+    value / unit / queries / sf contract is unchanged.
+    """
+    import numpy as np
+
+    a = np.arange(2000 * 2000, dtype="float64").reshape(2000, 2000) / 1e6
+    t0 = time.time()
+    for _ in range(3):
+        a = a @ a / 1e3
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
+    canary_pre = rig_canary()
     spark = get_spark("bench")
     # warm the JVM/codegen paths on the tiny SF so measured times are query
     # cost, not first-call JIT
@@ -72,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_of(SF_DIR),
+                "rig_canary_sec": [canary_pre, rig_canary()],
             }
         )
     )

@@ -5771,18 +5771,25 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the LM is a token→count table built by one explode +
     hash agg (vocab-sized, broadcast back onto the token stream); the
     per-doc score is a second hash agg on doc_id. Two shuffles total,
-    both over narrow rows; every expression is JVM-side. The token
-    arrays are ckpt'd ONCE: the LM agg and the scoring stream both
-    re-derive the exploded tokens map-side from the materialized
-    arrays instead of re-scanning the corpus and re-running trim+split
-    per branch.
+    both over narrow rows; every expression is JVM-side. Both branches
+    re-derive the token stream map-side from the pruned parquet scan —
+    deliberately NOT materialized (see the in-body policy note).
     """
     docs = load_table(spark, sf_dir, "documents").filter(
         F.trim(F.col("text")) != ""
     )
+    # Round 9: REVERTED the round-8 token-array ckpt back to recompute.
+    # Measured at both scales in flat windows: the ckpt wins only in an
+    # ISOLATED sf0.1 run (0.69x); in-suite at sf0.1 (the driver's shape)
+    # it reads ~1.1x — the materialized uncompressed arrays compete with
+    # every other query's storage blocks — and at sf1 recompute wins
+    # (0.93x). Policy (guide §5, applied engine-wide): materialize only
+    # cardinality-REDUCED relations or fact-sized streams with >=3
+    # consumers; a 2-consumer token stream re-derives map-side from the
+    # pruned, compressed parquet scan, which only gets cheaper at scale.
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("t")
-    ).transform(_ckpt)
+    )
     tok = toks.select("doc_id", F.explode("t").alias("w"))
     lm = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     total = lm.agg(F.sum("cnt").cast("long").alias("n"))
@@ -6515,11 +6522,9 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and the global order count are tiny broadcast sides; the
     top-50 is TakeOrderedAndProject. The support≥3 filter runs on the
     aggregated pair relation BEFORE the ratio joins, pruning the long
-    tail early. The pair census is UNDIRECTED (a < b): both_cnt is
-    symmetric, so enumerating each unordered pair once and mirroring
-    the aggregated (and support-filtered) relation halves the biggest
-    shuffle in the suite — the C(basket,2) pair exchange — while the
-    mirror union runs over the tiny ckpt'd rule set.
+    tail early. (An undirected a<b census + mirror-union variant that
+    halves the pair exchange was measured in rounds 8-9 and reverted:
+    see the in-body note.)
     """
     from pyspark_movie_recommender_spark.operators.cache import track
 
@@ -6534,28 +6539,26 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = items.alias("a")
     b = items.alias("b")
-    und = (
+    # Round 9: REVERTED to the directed (!=) enumeration after flat-window
+    # interleaved A/Bs at sf0.1 (directed 0.90x of undirected+mirror) and
+    # sf1 (1.00x — a wash). The round-8 undirected+ckpt+mirror form halves
+    # the pair-exchange rows, but its eager rule-set materialization job
+    # and the doubled final segment cost exactly cancel that locally at
+    # both measured scales; the halving only pays where the exchange is
+    # network-bound. Keep the measured-faster one-pass plan (guide §1.2:
+    # re-measure before believing a shape argument).
+    pair_n = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
         .groupBy(
-            F.col("a.l_partkey").alias("lo"),
-            F.col("b.l_partkey").alias("hi"),
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("both_cnt"))
         .filter(F.col("both_cnt") >= 3)
-        # ckpt: the mirror union below reads the rule set twice; without
-        # materialization each direction would re-run the pair join
-        .transform(_ckpt)
-    )
-    pair_n = und.select(
-        F.col("lo").alias("ante"), F.col("hi").alias("cons"), "both_cnt"
-    ).unionByName(
-        und.select(
-            F.col("hi").alias("ante"), F.col("lo").alias("cons"), "both_cnt"
-        )
     )
     ia = F.broadcast(item_n.select(F.col("l_partkey").alias("ante"),
                                    F.col("cnt").alias("ante_cnt")))
@@ -7171,6 +7174,8 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # Round-9 A/B receipt (flat windows, interleaved vs the round-7
+    # self-join form): census 0.94x at sf0.1, 0.76x at sf1 — kept.
     census = (
         grams.groupBy("gram")
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))

@@ -3875,12 +3875,18 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     test_tok = (
-        test.select("doc_id", F.col("lang").alias("true_lang"), F.explode("t").alias("w"))
+        test.select(
+            "doc_id", F.col("lang").alias("true_lang"), F.explode("t").alias("w")
+        )
         # ONE doc-keyed exchange for the whole scoring pipeline:
         # HashPartitioning(doc_id) satisfies the (doc,true,w) collapse,
         # the (doc,true,cand) scoring agg AND the argmax window, so the
         # two fact-sized downstream exchanges (one carrying the ×|langs|
-        # candidate fan-out) collapse into this single narrow shuffle
+        # candidate fan-out) collapse into this single narrow shuffle.
+        # Round-9 A/B receipt (flat windows, vs the partial-agg-first
+        # form the round-8 advice asked to re-measure): repartition
+        # 0.76x at sf0.1, 0.94x at sf1 — kept on measurement, no longer
+        # only on the scale-shape argument.
         .repartition("doc_id")
         .groupBy("doc_id", "true_lang", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
@@ -4330,18 +4336,18 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "lang", "bg.a", "bg.b")
-    # persist (tracked) the bigram LM: the context counts are its
-    # row-wise marginal (c_a = Σ_b c_ab — every bigram occurrence has
-    # exactly one context), so deriving uc from the cached bc replaces
-    # a second full explode+agg pass over the bigram stream with a
-    # vocab-sized sum; a lazy persist (not an eager ckpt) because the
-    # first consumer materializes it in-line — no extra job
-    from pyspark_movie_recommender_spark.operators.cache import track
-
-    bc = track(
-        bi.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    # Round 9: REVERTED the round-8 "context counts as the LM's marginal
+    # over a tracked persist" form back to two independent passes. The
+    # flat-window interleaved A/B the round-8 switch never got reads the
+    # persist form 1.13x (sf0.1) and 1.15x (sf1) SLOWER: the cache write
+    # of the distinct-bigram table costs more than the saved second
+    # explode+agg pass, whose map-side partial aggregation collapses the
+    # Zipf head before the shuffle anyway. Two-pass is the known-good
+    # oracle form (guide §5: prefer recompute over caching wide data).
+    bc = bi.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
     )
-    uc = bc.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    uc = bi.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c_a"))
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").cast("long").alias("v")
     )

@@ -1013,3 +1013,116 @@ def test_keyish_pinned_filter_matches_whole_last_token(spark):
         assert pinned(good), good
     for bad in ("monkey", "whiskey", "turkey", "valid", "paid", "bid"):
         assert not pinned(bad), bad
+
+
+def test_shapley_groupby_rides_range_join_partitioning(spark, sf_dir, monkeypatch):
+    """Round-8 rewrite pin (round-9 verdict ask #5a): at the 100 TB
+    shape the 3-day touch join goes SortMergeJoin on user_id, and the
+    per-purchase collapse groups by (user_id, event_id) exactly so
+    HashPartitioning(user_id) satisfies it — NO post-join fact-sized
+    exchange. The old groupBy(event_id) form inserted an exchange keyed
+    on event_id alone; this fails red on that form. Broadcast is
+    disabled to pin the SMJ shape locally; ckpt is disabled so the
+    pre-truncation plan is visible (the mask census ckpt otherwise
+    hides the join subtree behind a LogicalRDD leaf).
+    """
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DISABLE", "1")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q.QUERIES["shapley_channel_attribution"](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan  # the fact join at cluster shape
+        offenders = [
+            ln
+            for ln in plan.splitlines()
+            if "Arguments: hashpartitioning" in ln and "event_id" in ln
+        ]
+        assert not offenders, (
+            "fact-sized exchange keyed on event_id after the range join: "
+            + offenders[0]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_naive_bayes_scoring_path_single_doc_exchange(spark, sf_dir, monkeypatch):
+    """Round-8 rewrite pin (round-9 verdict ask #5b): the test-side
+    scoring pipeline pays exactly ONE doc-keyed exchange — the explicit
+    repartition("doc_id") — and the (doc,true,w) collapse, the
+    (doc,true,cand) scoring agg and the argmax window all reuse that
+    partitioning. The pre-rewrite form paid three doc-keyed exchanges
+    (collapse key, scoring key, window key); this fails red on it.
+    """
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DISABLE", "1")
+    df = Q.QUERIES["naive_bayes_lang_confusion"](spark, sf_dir)
+    plan = physical_plan(df)
+    doc_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln and "doc_id" in ln
+    ]
+    assert len(doc_exchanges) == 1, doc_exchanges
+
+
+def test_lsh_band_join_skew_is_aqe_split(spark, monkeypatch):
+    """Round-9 verdict ask #6: the LSH family deliberately keeps the
+    banded bucket EQUI-JOIN (not collect_list-per-bucket) because a
+    degenerate bucket is then a skewed join partition AQE can split at
+    runtime. This converts that rationale into checked evidence: one
+    planted hot bucket (500 identical docs — every band collides), AQE
+    skew thresholds scaled to test size, broadcast disabled to force
+    the shuffled join; the executed plan must carry the skew=true SMJ
+    marker with skewJoin enabled and must NOT when it is disabled.
+    """
+    from pyspark_movie_recommender_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 4) for i in range(500)]
+    rows += [(1000 + i, f"unique document body number {i} with words {i*7%97} {i*13%89}") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    confs = {
+        # 64 partitions so the 8 planted hot keys (one per band) land
+        # among many near-empty partitions — with partitions == hot
+        # keys every partition holds one hot key and none exceeds the
+        # factor x median bar
+        "spark.sql.shuffle.partitions": "64",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1k",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def run() -> str:
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
+            verify_threshold=None,
+        )
+        # collect, not a noop write: the write runs on a SEPARATE
+        # QueryExecution, so the DataFrame's own plan would stay
+        # isFinalPlan=false and carry no AQE runtime decisions
+        pairs.collect()
+        return pairs._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan_on = run()
+        assert "skew=true" in plan_on, (
+            "AQE did not split the planted hot bucket:\n" + plan_on[:4000]
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plan_off = run()
+        assert "skew=true" not in plan_off
+    finally:
+        from pyspark_movie_recommender_spark.operators.cache import release_all
+
+        release_all()
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
