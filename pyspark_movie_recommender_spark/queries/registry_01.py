@@ -6518,45 +6518,57 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     market_basket_pairs' raw co-occurrence, with every ratio exact in
     BIGINT ppm (integer division; no float probabilities).
 
-    Scale shape: the pair fan-out stays C(basket,2)-bounded; item
-    counts and the global order count are tiny broadcast sides; the
-    top-50 is TakeOrderedAndProject. The support≥3 filter runs on the
-    aggregated pair relation BEFORE the ratio joins, pruning the long
-    tail early. (An undirected a<b census + mirror-union variant that
-    halves the pair exchange was measured in rounds 8-9 and reverted:
-    see the in-body note.)
+    Scale shape: one fact exchange builds the per-order basket census
+    (in-row dedup via collect_set with map-side partials); directed
+    pairs are enumerated in-row with C(basket,2)-bounded fan-out, so
+    the self-join the pre-round-9 form paid never exists. Item counts
+    and the global order count are linear in the basket relation; the
+    ratio sides broadcast; the top-50 is TakeOrderedAndProject. The
+    support≥3 filter runs on the aggregated pair relation BEFORE the
+    ratio joins, pruning the long tail early. (An undirected a<b
+    mirror-union variant that halves the pair exchange but keeps the
+    self-join was measured in rounds 8-9 and rejected.)
     """
     from pyspark_movie_recommender_spark.operators.cache import track
 
     li = load_table(spark, sf_dir, "lineitem")
-    # tracked persist: the (order, part) distinct is consumed FOUR ways
-    # (order-count scalar, item counts, both self-join sides) — without it
-    # each branch would redo the fact scan + distinct shuffle
-    items = track(li.select("l_orderkey", "l_partkey").distinct())
-    n_orders = items.select("l_orderkey").distinct().count()  # driver scalar
-    item_n = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # Round 9: basket CENSUS replaces both the (order, part)-distinct
+    # exchange and the items self-join's two orderkey exchanges: ONE fact
+    # shuffle (groupBy l_orderkey, in-row dedup via collect_set with
+    # map-side partials), then directed pairs are enumerated in-row
+    # (k <= lines-per-order = 7, so <= k(k-1) array elements) exactly like
+    # the kept source_shingle_overlap census — the shape the round-8
+    # "not yet optimized" list pointed at. Unlike the reverted
+    # undirected+mirror form this removes fact exchanges (3 -> 1) instead
+    # of halving one. Interleaved A/B: 0.955x sf0.1 (n=5), 0.99/1.03x sf1
+    # (n=5/n=3, host-noisy) — a local wash; kept for the exchange
+    # elimination, pinned by tests/test_plans.py::
+    # test_association_basket_census_single_fact_exchange. Item counts
+    # and the order-count scalar are linear in the basket relation,
+    # which is tracked (cardinality-reduced, 3 consumers — within the
+    # round-9 materialization policy).
+    baskets = track(
+        li.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("parts")
+        )
     )
-    a = items.alias("a")
-    b = items.alias("b")
-    # Round 9: REVERTED to the directed (!=) enumeration after flat-window
-    # interleaved A/Bs at sf0.1 (directed 0.90x of undirected+mirror) and
-    # sf1 (1.00x — a wash). The round-8 undirected+ckpt+mirror form halves
-    # the pair-exchange rows, but its eager rule-set materialization job
-    # and the doubled final segment cost exactly cancel that locally at
-    # both measured scales; the halving only pays where the exchange is
-    # network-bound. Keep the measured-faster one-pass plan (guide §1.2:
-    # re-measure before believing a shape argument).
+    n_orders = baskets.count()  # driver scalar
+    item_n = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
     pair_n = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, x ->"
+                    " transform(filter(parts, y -> y != x),"
+                    " y -> struct(x AS ante, y AS cons))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("ante"),
-            F.col("b.l_partkey").alias("cons"),
-        )
+        .groupBy(F.col("pr.ante").alias("ante"), F.col("pr.cons").alias("cons"))
         .agg(F.count(F.lit(1)).cast("long").alias("both_cnt"))
         .filter(F.col("both_cnt") >= 3)
     )
@@ -8040,16 +8052,26 @@ def repeated_window_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort — no window-function sort over the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    chunks = docs.select(
+    # Round 9: bind the token array ONCE in a projection below the
+    # generator; the lambda then slices a bound array instead of
+    # re-splitting the document per chunk. HOF lambdas are interpreted,
+    # so a free `split(text)` in the lambda body re-split the WHOLE
+    # document once per chunk — O(tokens^2/3) character work per doc in
+    # both consumer branches. CollapseProject keeps the binding because
+    # `t` is non-cheap and referenced twice. Interleaved A/B: 0.586x
+    # sf0.1 (n=5), 0.876x sf1 (n=3).
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, (size(split(text, ' ')) - 1) div 3),"
-                " i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' '))"
+                "transform(sequence(0, (size(t) - 1) div 3),"
+                " i -> array_join(slice(t, i * 3 + 1, 3), ' '))"
             )
         ).alias("chunk_id", "chunk"),
-    ).select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk")
+    ).select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "chunk"
+    )
     # df >= 2 distinct docs  <=>  min(doc_id) != max(doc_id): a single
     # hash agg with map-side partials — no count-distinct Expand pass
     hot = (

@@ -88,15 +88,21 @@ def theta_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct word BIGRAMS per source (the unigram vocab is tiny and
     # fully shared; bigrams give a real partial-overlap signal) — built
     # in-row, exploded once
-    toks = docs.filter(F.col("source").isin("src0", "src1", "src2")).select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat(split(text, ' ')[i - 1], ' ',"
-                "             split(text, ' ')[i]))"
-            )
-        ).alias("token"),
+    # round 9: token array bound ONCE below the generator — the free
+    # split(text) inside the interpreted lambda was re-splitting the
+    # document twice per bigram (same fix as repeated_window_scrub)
+    toks = (
+        docs.filter(F.col("source").isin("src0", "src1", "src2"))
+        .select("source", F.split("text", " ").alias("t"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i - 1], ' ', t[i]))"
+                )
+            ).alias("token"),
+        )
     )
     sk = toks.groupBy("source").agg(
         F.theta_sketch_agg("token").alias("sk"),
@@ -8173,43 +8179,67 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, so Shapley values are hash-exact BIGINTs (reported as φ·6
     plus the ppm share; Σ6φ = v(full) by efficiency — test-pinned).
 
-    Scale shape: the only data-sized work is the same 3-day range join
-    the other attribution queries use, collapsed per purchase into a
-    3-bit touch mask; everything after runs on the 8-row coalition
-    lattice (subset sums via bitmask joins) and a 12-row Shapley-term
-    table. Adding a 4th channel doubles the lattice, not the data cost.
+    Scale shape: the only data-sized work is ONE pass over the events
+    relation — a per-user range-frame window collapses each purchase's
+    trailing 3 days into a 3-bit touch mask with no purchase x touch
+    pair relation at any scale; everything after runs on the 8-row
+    coalition lattice (subset sums via bitmask joins) and a 12-row
+    Shapley-term table. Adding a 4th channel doubles the lattice, not
+    the data cost.
     """
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("pts")
+    # Round 9: the purchase x touch PAIR relation is never needed — only
+    # a per-purchase running max of three channel indicators over the
+    # trailing 3 days. A range-frame window per user computes that
+    # directly: ONE events scan (the legacy range join scanned events
+    # twice — purchases + touches branches — and materialized
+    # |touches-in-3d| rows per purchase before collapsing them; a hot
+    # user makes that quadratic, and no AQE rule can split a single
+    # key's pair stream). Frame bounds are exact in MICROSECONDS (ts is
+    # timestamp[us]): tts > pts - 3d  <=>  unix_micros(tts) >=
+    # unix_micros(pts) - 3d_us + 1, and the upper bound 0 gives
+    # tts <= pts including same-microsecond peers (RANGE includes
+    # ties), identical to the join predicates. The purchase anchor row
+    # sits in its own frame with indicator 0, so empty-touch purchases
+    # read (0,0,0) exactly like the left join's unmatched rows.
+    # Interleaved A/B: 0.954x sf0.1 (n=5); sf1 1.06/1.09x (n=3/n=5) —
+    # local wash (the legacy side broadcasts purchases locally, hiding
+    # its exchange+sort); kept for the single-scan / no-pair-stream
+    # shape, pinned by tests/test_plans.py::
+    # test_shapley_mask_pass_single_exchange_no_join.
+    rel = ev.filter(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type")
+    # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
+    # (session.py), so the cast to TIMESTAMP is the identity on the
+    # wall-clock fields and unix_micros is an exact monotonic int64
+    uw = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-(3 * 86400 * 1000000) + 1, 0)
     )
-    touches = ev.filter(
-        F.col("event_type").isin("view", "click", "signup")
-    ).select("user_id", F.col("ts").alias("tts"), F.col("event_type").alias("ch"))
     flags = (
-        purchases.join(
-            touches,
-            (purchases.user_id == touches.user_id)
-            & (F.col("tts") <= F.col("pts"))
-            & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 3 DAY")),
-            "left",
+        rel.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).over(uw).alias("fv"),
+            F.max(
+                F.when(F.col("event_type") == "click", 2).otherwise(0)
+            ).over(uw).alias("fc"),
+            F.max(
+                F.when(F.col("event_type") == "signup", 4).otherwise(0)
+            ).over(uw).alias("fs"),
         )
-        # grouping by (user_id, event_id) is identical (event_id is
-        # unique) but HashPartitioning(user_id) from the range join
-        # already satisfies it — the fact-sized post-join exchange a
-        # bare groupBy(event_id) would add is gone
-        .groupBy(purchases.user_id, "event_id")
-        .agg(
-            F.max(F.when(F.col("ch") == "view", 1).otherwise(0)).alias("fv"),
-            F.max(F.when(F.col("ch") == "click", 2).otherwise(0)).alias("fc"),
-            F.max(F.when(F.col("ch") == "signup", 4).otherwise(0)).alias("fs"),
-        )
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "fv", "fc", "fs")
     )
     # ckpt the <=8-row mask census: everything downstream consumes it
     # through FOUR plan branches (v appears as v0 and v1 in phi, and
     # phi again under the efficiency total) — without materialization
-    # each branch re-executes the fact-sized 3-day range join, and the
-    # physical plan carried the events scan EIGHT times
+    # each branch re-executes the fact-sized mask window pass
     tcounts = (
         flags.select((F.col("fv") + F.col("fc") + F.col("fs")).alias("t"))
         .groupBy("t")

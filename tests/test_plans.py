@@ -1015,16 +1015,18 @@ def test_keyish_pinned_filter_matches_whole_last_token(spark):
         assert not pinned(bad), bad
 
 
-def test_shapley_groupby_rides_range_join_partitioning(spark, sf_dir, monkeypatch):
-    """Round-8 rewrite pin (round-9 verdict ask #5a): at the 100 TB
-    shape the 3-day touch join goes SortMergeJoin on user_id, and the
-    per-purchase collapse groups by (user_id, event_id) exactly so
-    HashPartitioning(user_id) satisfies it — NO post-join fact-sized
-    exchange. The old groupBy(event_id) form inserted an exchange keyed
-    on event_id alone; this fails red on that form. Broadcast is
-    disabled to pin the SMJ shape locally; ckpt is disabled so the
-    pre-truncation plan is visible (the mask census ckpt otherwise
-    hides the join subtree behind a LogicalRDD leaf).
+def test_shapley_mask_pass_single_exchange_no_join(spark, sf_dir, monkeypatch):
+    """Round-9 rewrite pin (supersedes the round-8 range-join pin): the
+    per-purchase channel masks come from ONE pass over the events
+    relation — a range-frame window per user — so the fact segment of
+    the plan has exactly one exchange (hashpartitioning(user_id)), a
+    Window node, NO join and ONE events scan. The legacy form scanned
+    events twice (purchases + touches branches) and materialized the
+    purchase x touch pair stream through a join before collapsing it;
+    this fails red on it (its plan carries a join and two scans).
+    Broadcast is disabled so the legacy form cannot hide its join
+    behind a BroadcastHashJoin either; ckpt is disabled so the mask
+    census ckpt does not truncate the fact subtree.
     """
     monkeypatch.setenv("SPARK_GRAFT_CKPT_DISABLE", "1")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1032,18 +1034,59 @@ def test_shapley_groupby_rides_range_join_partitioning(spark, sf_dir, monkeypatc
     try:
         df = Q.QUERIES["shapley_channel_attribution"](spark, sf_dir)
         plan = physical_plan(df)
-        assert "SortMergeJoin" in plan  # the fact join at cluster shape
+        assert "Window" in plan  # legacy (join form) plans no Window at all
+        # With ckpt disabled the coalition lattice replicates the mask
+        # subtree 4x (v0/v1 in phi, phi again under the efficiency
+        # total), so the ONE-scan-per-branch property reads as exactly
+        # 4 events scans; the legacy pair-join form scanned events
+        # TWICE per branch (purchases + touches) = 8. (With ckpt on,
+        # both collapse to one executed scan — this pin checks the
+        # per-branch shape the 100 TB claim rests on.)
+        scans = [
+            ln for ln in plan.splitlines() if "events.parquet" in ln
+        ]
+        assert len(scans) == 4, f"events scanned {len(scans)}x (want 4 = 1/branch)"
         offenders = [
             ln
             for ln in plan.splitlines()
             if "Arguments: hashpartitioning" in ln and "event_id" in ln
         ]
         assert not offenders, (
-            "fact-sized exchange keyed on event_id after the range join: "
-            + offenders[0]
+            "fact-sized exchange keyed on event_id: " + offenders[0]
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_association_basket_census_single_fact_exchange(spark, sf_dir):
+    """Round-9 rewrite pin: association_rules_parts derives pairs from a
+    basket census (groupBy l_orderkey + collect_set, pairs enumerated
+    in-row) — ONE fact-sized exchange keyed on l_orderkey. The legacy
+    form paid three: a (l_orderkey, l_partkey)-distinct exchange plus
+    the items self-join's two orderkey exchanges. Fails red on it:
+    the distinct exchange keys on BOTH columns and the self-join plants
+    a SortMergeJoin."""
+    import re
+
+    df = Q.QUERIES["association_rules_parts"](spark, sf_dir)
+    plan = physical_plan(df)
+    # the tracked basket persist prints its stored plan twice (AQE
+    # Initial + Final copies of the same exchange) — dedupe by the
+    # plan_id-stripped signature
+    fact_exchanges = {
+        re.sub(r"plan_id=\d+", "", ln.strip())
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning" in ln and "l_orderkey" in ln
+    }
+    assert len(fact_exchanges) == 1, fact_exchanges
+    # the one exchange is keyed on l_orderkey ALONE (census), not the
+    # legacy (l_orderkey, l_partkey) distinct
+    only = next(iter(fact_exchanges))
+    assert "l_partkey" not in only, only
+    assert "SortMergeJoin" not in plan  # no items self-join
+    from pyspark_movie_recommender_spark.operators.cache import release_all
+
+    release_all()  # construction tracked the basket persist
 
 
 def test_naive_bayes_scoring_path_single_doc_exchange(spark, sf_dir, monkeypatch):

@@ -90,6 +90,41 @@ def stable_hash(spark, sf_dir: str, name: str) -> str | None:
     return h1 if h1 == h2 else None
 
 
+def full_hashes(sf_dir: str, names: list[str]) -> dict[str, str | None]:
+    """Pre-checkpoint plan hashes (round-8 advice: a `ckpt` truncates
+    the plan to a LogicalRDD leaf, so the truncated hash is blind to
+    any change INSIDE the materialized subtree — shapley's round-8
+    groupBy rewrite hashed 'unchanged'). A subprocess with
+    SPARK_GRAFT_CKPT_DISABLE=1 builds every bench query with ckpt as a
+    no-op and hashes the full untruncated plan; with no eager
+    materialization this pass runs almost no jobs. A separate process,
+    not an in-session env flip: ckpt reads the env at call time, but
+    the session may already hold materialized state built WITH ckpt
+    (track/persist registries), and the flag is documented test-only —
+    keep its blast radius to a throwaway interpreter."""
+    import subprocess as sp
+
+    code = (
+        "import json,os,sys\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+        "os.environ['SPARK_GRAFT_CKPT_DISABLE']='1'\n"
+        "from pyspark_movie_recommender_spark import get_spark\n"
+        "from pyspark_movie_recommender_spark import queries as Q\n"
+        "from tools_bench_compare import stable_hash\n"
+        "spark = get_spark('planhash-full')\n"
+        f"names = {names!r}\n"
+        f"out = {{n: stable_hash(spark, {sf_dir!r}, n) for n in names}}\n"
+        "print('FULLHASHES ' + json.dumps(out))\n"
+    )
+    r = sp.run([sys.executable, "-c", code], capture_output=True, text=True)
+    for ln in r.stdout.splitlines():
+        if ln.startswith("FULLHASHES "):
+            return json.loads(ln[len("FULLHASHES "):])
+    # fail toward plan_changed: missing full hashes must never be used
+    # to claim "unchanged"
+    return {n: None for n in names}
+
+
 def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "06"
     prev = sys.argv[2] if len(sys.argv) > 2 else f"{int(rnd) - 1:02d}"
@@ -100,13 +135,23 @@ def main() -> None:
 
     spark = get_spark("bench-compare")
     bench_names = sorted(set(cur) | set(prv))
-    hashes = {n: stable_hash(spark, sf_dir, n) for n in bench_names if n in Q.QUERIES}
+    present = [n for n in bench_names if n in Q.QUERIES]
+    hashes = {n: stable_hash(spark, sf_dir, n) for n in present}
+    fhashes = full_hashes(sf_dir, present)
     with open(f"PLANHASHES_r{rnd}.json", "w") as f:
-        json.dump(hashes, f, indent=2, sort_keys=True)
+        json.dump(
+            {"truncated": hashes, "full": fhashes}, f, indent=2, sort_keys=True
+        )
 
     prior_hashes: dict[str, str | None] = {}
+    prior_full: dict[str, str | None] = {}
     if os.path.exists(f"PLANHASHES_r{prev}.json"):
-        prior_hashes = json.load(open(f"PLANHASHES_r{prev}.json"))
+        prior = json.load(open(f"PLANHASHES_r{prev}.json"))
+        if "truncated" in prior:  # current two-tier format
+            prior_hashes = prior["truncated"]
+            prior_full = prior.get("full", {})
+        else:  # rounds <= 8 wrote the flat (truncated-only) format
+            prior_hashes = prior
 
     movers = {}
     for name in sorted(set(cur) & set(prv)):
@@ -117,9 +162,18 @@ def main() -> None:
         if max(ratio, 1 / ratio) <= THRESHOLD:
             continue
         h_now, h_then = hashes.get(name), prior_hashes.get(name)
+        f_now, f_then = fhashes.get(name), prior_full.get(name)
         if not prior_hashes or name not in prior_hashes:
             cls = "no_prior_hash"
-        elif h_now is not None and h_now == h_then:
+        elif h_now is not None and h_now == h_then and (
+            # "plan_same" additionally requires the PRE-ckpt (full)
+            # hash to match when a prior full hash exists — a change
+            # inside a ckpt-truncated subtree must classify as
+            # plan_changed (round-8 advice). With no prior full hash
+            # (rounds <= 8) the truncated match stands alone.
+            name not in prior_full
+            or (f_now is not None and f_now == f_then)
+        ):
             cls = "plan_same"
         else:
             cls = "plan_changed"
