@@ -213,6 +213,42 @@ def dedup_keepers(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def copurchase_pairs(li: DataFrame, min_support: int | None = None) -> DataFrame:
+    """Distinct co-purchase part pairs ``(u, v, c)`` with ``u < v`` and
+    ``c`` = number of orders containing both parts — the shared edge
+    derivation of the co-purchase graph family (triangles, k-core, BFS,
+    peeling, influence cascades, link prediction, market baskets).
+
+    Round 9: basket-CENSUS form. ONE fact exchange (groupBy l_orderkey
+    + collect_set with map-side partials dedups in-row) and pairs
+    enumerated in-row from the sorted basket — C(k, 2) bounded by
+    lines-per-order, never corpus size. Replaces the previous
+    (l_orderkey, l_partkey)-DISTINCT exchange plus the items
+    self-join's two orderkey exchanges at every call site (3 fact
+    exchanges → 1; the same shape as the association_rules_parts and
+    source_shingle_overlap censuses, plan-pinned there).
+    """
+    baskets = li.select("l_orderkey", "l_partkey").groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if min_support is not None:
+        pairs = pairs.filter(F.col("c") >= min_support)
+    return pairs
+
+
 def kcore_nodes(
     edges: DataFrame,
     k: int,

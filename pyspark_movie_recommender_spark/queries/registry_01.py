@@ -5170,21 +5170,18 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a full sort). For pathological mega-baskets add a per-order
     item cap before pairing, same guard as the n-gram DF cap.
     """
+    from pyspark_movie_recommender_spark.operators.graph import copurchase_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    # round 9: basket census (one fact exchange) replaces the items
+    # self-join — see operators/graph.copurchase_pairs
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        copurchase_pairs(li)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("c").cast("long").alias("n_orders"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
@@ -7275,22 +7272,12 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared vertex only.
     """
     from pyspark_movie_recommender_spark.operators.cache import track
+    from pyspark_movie_recommender_spark.operators.graph import copurchase_pairs
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = track(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    # round 9: basket census (one fact exchange) replaces the items
+    # self-join — see operators/graph.copurchase_pairs
+    edges = track(copurchase_pairs(li, min_support=2).select("u", "v"))
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")

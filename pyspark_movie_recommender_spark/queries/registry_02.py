@@ -623,23 +623,15 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree agg + two semi-joins on the live-node relation; edges are
     filtered, never rewritten; per-round checkpoint truncation.
     """
-    from pyspark_movie_recommender_spark.operators.graph import kcore_nodes
+    from pyspark_movie_recommender_spark.operators.graph import (
+        copurchase_pairs,
+        kcore_nodes,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    # round 9: basket census (one fact exchange) replaces the items
+    # self-join — see operators/graph.copurchase_pairs
+    edges = copurchase_pairs(li, min_support=2).select("u", "v")
     core = kcore_nodes(edges, k=3)
     return core.select(
         F.col("n").alias("part_id"), F.col("degree").alias("core_degree")
@@ -2404,24 +2396,15 @@ def bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold caps degree before any traversal; one vertex-keyed join
     per round, O(max_hops) rounds, per-round lineage truncation.
     """
-    from pyspark_movie_recommender_spark.operators.graph import bfs_hops
+    from pyspark_movie_recommender_spark.operators.graph import (
+        bfs_hops,
+        copurchase_pairs,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    # round 9: basket census (one fact exchange) replaces the items
+    # self-join — see operators/graph.copurchase_pairs
+    edges = copurchase_pairs(li, min_support=2).select("u", "v")
     return bfs_hops(edges, "u", "v", max_hops=4)
 
 

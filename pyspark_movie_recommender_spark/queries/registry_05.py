@@ -1976,21 +1976,12 @@ def link_prediction_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFram
     as bare (a, b, term) triples; existing edges leave via broadcast
     anti-join; global top-15 is TakeOrderedAndProject.
     """
+    from pyspark_movie_recommender_spark.operators.graph import copurchase_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    # round 9: basket census (one fact exchange) replaces the items
+    # self-join — see operators/graph.copurchase_pairs
+    edges = copurchase_pairs(li, min_support=2).select("u", "v")
     adj = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
@@ -2077,21 +2068,12 @@ def harmonic_centrality_radius2(spark: SparkSession, sf_dir: str) -> DataFrame:
     support-≥2 edge threshold bounds wedge fan-out (degree cap already
     applied at graph construction). Top-15 is TakeOrderedAndProject.
     """
+    from pyspark_movie_recommender_spark.operators.graph import copurchase_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("u", "v")
-    )
+    # round 9: basket census (one fact exchange) replaces the items
+    # self-join — see operators/graph.copurchase_pairs
+    edges = copurchase_pairs(li, min_support=2).select("u", "v")
     adj = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )

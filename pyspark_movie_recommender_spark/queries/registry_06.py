@@ -7889,36 +7889,39 @@ def frequent_triples_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped (order, part) relation.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .where(F.col("sz").between(3, 10))
-        .select("l_orderkey")
+    # round 9: basket census — ONE fact exchange (groupBy l_orderkey +
+    # collect_set) replaces the (order, part)-distinct exchange, the
+    # basket-size semi-join AND both triple self-joins; the sorted
+    # in-row triple enumeration keeps the same C(10,3)=120 cap and the
+    # same canonical p1<p2<p3 order. The tracked basket relation is
+    # cardinality-reduced and consumed twice (triples + n_baskets).
+    from pyspark_movie_recommender_spark.operators.cache import track
+
+    baskets = track(
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps").between(3, 10))
     )
-    basket = items.join(sized, "l_orderkey")
-    a = basket.alias("a")
-    b = basket.alias("b")
-    c = basket.alias("c")
     triples = (
-        a.join(
-            b,
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
-        )
-        .join(
-            c,
-            (F.col("c.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("c.l_partkey") > F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), (y, j) ->"
+                    " transform(slice(ps, i + j + 3, size(ps)),"
+                    " z -> struct(x AS p1, y AS p2, z AS p3))))))"
+                )
+            ).alias("t")
         )
         .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-            F.col("c.l_partkey").alias("p3"),
+            F.col("t.p1").alias("p1"),
+            F.col("t.p2").alias("p2"),
+            F.col("t.p3").alias("p3"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )
-    n_baskets = sized.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    n_baskets = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
     return triples.agg(
         F.count(F.lit(1)).cast("long").alias("n_triples"),
         F.max("support").cast("long").alias("max_support"),

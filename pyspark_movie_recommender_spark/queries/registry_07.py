@@ -2851,24 +2851,12 @@ def kcore_peeling_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, with ckpt truncating the two-reference
     lineage per round — 6 rounds regardless of graph size.
     """
+    from pyspark_movie_recommender_spark.operators.graph import copurchase_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("u", "v")
-        .transform(_ckpt)
-    )
+    # round 9: basket census (one fact exchange) replaces the items
+    # self-join — see operators/graph.copurchase_pairs
+    e = copurchase_pairs(li, min_support=2).select("u", "v").transform(_ckpt)
     stats = []
 
     def stat(r: int, edges: DataFrame) -> DataFrame:

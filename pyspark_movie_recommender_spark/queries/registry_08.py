@@ -2364,20 +2364,12 @@ def threshold_cascade_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt truncating lineage (reliable on a cluster via
     SPARK_GRAFT_CHECKPOINT_DIR).
     """
+    from pyspark_movie_recommender_spark.operators.graph import copurchase_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a_, b_ = items.alias("a"), items.alias("b")
-    e0 = (
-        a_.join(
-            b_,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    # round 9: basket census (one fact exchange) replaces the items
+    # self-join — see operators/graph.copurchase_pairs
+    e0 = copurchase_pairs(li, min_support=2).select("u", "v")
     sym = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).transform(_ckpt)
@@ -2459,20 +2451,12 @@ def ic_cascade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join on the filtered edge list — BFS-by-joins with
     checkpointed frontiers, never re-deriving the graph.
     """
+    from pyspark_movie_recommender_spark.operators.graph import copurchase_pairs
+
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a_, b_ = items.alias("a"), items.alias("b")
-    e0 = (
-        a_.join(
-            b_,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    # round 9: basket census (one fact exchange) replaces the items
+    # self-join — see operators/graph.copurchase_pairs
+    e0 = copurchase_pairs(li, min_support=2).select("u", "v")
     sym = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).transform(_ckpt)
